@@ -1,0 +1,292 @@
+"""URL-seen set: exact oracle path + partitioned Bloom-filter scale path
+(SURVEY.md §2.3 T2; north_rule).
+
+The reference needs no dedup structure — a tree traversal visits each
+folder once (absence noted at SharePointClient.cs:305-337) and would loop
+forever on a cyclic web graph. Our engine must not, so:
+
+* **Oracle path** (exact): ``left_anti`` join of candidates against the
+  ``seen`` table on ``url_key`` — Spark shuffles both sides by the 64-bit
+  key; this is the correctness contract.
+* **Scale path**: N Bloom shards, sharded by ``pmod(url_key, n_shards)``.
+  Each shard is a numpy bitset built with ``applyInPandas`` and persisted
+  as ONE binary row. Probing: candidates are co-partitioned with their
+  shard and bit-tested in vectorized numpy. Bloom answers
+  "definitely-unseen" exactly (zero false negatives by construction);
+  "maybe-seen" candidates (the small fraction) fall through to the exact
+  anti-join. At a 10^10-URL frontier this shrinks the anti-join's left
+  side by ~(1 - fp_rate), which is the whole point.
+* **Cuckoo filter** (pure python/numpy, per shard) where deletion is
+  needed (e.g. recrawl-after-TTL evicts a URL from "seen").
+
+k hash functions are derived from the single xxhash64 key with the
+standard double-hashing trick h_i = h1 + i*h2 (Kirsch–Mitzenmacher), so
+no extra hashing of the URL string is ever needed.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------- exact path
+
+
+def anti_join_unseen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
+    """Exact: rows of ``candidates`` whose url_key is not in ``seen``."""
+    return candidates.join(seen.select("url_key").distinct(), "url_key", "left_anti")
+
+
+# ---------------------------------------------------------------- bloom math
+
+
+def bloom_params(n_items: int, fp_rate: float = 0.01) -> tuple[int, int]:
+    """(m bits, k hashes) for a target false-positive rate."""
+    n = max(n_items, 1)
+    m = max(64, int(-n * math.log(fp_rate) / (math.log(2) ** 2)))
+    m = (m + 63) // 64 * 64  # word-align
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _positions(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(len(keys), k) bit positions via double hashing on the 64-bit key."""
+    h1 = keys.astype(np.uint64)
+    # splitmix64 finalizer as the second hash — cheap, well-mixed
+    z = h1 + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h2 = (z ^ (z >> np.uint64(31))) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def _set_bits(bitset: np.ndarray, pos: np.ndarray) -> None:
+    word, bit = pos >> 6, pos & 63
+    np.bitwise_or.at(bitset, word.ravel(), (np.uint64(1) << bit.astype(np.uint64)).ravel())
+
+
+def _test_bits(bitset: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    word, bit = pos >> 6, pos & 63
+    hits = (bitset[word] >> bit.astype(np.uint64)) & np.uint64(1)
+    return hits.all(axis=1).astype(bool)
+
+
+# ------------------------------------------------------------- shard build
+
+
+BLOOM_SHARD_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("n_shards", T.IntegerType(), False),
+        T.StructField("m_bits", T.LongType(), False),
+        T.StructField("k_hashes", T.IntegerType(), False),
+        T.StructField("n_items", T.LongType(), False),
+        T.StructField("bits", T.BinaryType(), False),
+    ]
+)
+
+
+def build_bloom_shards(
+    seen: DataFrame,
+    n_shards: int = 32,
+    fp_rate: float = 0.01,
+    expected_per_shard: int | None = None,
+    geometry: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Build one Bloom bitset per shard from the ``seen`` table.
+
+    Shard assignment ``pmod(url_key, n_shards)`` is the same hash
+    partitioning Spark's own shuffle would use, so build and probe
+    co-locate for free. Each shard row is (shard, m_bits, k, n, bits) —
+    persisted as binary in the snapshot store.
+    """
+    if geometry is not None:
+        # fixed geometry (set once per crawl from the design-point capacity)
+        # so per-wave deltas can OR-merge with prior shards
+        m_bits, k = geometry
+    else:
+        if expected_per_shard is None:
+            total = seen.count()
+            expected_per_shard = max(64, total // max(n_shards, 1) + 1)
+        m_bits, k = bloom_params(expected_per_shard, fp_rate)
+
+    keyed = seen.select(
+        "url_key", F.pmod(F.col("url_key"), F.lit(n_shards)).cast("int").alias("shard")
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        keys = pdf["url_key"].to_numpy(dtype=np.int64)
+        bitset = np.zeros(m_bits // 64, dtype=np.uint64)
+        _set_bits(bitset, _positions(keys, m_bits, k))
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_shards": [n_shards],
+                "m_bits": [m_bits],
+                "k_hashes": [k],
+                "n_items": [len(keys)],
+                "bits": [bitset.tobytes()],
+            }
+        )
+
+    return keyed.groupBy("shard").applyInPandas(build, BLOOM_SHARD_SCHEMA)
+
+
+def bloom_probe(candidates: DataFrame, shards: DataFrame) -> DataFrame:
+    """Annotate candidates with ``maybe_seen`` by probing their shard.
+
+    Candidates co-partition with shards on the shard id; within each
+    group the single shard row rides along (cogroup) and probing is one
+    vectorized numpy pass. Rows whose shard has no bitset yet are
+    definitely unseen.
+    """
+    # read n_shards from the shards side (tiny, one row is enough)
+    n_shards_row = shards.select("n_shards").limit(1).collect()
+    n_shards = int(n_shards_row[0]["n_shards"]) if n_shards_row else 1
+    cand = candidates.withColumn(
+        "shard", F.pmod(F.col("url_key"), F.lit(n_shards)).cast("int")
+    )
+
+    out_schema = T.StructType(cand.schema.fields + [T.StructField("maybe_seen", T.BooleanType(), False)])
+
+    def probe(cand_pdf, shard_pdf):
+        if len(cand_pdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        if len(shard_pdf) == 0:
+            res = cand_pdf.copy()
+            res["maybe_seen"] = False
+            return res
+        m_bits = int(shard_pdf["m_bits"].iloc[0])
+        k = int(shard_pdf["k_hashes"].iloc[0])
+        bitset = np.frombuffer(shard_pdf["bits"].iloc[0], dtype=np.uint64)
+        keys = cand_pdf["url_key"].to_numpy(dtype=np.int64)
+        res = cand_pdf.copy()
+        res["maybe_seen"] = _test_bits(bitset, _positions(keys, m_bits, k))
+        return res
+
+    return (
+        cand.groupBy("shard")
+        .cogroup(shards.groupBy("shard"))
+        .applyInPandas(probe, out_schema)
+        .drop("shard")
+    )
+
+
+def bloom_filtered_unseen(candidates: DataFrame, shards: DataFrame, seen: DataFrame) -> DataFrame:
+    """The production dedup plan: bloom prefilter, exact confirm.
+
+    definitely-unseen (bloom negative) pass straight through (bloom has
+    zero false negatives); maybe-seen survivors get the exact anti-join.
+    """
+    probed = bloom_probe(candidates, shards)
+    definite = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed_unseen = anti_join_unseen(maybe, seen)
+    return definite.unionByName(confirmed_unseen)
+
+
+def merge_bloom_shards(old: DataFrame, delta: DataFrame) -> DataFrame:
+    """OR-merge two shard sets with identical (n_shards, m_bits, k).
+
+    This is how the seen-set grows incrementally: per wave, build shards
+    for just the NEW urls (``build_bloom_shards`` with the same geometry)
+    and OR them into the previous snapshot's shards — no full-seen rescan.
+    """
+    both = old.unionByName(delta)
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint64).copy()
+        for b in pdf["bits"].iloc[1:]:
+            bits |= np.frombuffer(b, dtype=np.uint64)
+        out = pdf.iloc[[0]].copy()
+        out["n_items"] = int(pdf["n_items"].sum())
+        out["bits"] = [bits.tobytes()]
+        return out
+
+    return both.groupBy("shard").applyInPandas(combine, BLOOM_SHARD_SCHEMA)
+
+
+# ------------------------------------------------------------ cuckoo filter
+
+
+class CuckooFilter:
+    """Per-shard cuckoo filter (Fan et al., CoNEXT'14) — supports delete.
+
+    Used where the seen-set must forget (recrawl-after-TTL). 4-slot
+    buckets, 16-bit fingerprints, partial-key cuckoo relocation. Pure
+    numpy; one instance per shard inside applyInPandas, serialized via
+    ``to_bytes``/``from_bytes`` alongside the bloom shards.
+    """
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, n_buckets: int):
+        self.n_buckets = max(1, n_buckets)
+        self.table = np.zeros((self.n_buckets, self.SLOTS), dtype=np.uint16)
+
+    @classmethod
+    def for_capacity(cls, n: int) -> "CuckooFilter":
+        buckets = 1
+        while buckets * cls.SLOTS * 0.95 < max(n, 1):
+            buckets *= 2
+        return cls(buckets)
+
+    def _fp_and_buckets(self, key: int) -> tuple[int, int, int]:
+        k = key & 0xFFFFFFFFFFFFFFFF
+        fp = (k >> 48) & 0xFFFF or 1
+        i1 = k % self.n_buckets
+        i2 = (i1 ^ (fp * 0x5BD1E995)) % self.n_buckets
+        return fp, i1, i2
+
+    def insert(self, key: int) -> bool:
+        fp, i1, i2 = self._fp_and_buckets(key)
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.where(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        # relocate
+        rng = np.random.default_rng(key & 0x7FFFFFFF)  # deterministic per key
+        i, cur = i1, fp
+        for _ in range(self.MAX_KICKS):
+            slot = int(rng.integers(self.SLOTS))
+            cur, self.table[i, slot] = int(self.table[i, slot]), cur
+            i = (i ^ (cur * 0x5BD1E995)) % self.n_buckets
+            row = self.table[i]
+            empty = np.where(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = cur
+                return True
+        return False  # table full
+
+    def contains(self, key: int) -> bool:
+        fp, i1, i2 = self._fp_and_buckets(key)
+        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+
+    def delete(self, key: int) -> bool:
+        fp, i1, i2 = self._fp_and_buckets(key)
+        for i in (i1, i2):
+            hit = np.where(self.table[i] == fp)[0]
+            if len(hit):
+                self.table[i, hit[0]] = 0
+                return True
+        return False
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CuckooFilter":
+        arr = np.frombuffer(data, dtype=np.uint16).reshape(-1, cls.SLOTS).copy()
+        cf = cls(arr.shape[0])
+        cf.table = arr
+        return cf

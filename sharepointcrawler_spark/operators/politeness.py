@@ -1,0 +1,130 @@
+"""Per-host politeness scheduler + priority ranking (SURVEY.md §2.3
+T3/T4, §2.5 W5).
+
+The reference is polite by accident: a fully sequential await chain means
+exactly one request is ever in flight (SharePointClient.cs:217,271,279).
+Our engine is massively parallel, so politeness becomes explicit: a
+deterministic **virtual-clock schedule**. For each host, fetches are
+ordered by (priority, crawl order) and assigned slots
+
+    fetch_slot_s = (rank_within_host - 1) * crawl_delay(host)
+
+so consecutive fetches per host are >= the host's crawl-delay budget
+apart, while different hosts proceed in parallel.
+
+Skew: a single hot host (the "one SharePoint tenant owns 90% of URLs"
+case) would collapse ``Window.partitionBy(host)`` to one task. The
+per-host rank is therefore computed with a range-partitioned two-pass
+(``grouped_sequence``): sort by (host, priority, path_key) across range
+partitions — a hot host spans MANY partitions — then add per-(partition,
+host) offsets computed from a tiny driver-side count table. Exact same
+ranks as the naive window, no single-task stage.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_CRAWL_DELAY_S = 1.0
+
+
+def grouped_sequence(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    out_col: str = "host_rank",
+) -> DataFrame:
+    """1-based rank within ``group_col`` by ``order_cols`` — skew-proof.
+
+    Equivalent to ``row_number() OVER (PARTITION BY g ORDER BY ...)`` but
+    executed as range-repartition on (group, order...) + per-partition
+    cumcount + cross-partition offsets. The offset table has one row per
+    (partition, group-present-in-partition) — O(partitions + groups)
+    rows, collected to the driver and broadcast.
+    """
+    spark = df.sparkSession
+    n = max(spark.sparkContext.defaultParallelism, 1)
+    cols = [group_col] + order_cols
+    sorted_df = (
+        df.repartitionByRange(n, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted_df.groupBy("_pid", group_col).agg(F.count("*").alias("cnt")).collect()
+    # offset for (pid, g) = total rows of g in partitions with smaller pid
+    per_group: dict = {}
+    offsets: dict = {}
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        g = row[group_col]
+        offsets[(int(row["_pid"]), g)] = per_group.get(g, 0)
+        per_group[g] = per_group.get(g, 0) + row["cnt"]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+    out_schema = T.StructType(sorted_df.schema.fields + [T.StructField(out_col, T.LongType(), False)])
+
+    def assign(it):
+        seen: dict = {}
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            local = pdf.groupby(group_col, sort=False).cumcount()
+            base = pdf[group_col].map(
+                lambda g: b_offsets.value.get((pid, g), 0) + seen.get(g, 0)
+            )
+            pdf = pdf.copy()
+            pdf[out_col] = (local + base + 1).astype("int64")
+            for g, c in pdf[group_col].value_counts().items():
+                seen[g] = seen.get(g, 0) + int(c)
+            yield pdf
+
+    return sorted_df.mapInPandas(assign, out_schema).drop("_pid")
+
+
+def assign_fetch_slots(
+    wave: DataFrame,
+    delays: DataFrame | None = None,
+    default_delay_s: float = DEFAULT_CRAWL_DELAY_S,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Attach ``host_rank`` and virtual-clock ``fetch_slot`` (seconds).
+
+    ``delays`` is a small (host, crawl_delay_s) table — broadcast-joined
+    (robots_cache analog, SURVEY T5). Missing hosts get the default.
+    """
+    order_cols = order_cols or ["priority", "path_key"]
+    ranked = grouped_sequence(wave, "host", order_cols, out_col="host_rank")
+    if delays is not None:
+        ranked = ranked.join(
+            F.broadcast(delays.select("host", "crawl_delay_s")), "host", "left"
+        )
+        delay = F.coalesce(F.col("crawl_delay_s"), F.lit(default_delay_s))
+    else:
+        delay = F.lit(default_delay_s)
+    return ranked.withColumn(
+        "fetch_slot", ((F.col("host_rank") - 1) * delay).cast("double")
+    )
+
+
+def top_k_per_host(wave: DataFrame, k: int, order_cols: list[str] | None = None) -> DataFrame:
+    """Per-wave per-host budget: keep the k best URLs by (priority,
+    crawl order) — the min-heap of the north_rule materialized as a
+    ranked DataFrame (skew-proof). Rows beyond k stay pending for the
+    next wave (caller handles the split)."""
+    order_cols = order_cols or ["depth", "priority", "path_key"]
+    ranked = grouped_sequence(wave, "host", order_cols, out_col="host_rank")
+    return ranked.filter(F.col("host_rank") <= k)
+
+
+def salt_hosts(df: DataFrame, n_salts: int = 8) -> DataFrame:
+    """Execution-side salting for downstream per-host work that does NOT
+    need a total per-host order (e.g. the fetch mapInPandas stage): a hot
+    host's rows spread across ``n_salts`` hash buckets. The politeness
+    budget still holds because fetch_slot was already assigned."""
+    return df.withColumn(
+        "host_salt",
+        F.concat_ws("#", F.col("host"), F.pmod(F.col("url_key"), F.lit(n_salts)).cast("string")),
+    ).repartition(F.col("host_salt"))

@@ -1,0 +1,93 @@
+"""robots.txt allow/deny cache, broadcast to executors (SURVEY.md §2.3
+T5; north_rule).
+
+Reference analog: the in-memory allowed-titles HashSet probed per file
+(SharePointClient.cs:48,83 set; :272-275 probe) plus the auth header —
+a tiny, broadcastable gate consulted on every candidate. Here the gate
+is a robots rule table:
+
+    robots_cache(host, rule_type: allow|deny, path_prefix, crawl_delay_s)
+
+The table is small (one row per rule per host), so it is collected once
+on the driver, broadcast, and probed inside a vectorized pandas UDF with
+longest-prefix-match semantics (the standard robots.txt resolution:
+most specific rule wins; tie → allow; no rule → allow). Denied URLs are
+marked state='denied' in the frontier: they enter the seen-set (never
+re-considered) but are never fetched.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ROBOTS_SCHEMA = "host string, rule_type string, path_prefix string, crawl_delay_s double"
+
+
+class RobotsGate:
+    """Driver-side holder: build once per crawl, probe per wave."""
+
+    def __init__(self, spark: SparkSession, robots_df: DataFrame | None):
+        rules: dict[str, list[tuple[str, bool]]] = {}
+        delays: dict[str, float] = {}
+        if robots_df is not None:
+            for r in robots_df.collect():
+                h = r["host"].lower()
+                rules.setdefault(h, []).append(
+                    (r["path_prefix"] or "", r["rule_type"] == "allow")
+                )
+                if r["crawl_delay_s"] is not None:
+                    delays[h] = float(r["crawl_delay_s"])
+        # longest prefix first so the first match wins; allow beats deny on ties
+        for h in rules:
+            rules[h].sort(key=lambda t: (-len(t[0]), not t[1]))
+        self._b_rules = spark.sparkContext.broadcast(rules)
+        self.delays = delays
+        self._spark = spark
+
+    def allowed_col(self, url_col: str | Column = "url_canon") -> Column:
+        b_rules = self._b_rules
+
+        @F.pandas_udf(T.BooleanType())
+        def robots_allowed(urls: pd.Series) -> pd.Series:  # pragma: no cover
+            rules = b_rules.value
+
+            def check(u: str | None) -> bool:
+                if u is None:
+                    return False
+                try:
+                    parts = urlsplit(u)
+                except ValueError:
+                    return True
+                host_rules = rules.get((parts.hostname or "").lower())
+                if not host_rules:
+                    return True
+                path = parts.path or "/"
+                for prefix, allow in host_rules:
+                    if path.startswith(prefix):
+                        return allow
+                return True
+
+            return urls.map(check)
+
+        c = F.col(url_col) if isinstance(url_col, str) else url_col
+        return robots_allowed(c)
+
+    def delays_df(self) -> DataFrame:
+        """(host, crawl_delay_s) for the politeness scheduler."""
+        rows = [(h, d) for h, d in self.delays.items()]
+        if not rows:
+            return self._spark.createDataFrame([], "host string, crawl_delay_s double")
+        return self._spark.createDataFrame(rows, "host string, crawl_delay_s double")
+
+
+def apply_robots_gate(wave: DataFrame, gate: RobotsGate) -> tuple[DataFrame, DataFrame]:
+    """Split a wave into (allowed, denied) by the broadcast rule set."""
+    tagged = wave.withColumn("_allowed", gate.allowed_col("url_canon"))
+    allowed = tagged.filter(F.col("_allowed")).drop("_allowed")
+    denied = tagged.filter(~F.col("_allowed")).drop("_allowed")
+    return allowed, denied

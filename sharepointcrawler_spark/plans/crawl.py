@@ -1,0 +1,223 @@
+"""The crawl wave loop (SURVEY.md §3.1 "Spark redesign"; north_rule).
+
+Replaces the reference's recursive async iterator
+(SharePointClient.cs:201-342, driven from MainForm.cs:97-100) with a
+driver loop of BFS waves — Spark has no recursive CTE, so the recursion
+lives on the driver while ALL data work is partition-parallel:
+
+    wave k: read pending -> robots gate -> politeness slots ->
+            "fetch" (expander) -> canonicalize + within-wave dedup ->
+            bloom-prefiltered anti-join vs seen -> new pending rows ->
+            commit snapshot k (frontier, seen delta, bloom shards,
+            fetch log, metrics, errors)
+
+Each wave ends in one atomic snapshot commit (plans/snapshot.py); a
+killed job resumes from the latest manifest with zero re-fetches —
+the property the reference lacks entirely (BASELINE.md "resume gate").
+
+Crawl ORDER is carried by the ``path_key`` column (operators/frontier.py)
+and materialized at the end as ``crawl_seq`` via a scale-safe global
+sequence, reproducing the reference's pre-order DFS yield order exactly.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sharepointcrawler_spark.operators import frontier as fr
+from sharepointcrawler_spark.operators import dedup as dd
+from sharepointcrawler_spark.operators.politeness import assign_fetch_slots, top_k_per_host
+from sharepointcrawler_spark.operators.robots import RobotsGate, apply_robots_gate
+from sharepointcrawler_spark.plans.snapshot import SnapshotStore
+
+
+@dataclass
+class CrawlConfig:
+    """Replaces the reference's UserSettings JSON (UserSettings.cs:7-18)."""
+
+    max_waves: int = 50
+    n_bloom_shards: int = 32
+    bloom_capacity: int = 1_000_000  # design-point seen-set size per crawl
+    bloom_fp_rate: float = 0.01
+    use_bloom: bool = True
+    per_host_wave_budget: int | None = None  # top-k per host per wave (W5)
+    default_crawl_delay_s: float = 1.0
+    extra: dict = field(default_factory=dict)
+
+
+@dataclass
+class CrawlResult:
+    waves: int
+    frontier: DataFrame
+    seen: DataFrame
+    fetch_log: DataFrame
+    metrics: list[dict]
+
+
+def run_crawl(
+    spark: SparkSession,
+    store: SnapshotStore,
+    expander: Callable[[DataFrame], DataFrame],
+    seeds: list[tuple[str, int]] | None = None,
+    robots_df: DataFrame | None = None,
+    config: CrawlConfig | None = None,
+    resume: bool = True,
+    stop_after_wave: int | None = None,
+) -> CrawlResult:
+    """Run (or resume) a crawl to frontier exhaustion.
+
+    ``stop_after_wave`` simulates a mid-crawl kill for the resume tests.
+    """
+    cfg = config or CrawlConfig()
+    gate = RobotsGate(spark, robots_df)
+    geometry = dd.bloom_params(
+        max(cfg.bloom_capacity // cfg.n_bloom_shards, 64), cfg.bloom_fp_rate
+    )
+    metrics_all: list[dict] = []
+
+    last = store.latest_wave() if resume else None
+    if last is not None:
+        frontier_df = store.read("frontier", last)
+        shards = store.read("bloom_shards", last)
+        wave = last
+    else:
+        if not seeds:
+            raise ValueError("fresh crawl needs seeds")
+        frontier_df = fr.seed_frontier(spark, seeds)
+        # seeds enter the seen-set immediately (they are scheduled)
+        seed_seen = frontier_df.select("url_key", "url_canon")
+        shards = dd.build_bloom_shards(
+            seed_seen, n_shards=cfg.n_bloom_shards, geometry=geometry
+        )
+        wave = 0
+        store.write(frontier_df, "frontier", 0)
+        store.write(shards, "bloom_shards", 0)
+        store.write(seed_seen, "seen", 0)
+        empty_log = spark.createDataFrame(
+            [], "url_canon string, host string, wave_id int, fetch_slot double"
+        )
+        store.commit(
+            0,
+            {
+                "frontier": store.table_dir("frontier", 0),
+                "bloom_shards": store.table_dir("bloom_shards", 0),
+                "seen": store.table_dir("seen", 0),
+            },
+            {"seeded": len(seeds)},
+        )
+        del empty_log
+
+    while wave < cfg.max_waves:
+        t0 = time.monotonic()
+        pending = frontier_df.filter(F.col("state") == fr.PENDING)
+        if pending.limit(1).count() == 0:
+            break
+        wave += 1
+
+        # 1. robots gate (broadcast probe) — denied rows are terminal
+        allowed, denied = apply_robots_gate(pending, gate)
+
+        # 2. per-host wave budget (priority min-heap, W5)
+        deferred = None
+        if cfg.per_host_wave_budget is not None:
+            budgeted = top_k_per_host(allowed, cfg.per_host_wave_budget)
+            deferred = allowed.join(
+                budgeted.select("url_key"), "url_key", "left_anti"
+            )
+            allowed = budgeted.drop("host_rank")
+
+        # 3. politeness virtual-clock slots (skew-proof grouped rank)
+        scheduled = assign_fetch_slots(
+            allowed, gate.delays_df(), cfg.default_crawl_delay_s
+        ).drop("crawl_delay_s")
+
+        # 4. "fetch" + link expansion -> newly discovered children
+        children = fr.expand_wave(scheduled, expander, wave)
+
+        # 5. dedup vs seen: bloom prefilter + exact confirm (scale path)
+        #    or plain anti-join (oracle path)
+        seen_df = store.read_appended("seen", wave - 1)
+        if cfg.use_bloom:
+            new_rows = dd.bloom_filtered_unseen(children, shards, seen_df)
+        else:
+            new_rows = dd.anti_join_unseen(children, seen_df)
+
+        # 6. assemble next frontier state + seen delta, commit snapshot
+        fetched = scheduled.select("url_key").withColumn("_new_state", F.lit(fr.FETCHED))
+        denied_k = denied.select("url_key").withColumn("_new_state", F.lit(fr.DENIED))
+        state_updates = fetched.unionByName(denied_k)
+        next_frontier = (
+            frontier_df.join(state_updates, "url_key", "left")
+            .withColumn("state", F.coalesce(F.col("_new_state"), F.col("state")))
+            .drop("_new_state")
+            .unionByName(new_rows.select([f.name for f in fr.FRONTIER_SCHEMA.fields]))
+        )
+        seen_delta = new_rows.select("url_key", "url_canon").unionByName(
+            denied.select("url_key", "url_canon").join(
+                seen_df.select("url_key"), "url_key", "left_anti"
+            )
+        ).distinct()
+        delta_shards = dd.build_bloom_shards(
+            seen_delta, n_shards=cfg.n_bloom_shards, geometry=geometry
+        )
+        shards = dd.merge_bloom_shards(shards, delta_shards)
+        fetch_log = scheduled.select(
+            "url_canon", "host", F.lit(wave).alias("wave_id"), "fetch_slot"
+        )
+
+        tables = {
+            "frontier": store.write(next_frontier, "frontier", wave),
+            "seen": store.write(seen_delta, "seen", wave),
+            "bloom_shards": store.write(shards, "bloom_shards", wave),
+            "fetch_log": store.write(fetch_log, "fetch_log", wave),
+        }
+        # re-read from the written snapshot: truncates lineage across waves
+        # (deferred rows stay PENDING inside next_frontier automatically)
+        frontier_df = spark.read.parquet(tables["frontier"])
+        shards = spark.read.parquet(tables["bloom_shards"])
+
+        stats = {
+            "wave": wave,
+            "scheduled": spark.read.parquet(tables["fetch_log"]).count(),
+            "denied": denied.count(),
+            "discovered_new": spark.read.parquet(tables["seen"]).count(),
+            "elapsed_s": round(time.monotonic() - t0, 3),
+        }
+        tables["metrics"] = store.write(
+            spark.createDataFrame([stats]), "metrics", wave
+        )
+        store.commit(wave, tables, stats)
+        metrics_all.append(stats)
+
+        if stop_after_wave is not None and wave >= stop_after_wave:
+            break
+
+    seen_final = store.read_appended("seen", wave)
+    fetch_log_final = store.read_appended("fetch_log", wave)
+    if fetch_log_final is None:
+        fetch_log_final = spark.createDataFrame(
+            [], "url_canon string, host string, wave_id int, fetch_slot double"
+        )
+    return CrawlResult(
+        waves=wave,
+        frontier=frontier_df,
+        seen=seen_final,
+        fetch_log=fetch_log_final,
+        metrics=metrics_all,
+    )
+
+
+def crawl_order(frontier_df: DataFrame) -> DataFrame:
+    """Final deterministic crawl order: the reference's pre-order DFS
+    sequence (SharePointClient.cs:265-335) recovered from path_key."""
+    visited = frontier_df.filter(F.col("state").isin(fr.FETCHED, fr.PENDING))
+    return fr.global_sequence(
+        visited.select("url_canon", "url", "kind", "depth", "path_key"),
+        "path_key",
+        out_col="crawl_seq",
+    )

@@ -1,0 +1,68 @@
+"""SparkSession factory tuned for the crawl/corpus workload.
+
+Local-mode sandbox runs on ``local[N]``; the same config block is what we
+would ship to a 1000-executor cluster via ``spark-submit --py-files`` —
+AQE on (runtime shuffle coalescing + skew-join splitting), Arrow on
+(every hot-path UDF is a pandas UDF), UTC session timezone (oracle parity
+with DuckDB).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sharepointcrawler_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` else ``*``. Shuffle
+    partitions default to the core count — at cluster scale this is set to
+    ~2-3x total cores instead; AQE coalesces down from there.
+    """
+    # make the package importable by executor python workers regardless of
+    # the driver's cwd (cluster deployments use spark-submit --py-files;
+    # local mode spawns workers with the JVM's PYTHONPATH)
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{existing}" if existing else pkg_parent
+        )
+
+    if cpus is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env}]" if env else "local[*]"
+        n_shuffle = int(env) if env else (os.cpu_count() or 8)
+    else:
+        master = f"local[{cpus}]"
+        n_shuffle = cpus
+    if shuffle_partitions is not None:
+        n_shuffle = shuffle_partitions
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # html blobs can be large; cap Arrow batch rows so a batch of
+        # binary pages fits comfortably in executor memory at 100 TB scale
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,111 @@
+"""Enumeration-order + URL-seen fixtures (SURVEY.md §5 items 1-2).
+
+The crawl engine must reproduce the reference's pre-order DFS yield
+order (SharePointClient.cs:265-335) via the path_key sort, terminate on
+cyclic graphs, and its final seen-set must equal the exact oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sharepointcrawler_spark.functions.urlnorm import _canon_one
+from sharepointcrawler_spark.operators.frontier import graph_expander, global_sequence
+from sharepointcrawler_spark.plans.crawl import CrawlConfig, crawl_order, run_crawl
+from sharepointcrawler_spark.plans.snapshot import SnapshotStore
+from sharepointcrawler_spark.sources import sitegraph as sg
+
+
+def _run(spark, tmp_path, root, edges, **cfg_kwargs):
+    edges_df = spark.createDataFrame(
+        edges, "parent_url string, child_url string, kind string, sibling_idx int"
+    )
+    store = SnapshotStore(spark, str(tmp_path / "snap"))
+    cfg = CrawlConfig(**cfg_kwargs)
+    return run_crawl(
+        spark,
+        store,
+        graph_expander(edges_df),
+        seeds=[(root.url, 0)],
+        config=cfg,
+        resume=False,
+    )
+
+
+@pytest.mark.parametrize("use_bloom", [False, True])
+def test_balanced_tree_order(spark, tmp_path, use_bloom):
+    root = sg.balanced_tree(depth=3)
+    edges = sg.edges_from_tree(root)
+    res = _run(spark, tmp_path / str(use_bloom), root, edges, use_bloom=use_bloom)
+
+    got = [
+        r.url_canon
+        for r in crawl_order(res.frontier).orderBy("crawl_seq").collect()
+    ]
+    want = [_canon_one(u) for u in sg.expected_preorder(root)]
+    assert got == want
+
+    # seen-set == exact set of all canonical urls in the tree
+    seen = {r.url_canon for r in res.seen.select("url_canon").distinct().collect()}
+    assert seen == set(want)
+
+
+def test_ragged_tree_order(spark, tmp_path):
+    root = sg.ragged_tree(seed=42)
+    edges = sg.edges_from_tree(root)
+    res = _run(spark, tmp_path, root, edges)
+    got = [
+        r.url_canon for r in crawl_order(res.frontier).orderBy("crawl_seq").collect()
+    ]
+    want = [_canon_one(u) for u in sg.expected_preorder(root)]
+    assert got == want
+
+
+def test_cycle_terminates_and_dedups(spark, tmp_path):
+    root = sg.balanced_tree(depth=2)
+    edges = sg.add_cross_links_and_cycle(sg.edges_from_tree(root), root.url)
+    res = _run(spark, tmp_path, root, edges, max_waves=30)
+    assert res.waves < 30  # terminated by frontier exhaustion, not cap
+    # every url fetched exactly once
+    fetched = res.fetch_log.groupBy("url_canon").count()
+    assert fetched.filter(F.col("count") > 1).count() == 0
+    # seen set is exactly the tree's url set (cross-links add no new urls)
+    want = {_canon_one(u) for u in sg.expected_preorder(root)}
+    seen = {r.url_canon for r in res.seen.select("url_canon").distinct().collect()}
+    assert seen == want
+
+
+def test_canonicalization_variants_dedup(spark, tmp_path):
+    """Children spelled differently but canonically equal are fetched once."""
+    root_url = "https://dup.example.com/lib"
+    edges = [
+        (root_url, "https://DUP.example.com/lib/a", "folder", 0),
+        (root_url, "https://dup.example.com:443/lib/b/", "folder", 1),
+        ("https://dup.example.com/lib/a", "https://dup.example.com/lib/b", "folder", 0),
+        ("https://dup.example.com/lib/b", "https://dup.example.com/lib/x/../a/", "folder", 0),
+    ]
+
+    class R:
+        url = root_url
+
+    res = _run(spark, tmp_path, R, edges)
+    seen = {r.url_canon for r in res.seen.select("url_canon").distinct().collect()}
+    assert seen == {
+        "https://dup.example.com/lib",
+        "https://dup.example.com/lib/a",
+        "https://dup.example.com/lib/b",
+    }
+    assert res.fetch_log.groupBy("url_canon").count().filter("count > 1").count() == 0
+
+
+def test_global_sequence_matches_window(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"k{rng.randint(0, 10**9):010d}", i) for i in range(5000)]
+    df = spark.createDataFrame(rows, "key string, payload int")
+    got = global_sequence(df, "key", out_col="seq")
+    check = got.orderBy("seq").collect()
+    keys_sorted = sorted(r[0] for r in rows)
+    assert [r.key for r in check] == keys_sorted
+    assert [r.seq for r in check] == list(range(1, 5001))
