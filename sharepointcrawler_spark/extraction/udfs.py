@@ -1,0 +1,86 @@
+"""Vectorized extraction UDFs (SURVEY.md §2.12; input_hint: "vectorized
+pandas/Arrow UDFs (no per-row Python) throughout").
+
+The reference's de-facto scalar UDF is ``ConvertToMarkdown(byte[]) ->
+string`` (PdfToMarkdownConverter.cs:88-93); here it becomes an
+Arrow-batched pandas UDF over the ``html`` binary column. Regexes are
+compiled once per executor at module import (converter.py module
+constants), not per row.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sharepointcrawler_spark.extraction.converter import (
+    ConvertOptions,
+    build_lines,
+    convert_pages_to_markdown,
+)
+from sharepointcrawler_spark.extraction.htmlwords import extract_links, parse_word_pages
+
+_OPT = ConvertOptions()
+
+
+def _extract_one(html: bytes | None, name: str | None) -> str | None:
+    if html is None:
+        return None
+    page_words, heights = parse_word_pages(html)
+    pages = [
+        build_lines(ws, n + 1, heights[n], _OPT.line_y_tolerance)
+        for n, ws in enumerate(page_words)
+    ]
+    return convert_pages_to_markdown(pages, name or "document", _OPT)
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series, name: pd.Series) -> pd.Series:  # pragma: no cover
+    """(html binary, logical name) -> byte-exact markdown."""
+    return pd.Series(
+        [_extract_one(h, n) for h, n in zip(html, name)], dtype="object"
+    )
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:  # pragma: no cover
+    """html -> array of absolute link URLs in document order."""
+    return pd.Series(
+        [extract_links(h, b) if h is not None else [] for h, b in zip(html, base_url)],
+        dtype="object",
+    )
+
+
+def pages_expander(pages_df):
+    """Expander over the ``pages`` table (the sandbox stand-in for the
+    fetch stage, SURVEY.md S3): join the wave against materialized html
+    by canonical url, extract links, posexplode into (parent_canon,
+    child_url, kind, sibling_idx).
+
+    At 100 TB the pages side is the big fact table: the join shuffles on
+    url_canon (or is avoided entirely when both sides are bucketed by
+    url_key); the wave side is typically smaller and AQE broadcast-joins
+    it. Column pruning keeps only (url_canon, html) from pages.
+    """
+    from sharepointcrawler_spark.functions.urlnorm import canonicalize_url
+
+    keyed = pages_df.select(
+        canonicalize_url("url").alias("parent_canon"), "html"
+    )
+
+    def expand(wave):
+        fetched = wave.select("url_canon").distinct().join(
+            keyed, wave["url_canon"] == keyed["parent_canon"], "inner"
+        )
+        links = fetched.select(
+            "parent_canon",
+            F.posexplode(
+                extract_links_udf(F.col("html"), F.col("parent_canon"))
+            ).alias("sibling_idx", "child_url"),
+        )
+        return links.withColumn("kind", F.lit("page")).select(
+            "parent_canon", "child_url", "kind", "sibling_idx"
+        )
+
+    return expand
