@@ -1,0 +1,107 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All hot-path functions are JVM-side builtins (whole-stage codegen, no
+Python round-trip); each has an exact DuckDB-SQL oracle equivalent in
+``__spark_entry__.oracle_sql`` (portable constructs only: md5-hex ->
+int64, regexp counts, list ops).
+
+Reference analogs: the dormant classifier map SharePointClient.cs:54-60
+(F2) and stopword list :61-64 — generalized to language-ID scoring,
+quality scoring, token counting and fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# marker words per language, scored by \b-regex occurrence counts —
+# deterministic and portable between Spark (Java regex) and DuckDB (RE2)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "los", "que", "es", "una"],
+}
+
+STOPWORDS_EN = [
+    "the", "and", "or", "of", "to", "a", "in", "is", "it", "for",
+    "on", "with", "as", "at", "by", "an", "be", "this", "that",
+]
+
+
+def normalize_text(col: Column | str) -> Column:
+    """lower + trim + collapse whitespace — the canonical form used by
+    every dedup fingerprint."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (BPE-ish sub-tokens: see bpe_ish_count)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    )
+
+
+def bpe_ish_count(col: Column | str) -> Column:
+    """Sub-word token estimate: count of letter-runs, digit-runs and
+    single punctuation marks (a BPE-like segmentation regex)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+
+
+def lang_marker_score(col: Column | str, lang: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    low = F.lower(c)
+    score = F.lit(0)
+    for w in LANG_MARKERS[lang]:
+        score = score + F.regexp_count(low, F.lit(rf"\b{w}\b"))
+    return score
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax of marker scores; ties and zero-evidence rows -> 'und'.
+    Tie-break: language order en,de,fr,es (strictly-greater comparison)."""
+    scores = {lang: lang_marker_score(col, lang) for lang in LANG_MARKERS}
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in LANG_MARKERS:  # insertion order = tie-break order
+        s = scores[lang]
+        cond = s > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best_lang
+
+
+def quality_score(col: Column | str) -> Column:
+    """[0,1] heuristic quality: length band + punctuation ratio band +
+    stopword presence (the classic pre-training quality gates, each a
+    deterministic integer sub-score / 3)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    # sub-score 1: length in a sane band
+    s1 = F.when((n_chars >= 20) & (n_chars <= 20000), 1).otherwise(0)
+    # sub-score 2: punctuation below 20% of characters
+    s2 = F.when(n_punct * 5 <= n_chars, 1).otherwise(0)
+    # sub-score 3: average token length in [3, 12]
+    avg_tok = n_chars / F.when(n_tokens == 0, F.lit(1)).otherwise(n_tokens)
+    s3 = F.when((avg_tok >= 3.0) & (avg_tok <= 12.0), 1).otherwise(0)
+    return ((s1 + s2 + s3) / F.lit(3.0)).alias("quality")
+
+
+def portable_hash64(col: Column | str) -> Column:
+    """Engine-portable 64-bit-ish hash: first 15 hex chars of md5 as a
+    long (DuckDB: ('0x' || substr(md5(x),1,15))::UBIGINT). Used wherever
+    the DuckDB oracle must reproduce hashes exactly; xxhash64 stays the
+    engine-internal key (it is faster but not portable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Whole-document fingerprint over normalized text (exact-dedup key)."""
+    return F.md5(normalize_text(col))

@@ -1,0 +1,182 @@
+"""Training-data pipeline operators: dedup family, similarity search,
+text analysis, chunking, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sharepointcrawler_spark.functions.textanalysis import (
+    bpe_ish_count,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from sharepointcrawler_spark.operators.chunking import chunk_text, chunk_tokens
+from sharepointcrawler_spark.operators.corpus import (
+    dedup_keep_first,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_dedup,
+    simhash_pairs,
+)
+from sharepointcrawler_spark.operators.multimodal import (
+    decode_images,
+    frame_sample_stub,
+    make_fake_image,
+    resize_stub,
+)
+from sharepointcrawler_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "the quick  brown fox Jumps over the lazy dog near the river bank today"),  # exact dup after norm
+        (2, "The quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+        (3, "Completely different content about spark clusters and shuffle partitions"),
+        (4, "Der schnelle braune Fuchs springt und der Hund ist nicht da"),
+        (5, "Le renard brun et rapide saute et le chien est las"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    d = exact_dedup(docs)
+    dup_groups = d.filter(F.col("n_dupes") > 1).collect()
+    assert len(dup_groups) == 1
+    assert dup_groups[0].keep_id == 0 and dup_groups[0].n_dupes == 2
+    kept = dedup_keep_first(docs)
+    assert kept.count() == 6
+    assert kept.filter("doc_id = 1").count() == 0
+
+
+def test_jaccard_pairs(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # identical after norm
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0  # near dup
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_dedup(spark, docs):
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_dedup(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_pairs(spark, docs):
+    pairs = {(r.id_a, r.id_b) for r in simhash_pairs(docs, max_hamming=6).collect()}
+    assert (0, 1) in pairs or (0, 2) in pairs  # near-identical docs collide
+    assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_text_analysis(spark, docs):
+    out = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            token_count("text").alias("toks"),
+            bpe_ish_count("text").alias("bpe"),
+            lang_id("text").alias("lang"),
+            quality_score("text").alias("q"),
+            doc_fingerprint("text").alias("fp"),
+        ).collect()
+    }
+    assert out[0].toks == 14
+    assert out[6].toks == 0
+    assert out[0].lang == "en"
+    assert out[4].lang == "de"
+    assert out[5].lang == "fr"
+    assert out[0].q > out[6].q
+    assert out[0].fp == out[1].fp  # normalization collapses case/space
+    assert out[0].bpe >= out[0].toks
+
+
+def test_chunking(spark):
+    df = spark.createDataFrame([(1, "abcdefghij" * 10)], "doc_id long, text string")  # 100 chars
+    chunks = chunk_text(df, chunk_size=40, overlap=10).orderBy("chunk_index").collect()
+    # stride 30: starts 0,30,60,90 -> ceil((100-10)/30)=3 -> starts 0,30,60
+    assert [c.chunk_index for c in chunks] == [0, 1, 2]
+    assert chunks[0].chunk == ("abcdefghij" * 10)[0:40]
+    assert chunks[1].chunk == ("abcdefghij" * 10)[30:70]
+    assert chunks[2].chunk == ("abcdefghij" * 10)[60:100]
+    # overlap property
+    assert chunks[0].chunk[-10:] == chunks[1].chunk[:10]
+
+    tok_df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(20)))], "doc_id long, text string"
+    )
+    tchunks = chunk_tokens(tok_df, chunk_tokens_n=8, overlap_tokens=3).orderBy("chunk_index").collect()
+    assert tchunks[0].chunk.split()[:3] == ["w0", "w1", "w2"]
+    assert tchunks[1].chunk.split()[0] == "w5"  # stride 5
+    assert tchunks[-1].chunk.split()[-1] == "w19"
+
+
+def test_brute_force_and_lsh_topk(spark):
+    rng = np.random.default_rng(42)
+    vecs = rng.standard_normal((100, 16)).astype("float32")
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[7]])], "query_id long, query_vec array<float>"
+    )
+    exact = brute_force_topk(corpus, queries, k=5).orderBy("rank").collect()
+    assert exact[0].vec_id == 7 and abs(exact[0].score - 1.0) < 1e-6
+    assert len(exact) == 5
+    # LSH with few planes: query's own vector shares its bucket -> rank 1 found
+    approx = lsh_topk(corpus, queries, k=5, dim=16, n_planes=4).orderBy("rank").collect()
+    assert approx[0].vec_id == 7
+
+
+def test_embedding_near_dup(spark):
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal(16).astype("float32")
+    near = base + rng.standard_normal(16).astype("float32") * 0.01
+    far = rng.standard_normal(16).astype("float32")
+    corpus = spark.createDataFrame(
+        [(0, [float(x) for x in base]), (1, [float(x) for x in near]), (2, [float(x) for x in far])],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(corpus, threshold=0.98, dim=16).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
+
+
+def test_multimodal_plumbing(spark):
+    blobs = [
+        (0, make_fake_image(64, 48, 3, seed=0)),
+        (1, make_fake_image(640, 480, 1, seed=1)),
+        (2, b"not an image"),
+    ]
+    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    meta = {r.doc_id: r for r in decode_images(df).collect()}
+    assert (meta[0].width, meta[0].height, meta[0].channels) == (64, 48, 3)
+    assert (meta[1].width, meta[1].height) == (640, 480)
+    assert meta[2].width is None and meta[2].n_bytes == 12
+    assert len(meta[0].feature) == 8
+    # deterministic: same blob -> same feature
+    meta2 = {r.doc_id: r for r in decode_images(df).collect()}
+    assert meta[0].feature == meta2[0].feature
+
+    resized = {r.doc_id: r for r in decode_images(
+        resize_stub(df, 32, 32)
+    ).collect()}
+    assert (resized[0].width, resized[0].height) == (32, 32)
+
+    video = spark.createDataFrame(
+        [(9, b"".join(make_fake_image(8, 8, 3, seed=s) for s in range(6)))],
+        "doc_id long, blob binary",
+    )
+    frames = frame_sample_stub(video, every_n=2).collect()
+    assert [f.frame_idx for f in frames] == [0, 2, 4]
