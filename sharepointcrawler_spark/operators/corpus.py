@@ -154,6 +154,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     candidates: DataFrame | None = None,
     n: int = SHINGLE_N,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (inverted-index join).
 
@@ -161,10 +162,24 @@ def jaccard_pairs(
     corpora / oracle path); with LSH candidates only those pairs are
     scored (the scale path: minhash_lsh_dedup below).
     """
-    sh = word_shingles(docs, text_col, id_col, n)
+    sh = shingled if shingled is not None else word_shingles(docs, text_col, id_col, n)
+    # the shingle expansion feeds three consumers (both join sides +
+    # sizes): persist once instead of recomputing the explode 3x.
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    if candidates is not None:
+        # prune BOTH sides to docs that appear in any candidate pair
+        # BEFORE the inverted-index shuffle — the whole point of LSH is
+        # that this set is tiny relative to the corpus
+        candidates = candidates.persist()
+        a = a.join(
+            candidates.select(F.col("id_a")).distinct(), "id_a", "left_semi"
+        )
+        b = b.join(
+            candidates.select(F.col("id_b")).distinct(), "id_b", "left_semi"
+        )
     shared = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -195,10 +210,12 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """The scale path end-to-end: shingle -> minhash -> LSH buckets ->
     exact-jaccard verification of candidates only."""
-    sh = word_shingles(docs, text_col, id_col)
+    sh = word_shingles(docs, text_col, id_col).persist()
     sigs = minhash_signatures(sh, id_col)
     cands = lsh_bucket_pairs(sigs, id_col)
-    return jaccard_pairs(docs, threshold, text_col, id_col, candidates=cands)
+    return jaccard_pairs(
+        docs, threshold, text_col, id_col, candidates=cands, shingled=sh
+    )
 
 
 # ---------------------------------------------------------------- simhash

@@ -259,45 +259,84 @@ def expected_markdown(spec: DocSpec) -> str:
 # ---------------------------------------------------------- corpus build
 
 
+def _host_of(i: int, n_docs: int, n_hosts: int, hot_host_fraction: float | None) -> str:
+    if hot_host_fraction is not None and (i / max(n_docs, 1)) < hot_host_fraction:
+        return "hot.example.com"
+    return f"site{i % n_hosts}.example.com"
+
+
+def build_page_row(
+    i: int,
+    n_docs: int,
+    n_hosts: int = 5,
+    branching: int = 2,
+    hot_host_fraction: float | None = None,
+) -> tuple[str, dt.datetime, bytes, str, str]:
+    """One corpus row. Doc i links to docs i*b+1 .. i*b+b (a b-ary tree:
+    crawl from doc 0 reaches everything; depth ~ log_b n, so wide trees
+    give the breadth-dominated waves a real web frontier has) plus a
+    back-link to the root (cycle — exercises URL-seen)."""
+    base_ts = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def url_of(j: int) -> str:
+        return f"https://{_host_of(j, n_docs, n_hosts, hot_host_fraction)}/docs/doc{j}"
+
+    spec = make_doc_spec(i, random.Random(42 + i))
+    links = [url_of(c) for c in range(branching * i + 1, branching * i + branching + 1) if c < n_docs]
+    if i > 0:
+        links.append(url_of(0))
+    return (
+        url_of(i),
+        base_ts + dt.timedelta(seconds=i * 37),
+        render_html(spec, links),
+        expected_markdown(spec),
+        _LANGS[i % len(_LANGS)],
+    )
+
+
 def build_pages_rows(
     n_docs: int = 50,
     n_hosts: int = 5,
     seed: int = 42,
     hot_host_fraction: float | None = None,
+    branching: int = 2,
 ) -> list[tuple[str, dt.datetime, bytes, str, str]]:
-    """(url, warc_ts, html, text, lang) rows realizing a site graph:
-    doc i links to docs 2i+1 and 2i+2 (a binary tree ⇒ crawl from doc 0
-    reaches everything exactly once) plus a back-link to the root (cycle,
-    exercises URL-seen). ``hot_host_fraction`` puts that share of docs on
-    host 0 (the hot-host skew scenario)."""
-    rng = random.Random(seed)
-    base_ts = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    """Driver-side corpus build (small fixtures). seed kept for
+    signature stability; rows are a pure function of (i, shape)."""
+    return [
+        build_page_row(i, n_docs, n_hosts, branching, hot_host_fraction)
+        for i in range(n_docs)
+    ]
 
-    def host_of(i: int) -> str:
-        if hot_host_fraction is not None and (i / max(n_docs, 1)) < hot_host_fraction:
-            return "hot.example.com"
-        return f"site{i % n_hosts}.example.com"
 
-    def url_of(i: int) -> str:
-        return f"https://{host_of(i)}/docs/doc{i}"
+def pages_df_distributed(
+    spark,
+    n_docs: int,
+    n_hosts: int = 5,
+    branching: int = 32,
+    hot_host_fraction: float | None = None,
+    n_partitions: int | None = None,
+):
+    """Corpus generated ON THE EXECUTORS (mapInPandas over an id range) —
+    the only way to materialize a large corpus without a driver
+    bottleneck; also how a real 100 TB synthetic load would be laid
+    down."""
+    import pandas as pd
 
-    rows = []
-    for i in range(n_docs):
-        spec = make_doc_spec(i, rng)
-        links = [url_of(c) for c in (2 * i + 1, 2 * i + 2) if c < n_docs]
-        if i > 0:
-            links.append(url_of(0))  # cycle
-        html_b = render_html(spec, links)
-        rows.append(
-            (
-                url_of(i),
-                base_ts + dt.timedelta(seconds=i * 37),
-                html_b,
-                expected_markdown(spec),
-                _LANGS[i % len(_LANGS)],
+    n_parts = n_partitions or spark.sparkContext.defaultParallelism
+    ids = spark.range(0, n_docs, 1, n_parts)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [
+                build_page_row(int(i), n_docs, n_hosts, branching, hot_host_fraction)
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )
-        )
-    return rows
+
+    return ids.mapInPandas(gen, PAGES_SCHEMA)
 
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"

@@ -1,0 +1,104 @@
+"""Structured Streaming incremental crawl mode (SURVEY.md §2.11).
+
+The reference is a one-shot batch program whose only "streaming" is a
+per-document progress callback marshalled to the UI thread
+(ConsoleWindow.CompleteDocument, ConsoleWindow.cs:49-61; MainForm.cs:
+107-133). There are no watermarks or event-time semantics to match —
+the contract path is wave-based batch (plans/crawl.py).
+
+This module adds the OPTIONAL streaming front-end a production crawler
+wants: newly discovered pages arrive as a stream (here: parquet-file
+arrival in a watched directory — the sandbox stand-in for a Kafka topic
+of fetch results); ``foreachBatch`` applies the same wave logic —
+canonicalize, dedup against the persistent seen table, extract, append
+results + metrics — with exactly-once per-batch semantics via the
+snapshot store's atomic commit.
+
+Also included: a processing-time metrics stream (running counts/avgs
+per event window), the streaming analog of A2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sharepointcrawler_spark.extraction.udfs import extract_text_udf
+from sharepointcrawler_spark.functions.urlnorm import with_url_columns
+from sharepointcrawler_spark.operators.dedup import anti_join_unseen
+from sharepointcrawler_spark.sources.pages import PAGES_SCHEMA
+
+
+def incremental_ingest(
+    spark: SparkSession,
+    watch_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    seen_table_dir: str,
+):
+    """readStream over arriving page files -> foreachBatch: dedup vs the
+    persistent seen set, extract text, append results + update seen.
+
+    Exactly-once: foreachBatch output goes to per-batch subdirectories;
+    the streaming checkpoint makes batch replay idempotent (same
+    batch_id -> overwrite the same subdir).
+    """
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = _parse_datatype_string(PAGES_SCHEMA)
+    stream = spark.readStream.schema(schema).parquet(watch_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        keyed = with_url_columns(batch_df)
+        try:
+            seen = spark.read.parquet(seen_table_dir)
+        except Exception:
+            seen = None
+        fresh = anti_join_unseen(keyed, seen) if seen is not None else keyed
+        # within-batch dedup (first occurrence wins)
+        fresh = fresh.dropDuplicates(["url_key"])
+        extracted = fresh.select(
+            "url",
+            "url_canon",
+            "url_key",
+            "host",
+            "warc_ts",
+            extract_text_udf(F.col("html"), F.col("url")).alias("text_md"),
+        )
+        # idempotent per-batch append: a replayed batch overwrites its own dir
+        extracted.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        fresh.select("url_key", "url_canon").write.mode("overwrite").parquet(
+            f"{seen_table_dir}/batch={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def metrics_stream(spark: SparkSession, watch_dir: str):
+    """Streaming A2: windowed count/avg of page sizes by host — the
+    ConsoleWindow counters as a real stream (memory sink for tests)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = _parse_datatype_string(PAGES_SCHEMA)
+    stream = spark.readStream.schema(schema).parquet(watch_dir)
+    agg = (
+        with_url_columns(stream)
+        .withWatermark("warc_ts", "1 hour")
+        .groupBy(F.window("warc_ts", "10 minutes"), "host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.avg(F.length("html")).alias("avg_html_bytes"),
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("crawl_metrics")
+        .trigger(availableNow=True)
+        .start()
+    )
