@@ -395,6 +395,69 @@ def q_ann_topk_bruteforce(spark, sf_dir):
     )
 
 
+def q_classify_category(spark, sf_dir):
+    """F2: dormant CategoryKeywordMap classifier (SharePointClient.cs:54-60)."""
+    from sharepointcrawler_spark.sources.odata import classify_category
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(classify_category("text").alias("category")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+def q_odata_decode(spark, sf_dir):
+    """S4+P1: decode verbose/minimal OData folder responses synthesized
+    from the part table; the oracle derives the expected projection
+    directly (independent of any JSON parsing)."""
+    from sharepointcrawler_spark.sources.odata import (
+        decode_folder_response,
+        project_file_entities,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    entity = F.concat(
+        F.lit('{"Name":"'), F.col("p_name"), F.lit('.pdf","ServerRelativeUrl":"/lib/'),
+        F.col("p_partkey").cast("string"), F.lit('"}'),
+    )
+    resp = F.when(
+        F.col("p_partkey") % 2 == 0,
+        F.concat(F.lit('{"d":{"Files":{"results":['), entity, F.lit("]}}}")),
+    ).otherwise(F.concat(F.lit('{"Files":['), entity, F.lit("]}")))
+    decoded = decode_folder_response(part.select("p_partkey", resp.alias("response")))
+    ents = project_file_entities(decoded)
+    return ents.select(
+        F.col("p_partkey").cast("long"),
+        F.col("name"),
+        F.col("server_relative_url"),
+        F.col("sibling_idx").cast("long").alias("sibling_idx"),
+    )
+
+
+def q_endpoint_escape(spark, sf_dir):
+    """S3/F13: $value endpoint construction with '' quote doubling
+    (SharePointClient.cs:387-388)."""
+    from sharepointcrawler_spark.sources.odata import file_value_endpoint
+
+    part = _t(spark, sf_dir, "part")
+    url = F.concat(F.lit("/lib/o'"), F.col("p_name"))
+    return part.select(
+        F.col("p_partkey").cast("long"),
+        file_value_endpoint(F.lit("https://site"), url).alias("endpoint"),
+    )
+
+
+def q_stopword_removal(spark, sf_dir):
+    """F2/2.10: reference StopWords removal (SharePointClient.cs:61-64);
+    array_except dedups, so this is distinct content-word count."""
+    from sharepointcrawler_spark.sources.odata import remove_stopwords
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        F.size(remove_stopwords("text")).cast("long").alias("n_content_words"),
+    )
+
+
 # ------------------------------------------------- rows-only (no oracle)
 
 
@@ -491,6 +554,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q_pricing_summary,
         "q3_join_topk_revenue": q_join_topk_revenue,
         "q5_join_region_revenue": q_join_region_revenue,
+        "f2_classify_category": q_classify_category,
+        "s4_odata_decode": q_odata_decode,
+        "s3_endpoint_escape": q_endpoint_escape,
+        "f2_stopword_removal": q_stopword_removal,
         # training-data pipeline layer
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -693,6 +760,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "f2_classify_category": """
+            SELECT CASE
+                WHEN regexp_matches(text, '(?i)\\b(hr|human resources|employee)\\b') THEN 'HR'
+                WHEN regexp_matches(text, '(?i)\\b(it|information technology|software|system)\\b') THEN 'IT'
+                WHEN regexp_matches(text, '(?i)\\b(policy|procedure|guideline)\\b') THEN 'Policy'
+                WHEN regexp_matches(text, '(?i)\\b(form|template)\\b') THEN 'Form'
+                ELSE 'Other' END AS category,
+                count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "s4_odata_decode": """
+            -- independent derivation: the expected projection is known
+            -- without parsing any JSON (the Spark side does the real
+            -- verbose/minimal OData decode)
+            SELECT p_partkey, p_name || '.pdf' AS name,
+                   '/lib/' || CAST(p_partkey AS VARCHAR) AS server_relative_url,
+                   0 AS sibling_idx
+            FROM part
+        """,
+        "s3_endpoint_escape": """
+            SELECT p_partkey,
+                   'https://site/_api/web/GetFileByServerRelativeUrl(''/lib/o''''' || p_name
+                     || ''')/$value' AS endpoint
+            FROM part
+        """,
+        "f2_stopword_removal": """
+            SELECT doc_id,
+                   len(list_distinct(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\W+'),
+                       x -> x NOT IN ('the','and','for','with','that','this','from','have','will',
+                                      'their','are','was','were','has','had','but','not','you',
+                                      'your','about','into','can','shall','may','might','should',
+                                      'could','been','being','over','under','after','before',
+                                      'between','within','upon','without','including','include',
+                                      'such','each','any','other','more','most','some','than',
+                                      'too','very','one','two','three')
+                   ))) AS n_content_words
+            FROM documents
         """,
         "dedup_exact": f"""
             SELECT md5({_NORM}) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dupes

@@ -143,6 +143,41 @@ def run_pages_pipeline(spark, corpus: str, warmup: bool = True) -> dict:
     }
 
 
+def run_crawl_waves(spark, n_docs: int = 2000) -> dict:
+    """Full wave-loop throughput: seed -> waves of robots gate +
+    politeness + expansion + bloom dedup + snapshot commit until the
+    frontier is exhausted (wide 32-ary graph => ~3 waves)."""
+    import shutil
+    import tempfile
+
+    from sharepointcrawler_spark.extraction.udfs import pages_expander
+    from sharepointcrawler_spark.plans.crawl import CrawlConfig, run_crawl
+    from sharepointcrawler_spark.plans.snapshot import SnapshotStore
+    from sharepointcrawler_spark.sources.pages import pages_df_distributed
+
+    corpus = ensure_corpus(spark, n_docs, 0)
+    pages = spark.read.parquet(corpus)
+    snapdir = tempfile.mkdtemp(prefix="bench_crawl_")
+    t0 = time.monotonic()
+    res = run_crawl(
+        spark,
+        SnapshotStore(spark, snapdir),
+        pages_expander(pages),
+        seeds=[("https://site0.example.com/docs/doc0", 0)],
+        config=CrawlConfig(max_waves=10, bloom_capacity=max(n_docs * 2, 1000)),
+        resume=False,
+    )
+    dt = time.monotonic() - t0
+    fetched = res.fetch_log.count()
+    shutil.rmtree(snapdir, ignore_errors=True)
+    return {
+        "waves": res.waves,
+        "pages_fetched": fetched,
+        "total_sec": round(dt, 3),
+        "crawl_pages_per_sec": round(fetched / dt, 2),
+    }
+
+
 def run_suite(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -203,8 +238,10 @@ def main() -> None:
         "pipeline": pipe,
     }
     if not args.pipeline_only:
+        out["crawl_loop"] = run_crawl_waves(spark, n_docs=max(n_docs // 3, 500))
         out["queries"] = run_suite(spark, sf_dir)
         out["queries"]["pages_pipeline"] = pipe["total_sec"]
+        out["queries"]["crawl_loop"] = out["crawl_loop"]["total_sec"]
     print(json.dumps(out))
 
 

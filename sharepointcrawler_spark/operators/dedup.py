@@ -139,7 +139,7 @@ def build_bloom_shards(
     return keyed.groupBy("shard").applyInPandas(build, BLOOM_SHARD_SCHEMA)
 
 
-def bloom_probe(candidates: DataFrame, shards: DataFrame) -> DataFrame:
+def bloom_probe(candidates: DataFrame, shards: DataFrame, n_shards: int | None = None) -> DataFrame:
     """Annotate candidates with ``maybe_seen`` by probing their shard.
 
     Candidates co-partition with shards on the shard id; within each
@@ -147,9 +147,11 @@ def bloom_probe(candidates: DataFrame, shards: DataFrame) -> DataFrame:
     vectorized numpy pass. Rows whose shard has no bitset yet are
     definitely unseen.
     """
-    # read n_shards from the shards side (tiny, one row is enough)
-    n_shards_row = shards.select("n_shards").limit(1).collect()
-    n_shards = int(n_shards_row[0]["n_shards"]) if n_shards_row else 1
+    if n_shards is None:
+        # read n_shards from the shards side (tiny, one row is enough);
+        # callers that know it pass it to skip this extra job
+        n_shards_row = shards.select("n_shards").limit(1).collect()
+        n_shards = int(n_shards_row[0]["n_shards"]) if n_shards_row else 1
     cand = candidates.withColumn(
         "shard", F.pmod(F.col("url_key"), F.lit(n_shards)).cast("int")
     )
@@ -179,13 +181,18 @@ def bloom_probe(candidates: DataFrame, shards: DataFrame) -> DataFrame:
     )
 
 
-def bloom_filtered_unseen(candidates: DataFrame, shards: DataFrame, seen: DataFrame) -> DataFrame:
+def bloom_filtered_unseen(
+    candidates: DataFrame,
+    shards: DataFrame,
+    seen: DataFrame,
+    n_shards: int | None = None,
+) -> DataFrame:
     """The production dedup plan: bloom prefilter, exact confirm.
 
     definitely-unseen (bloom negative) pass straight through (bloom has
     zero false negatives); maybe-seen survivors get the exact anti-join.
     """
-    probed = bloom_probe(candidates, shards)
+    probed = bloom_probe(candidates, shards, n_shards=n_shards)
     definite = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_unseen = anti_join_unseen(maybe, seen)

@@ -24,11 +24,25 @@ ranks as the naive window, no single-task stage.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 DEFAULT_CRAWL_DELAY_S = 1.0
+
+# below this row count the plain one-shuffle window is cheaper than the
+# two-pass range-partition machinery (no skew risk worth 3 extra jobs)
+SMALL_WAVE_THRESHOLD = 200_000
+
+
+def grouped_rank_window(
+    df: DataFrame, group_col: str, order_cols: list[str], out_col: str = "host_rank"
+) -> DataFrame:
+    """Naive single-window rank — the small-wave fast path. Identical
+    output to grouped_sequence (equivalence is pytest-asserted); one
+    shuffle, no driver collect, but a hot group lands on one task."""
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return df.withColumn(out_col, F.row_number().over(w).cast("long"))
 
 
 def grouped_sequence(
@@ -36,6 +50,7 @@ def grouped_sequence(
     group_col: str,
     order_cols: list[str],
     out_col: str = "host_rank",
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """1-based rank within ``group_col`` by ``order_cols`` — skew-proof.
 
@@ -44,7 +59,12 @@ def grouped_sequence(
     cumcount + cross-partition offsets. The offset table has one row per
     (partition, group-present-in-partition) — O(partitions + groups)
     rows, collected to the driver and broadcast.
+
+    ``approx_rows`` (when the caller knows the wave size) picks the
+    small-wave window fast path below SMALL_WAVE_THRESHOLD.
     """
+    if approx_rows is not None and approx_rows < SMALL_WAVE_THRESHOLD:
+        return grouped_rank_window(df, group_col, order_cols, out_col)
     spark = df.sparkSession
     n = max(spark.sparkContext.defaultParallelism, 1)
     cols = [group_col] + order_cols
@@ -89,6 +109,7 @@ def assign_fetch_slots(
     delays: DataFrame | None = None,
     default_delay_s: float = DEFAULT_CRAWL_DELAY_S,
     order_cols: list[str] | None = None,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Attach ``host_rank`` and virtual-clock ``fetch_slot`` (seconds).
 
@@ -96,7 +117,9 @@ def assign_fetch_slots(
     (robots_cache analog, SURVEY T5). Missing hosts get the default.
     """
     order_cols = order_cols or ["priority", "path_key"]
-    ranked = grouped_sequence(wave, "host", order_cols, out_col="host_rank")
+    ranked = grouped_sequence(
+        wave, "host", order_cols, out_col="host_rank", approx_rows=approx_rows
+    )
     if delays is not None:
         ranked = ranked.join(
             F.broadcast(delays.select("host", "crawl_delay_s")), "host", "left"

@@ -114,8 +114,10 @@ def run_crawl(
 
     while wave < cfg.max_waves:
         t0 = time.monotonic()
-        pending = frontier_df.filter(F.col("state") == fr.PENDING)
-        if pending.limit(1).count() == 0:
+        pending = frontier_df.filter(F.col("state") == fr.PENDING).persist()
+        n_pending = pending.count()
+        if n_pending == 0:
+            pending.unpersist()
             break
         wave += 1
 
@@ -131,9 +133,13 @@ def run_crawl(
             )
             allowed = budgeted.drop("host_rank")
 
-        # 3. politeness virtual-clock slots (skew-proof grouped rank)
+        # 3. politeness virtual-clock slots (skew-proof grouped rank at
+        # scale, one-shuffle window for small waves)
         scheduled = assign_fetch_slots(
-            allowed, gate.delays_df(), cfg.default_crawl_delay_s
+            allowed,
+            gate.delays_df(),
+            cfg.default_crawl_delay_s,
+            approx_rows=n_pending,
         ).drop("crawl_delay_s")
 
         # 4. "fetch" + link expansion -> newly discovered children
@@ -143,7 +149,9 @@ def run_crawl(
         #    or plain anti-join (oracle path)
         seen_df = store.read_appended("seen", wave - 1)
         if cfg.use_bloom:
-            new_rows = dd.bloom_filtered_unseen(children, shards, seen_df)
+            new_rows = dd.bloom_filtered_unseen(
+                children, shards, seen_df, n_shards=cfg.n_bloom_shards
+            )
         else:
             new_rows = dd.anti_join_unseen(children, seen_df)
 
@@ -176,6 +184,7 @@ def run_crawl(
             "bloom_shards": store.write(shards, "bloom_shards", wave),
             "fetch_log": store.write(fetch_log, "fetch_log", wave),
         }
+        pending.unpersist()
         # re-read from the written snapshot: truncates lineage across waves
         # (deferred rows stay PENDING inside next_frontier automatically)
         frontier_df = spark.read.parquet(tables["frontier"])
@@ -188,9 +197,9 @@ def run_crawl(
             "discovered_new": spark.read.parquet(tables["seen"]).count(),
             "elapsed_s": round(time.monotonic() - t0, 3),
         }
-        tables["metrics"] = store.write(
-            spark.createDataFrame([stats]), "metrics", wave
-        )
+        # metrics row written driver-side via pyarrow (one tiny row does
+        # not warrant a Spark job per wave)
+        tables["metrics"] = store.write_rows([stats], "metrics", wave)
         store.commit(wave, tables, stats)
         metrics_all.append(stats)
 

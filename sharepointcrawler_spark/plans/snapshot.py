@@ -70,6 +70,18 @@ class SnapshotStore:
         df.write.mode("overwrite").parquet(path)
         return path
 
+    def write_rows(self, rows: list[dict], name: str, wave: int) -> str:
+        """Tiny driver-side tables (metrics, errors): written directly
+        with pyarrow — no Spark job for a handful of rows."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = self.table_dir(name, wave)
+        os.makedirs(path, exist_ok=True)
+        table = pa.Table.from_pylist(rows)
+        pq.write_table(table, os.path.join(path, "part-0.parquet"))
+        return path
+
     def read(self, name: str, wave: int) -> DataFrame:
         return self.spark.read.parquet(self.manifest(wave)["tables"][name])
 
