@@ -76,6 +76,31 @@ def extract_all_udf(html: pd.Series, base_url: pd.Series) -> pd.DataFrame:  # pr
     return pd.DataFrame({"md": mds, "links": links})
 
 
+def pages_fetch_probe(pages_df):
+    """Fetch-success probe for the pages-table stand-in: a scheduled URL
+    'fetches OK' iff the corpus has non-empty html for it (missing row
+    == 404, empty html == the reference's empty-payload error,
+    SharePointClient.cs:416-421)."""
+    from sharepointcrawler_spark.functions.urlnorm import canonicalize_url
+
+    keyed = pages_df.select(
+        canonicalize_url("url").alias("url_canon"), F.length("html").alias("_len")
+    ).filter(F.col("_len") > 0)
+
+    def probe(scheduled):
+        hit = keyed.join(
+            scheduled.select("url_canon", "url_key").distinct(), "url_canon", "inner"
+        ).select("url_key")
+        return (
+            scheduled.select("url_key")
+            .distinct()
+            .join(hit.withColumn("fetch_ok", F.lit(True)), "url_key", "left")
+            .withColumn("fetch_ok", F.coalesce(F.col("fetch_ok"), F.lit(False)))
+        )
+
+    return probe
+
+
 def pages_expander(pages_df):
     """Expander over the ``pages`` table (the sandbox stand-in for the
     fetch stage, SURVEY.md S3): join the wave against materialized html

@@ -53,6 +53,7 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("path_key", T.StringType(), False),
         T.StructField("state", T.StringType(), False),
         T.StructField("wave_id", T.IntegerType(), False),
+        T.StructField("attempt", T.IntegerType(), False),
     ]
 )
 
@@ -88,6 +89,7 @@ def seed_frontier(spark: SparkSession, seeds: list[tuple[str, int]]) -> DataFram
         .withColumn("path_key", F.lpad(F.conv(F.col("seed_idx").cast("string"), 10, 16), 8, "0"))
         .withColumn("state", F.lit(PENDING))
         .withColumn("wave_id", F.lit(0))
+        .withColumn("attempt", F.lit(0))
         .select([f.name for f in FRONTIER_SCHEMA.fields])
     )
 
@@ -129,6 +131,7 @@ def expand_wave(
         )
         .withColumn("state", F.lit(PENDING))
         .withColumn("wave_id", F.lit(wave_id))
+        .withColumn("attempt", F.lit(0))
         .withColumnRenamed("child_url", "url")
     )
     # within-wave dedup: first discovery in crawl order wins

@@ -47,6 +47,7 @@ class CrawlConfig:
     use_bloom: bool = True
     per_host_wave_budget: int | None = None  # top-k per host per wave (W5)
     default_crawl_delay_s: float = 1.0
+    max_fetch_attempts: int = 2  # bounded retry (reference has none: :283-293)
     extra: dict = field(default_factory=dict)
 
 
@@ -57,6 +58,7 @@ class CrawlResult:
     seen: DataFrame
     fetch_log: DataFrame
     metrics: list[dict]
+    errors: DataFrame | None = None
 
 
 def run_crawl(
@@ -68,10 +70,19 @@ def run_crawl(
     config: CrawlConfig | None = None,
     resume: bool = True,
     stop_after_wave: int | None = None,
+    fetch_probe: Callable[[DataFrame], DataFrame] | None = None,
 ) -> CrawlResult:
     """Run (or resume) a crawl to frontier exhaustion.
 
     ``stop_after_wave`` simulates a mid-crawl kill for the resume tests.
+
+    ``fetch_probe(scheduled) -> DataFrame(url_key, fetch_ok)`` reports
+    per-URL fetch success (the 404/timeout analog — the reference
+    catches per-file exceptions, logs them and skips,
+    SharePointClient.cs:283-293). Failed URLs are retried up to
+    ``cfg.max_fetch_attempts`` (state stays pending, attempt bumps),
+    then marked 'failed'; every failure appends a row to the ``errors``
+    table (ErrorLogger analog, S6).
     """
     cfg = config or CrawlConfig()
     gate = RobotsGate(spark, robots_df)
@@ -142,8 +153,21 @@ def run_crawl(
             approx_rows=n_pending,
         ).drop("crawl_delay_s")
 
-        # 4. "fetch" + link expansion -> newly discovered children
-        children = fr.expand_wave(scheduled, expander, wave)
+        # 4. "fetch": probe success per URL; failures retry (bounded) or
+        #    go terminal with an errors row; link expansion from OK rows
+        scheduled = scheduled.persist()
+        if fetch_probe is not None:
+            status = fetch_probe(scheduled).select("url_key", "fetch_ok")
+            scheduled_ok = scheduled.join(
+                status.filter(F.col("fetch_ok")).select("url_key"), "url_key", "left_semi"
+            )
+            failed = scheduled.join(
+                status.filter(F.col("fetch_ok")).select("url_key"), "url_key", "left_anti"
+            )
+        else:
+            scheduled_ok = scheduled
+            failed = None
+        children = fr.expand_wave(scheduled_ok, expander, wave)
 
         # 5. dedup vs seen: bloom prefilter + exact confirm (scale path)
         #    or plain anti-join (oracle path)
@@ -156,14 +180,34 @@ def run_crawl(
             new_rows = dd.anti_join_unseen(children, seen_df)
 
         # 6. assemble next frontier state + seen delta, commit snapshot
-        fetched = scheduled.select("url_key").withColumn("_new_state", F.lit(fr.FETCHED))
+        fetched = scheduled_ok.select("url_key").withColumn("_new_state", F.lit(fr.FETCHED))
         denied_k = denied.select("url_key").withColumn("_new_state", F.lit(fr.DENIED))
         state_updates = fetched.unionByName(denied_k)
+        retry_keys = None
+        if failed is not None:
+            # retryable: stays pending with attempt+1; exhausted: failed
+            exhausted = failed.filter(F.col("attempt") + 1 >= cfg.max_fetch_attempts)
+            retryable = failed.filter(F.col("attempt") + 1 < cfg.max_fetch_attempts)
+            state_updates = state_updates.unionByName(
+                exhausted.select("url_key").withColumn("_new_state", F.lit(fr.FAILED))
+            )
+            retry_keys = retryable.select("url_key")
         next_frontier = (
             frontier_df.join(state_updates, "url_key", "left")
             .withColumn("state", F.coalesce(F.col("_new_state"), F.col("state")))
             .drop("_new_state")
-            .unionByName(new_rows.select([f.name for f in fr.FRONTIER_SCHEMA.fields]))
+        )
+        if retry_keys is not None:
+            next_frontier = next_frontier.join(
+                retry_keys.withColumn("_retry", F.lit(1)), "url_key", "left"
+            ).withColumn(
+                "attempt",
+                F.when(F.col("_retry").isNotNull(), F.col("attempt") + 1).otherwise(
+                    F.col("attempt")
+                ),
+            ).drop("_retry")
+        next_frontier = next_frontier.unionByName(
+            new_rows.select([f.name for f in fr.FRONTIER_SCHEMA.fields])
         )
         seen_delta = new_rows.select("url_key", "url_canon").unionByName(
             denied.select("url_key", "url_canon").join(
@@ -184,6 +228,19 @@ def run_crawl(
             "bloom_shards": store.write(shards, "bloom_shards", wave),
             "fetch_log": store.write(fetch_log, "fetch_log", wave),
         }
+        if failed is not None:
+            # errors table (S6 ErrorLogger analog): per-failure lineage
+            errors = failed.select(
+                F.lit(wave).alias("wave_id"),
+                "url_canon",
+                "host",
+                F.lit("fetch").alias("stage"),
+                F.concat(
+                    F.lit("fetch failed (attempt "), (F.col("attempt") + 1).cast("string"), F.lit(")")
+                ).alias("message"),
+            )
+            tables["errors"] = store.write(errors, "errors", wave)
+        scheduled.unpersist()
         pending.unpersist()
         # re-read from the written snapshot: truncates lineage across waves
         # (deferred rows stay PENDING inside next_frontier automatically)
@@ -218,6 +275,7 @@ def run_crawl(
         seen=seen_final,
         fetch_log=fetch_log_final,
         metrics=metrics_all,
+        errors=store.read_appended("errors", wave),
     )
 
 
