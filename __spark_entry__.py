@@ -458,6 +458,24 @@ def q_stopword_removal(spark, sf_dir):
     )
 
 
+def q_ingest_chunks(spark, sf_dir):
+    """S5/2.10: IngestChunk payload assembly (chunk + base64 + breadcrumb
+    + DTO defaults; RagIngestDocument.cs:40-41, IngestChunk.cs)."""
+    from sharepointcrawler_spark.operators.ingest import assemble_ingest_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = assemble_ingest_chunks(
+        docs, chunk_size=200, chunk_overlap=50, collection="docs_v2"
+    )
+    return chunks.select(
+        F.col("doc_id").cast("long"),
+        F.col("ChunkIndex").cast("long").alias("chunk_index"),
+        F.substring("ContentBytes", 1, 24).alias("content_b64_prefix"),
+        F.col("Breadcrumbs").alias("breadcrumbs"),
+        F.col("Domain").alias("domain"),
+    )
+
+
 # ------------------------------------------------- rows-only (no oracle)
 
 
@@ -558,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_odata_decode": q_odata_decode,
         "s3_endpoint_escape": q_endpoint_escape,
         "f2_stopword_removal": q_stopword_removal,
+        "s5_ingest_chunks": q_ingest_chunks,
         # training-data pipeline layer
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -799,6 +818,17 @@ def oracle_sql() -> dict[str, str]:
                                       'too','very','one','two','three')
                    ))) AS n_content_words
             FROM documents
+        """,
+        "s5_ingest_chunks": """
+            SELECT doc_id, i AS chunk_index,
+                   substr(to_base64(encode(substr(text, CAST(i AS INT) * 150 + 1, 200))), 1, 24)
+                     AS content_b64_prefix,
+                   coalesce(regexp_extract(substr(text, CAST(i AS INT) * 150 + 1, 200),
+                                           '(?m)^#{1,6}\\s+(.+)$', 1), '') AS breadcrumbs,
+                   'MS Documents' AS domain
+            FROM documents,
+                 unnest(generate_series(0,
+                     CAST(greatest(ceil((length(text) - 50) / 150.0), 1) AS INT) - 1)) AS t(i)
         """,
         "dedup_exact": f"""
             SELECT md5({_NORM}) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dupes

@@ -1,0 +1,44 @@
+"""Ingest payload assembly over real extracted markdown (S5/§2.10)."""
+
+from __future__ import annotations
+
+import base64
+import json
+import random
+
+from pyspark.sql import functions as F
+
+from sharepointcrawler_spark.operators.ingest import (
+    assemble_ingest_chunks,
+    ingest_payload_json,
+)
+from sharepointcrawler_spark.sources.pages import expected_markdown, make_doc_spec
+
+
+def test_ingest_chunks_over_markdown(spark):
+    specs = [make_doc_spec(i, random.Random(42)) for i in range(3)]
+    docs = spark.createDataFrame(
+        [(i, expected_markdown(s), s.title) for i, s in enumerate(specs)],
+        "doc_id long, text string, title string",
+    )
+    chunks = assemble_ingest_chunks(
+        docs, chunk_size=300, chunk_overlap=60, title_col="title"
+    ).cache()
+    rows = chunks.orderBy("doc_id", "ChunkIndex").collect()
+    # base64 decodes back to the chunk text
+    for r in rows:
+        assert base64.b64decode(r.ContentBytes).decode() == r.TextContent
+    # breadcrumbs pick up a real heading where one exists in the chunk
+    crumbs = {r.Breadcrumbs for r in rows}
+    assert any(c.startswith(("1.0", "2.0", "4.0", "6.0", "7.0")) for c in crumbs if c)
+    # DTO defaults ride along
+    assert all(r.Domain == "MS Documents" for r in rows)
+    assert all(r.AllowedGroups == ["AllEmployees"] for r in rows)
+    assert all(r.ChunkSize == 300 and r.ChunkOverlap == 60 for r in rows)
+
+    # JSON payload round-trips and carries the contract keys
+    payloads = ingest_payload_json(chunks).collect()
+    body = json.loads(payloads[0].payload)
+    for key in ("ChunkIndex", "TextContent", "ContentBytes", "Breadcrumbs",
+                "collection", "Domain", "AllowedGroups"):
+        assert key in body
