@@ -66,6 +66,14 @@ class ConvertOptions:
         "Sensitive but unclassified",
     )
 
+    @property
+    def noise_prefixes_lower(self) -> tuple[str, ...]:
+        npl = getattr(self, "_npl", None)
+        if npl is None:
+            npl = tuple(p.lower() for p in self.noise_starts_with)
+            self._npl = npl
+        return npl
+
 
 _NOISE_PATTERNS = [
     re.compile(r"(?i)^\s*Page\s*:\s*\d+\s*of\s*\d+\s*$"),
@@ -147,15 +155,9 @@ class RawWord:
 
 
 def _round_to(value: float, tol: float) -> float:
-    """Math.Round(v/tol)*tol — .NET banker's rounding == python round()."""
-    q = value / tol
-    r = math.floor(q)
-    frac = q - r
-    if frac > 0.5:
-        r += 1
-    elif frac == 0.5 and r % 2 != 0:
-        r += 1
-    return r * tol
+    """Math.Round(v/tol)*tol — .NET banker's rounding == python round()
+    (both round the double quotient half-to-even)."""
+    return round(value / tol) * tol
 
 
 def build_lines(words: list[RawWord], page_number: int, height: float, y_tol: float) -> PageLines:
@@ -207,19 +209,28 @@ def detect_repeating_lines(pages: list[PageLines], threshold: float) -> set[str]
 # ------------------------------------------------------------------ noise
 
 
+# fused alternation of all noise patterns + the page-string regex: one
+# search instead of 12 per line (detection-equivalent to any-of matching;
+# the leading (?i) of each source pattern becomes a scoped (?i:...) group)
+def _scoped(p: str) -> str:
+    return f"(?i:{p[4:]})" if p.startswith("(?i)") else f"(?:{p})"
+
+
+_NOISE_COMBINED = re.compile(
+    "|".join(_scoped(rx.pattern) for rx in _NOISE_PATTERNS)
+    + r"|" + _scoped(r"(?i)\bPage\s*:\s*\d+\s*of\s*\d+\b")
+)
+
+
 def is_noise(line: str, opt: ConvertOptions) -> bool:
     """IsNoise (:326-341)."""
     s = line.strip()
     if not s:
         return False
     low = s.lower()
-    for prefix in opt.noise_starts_with:
-        if low.startswith(prefix.lower()):
-            return True
-    for rx in _NOISE_PATTERNS:
-        if rx.search(s):
-            return True
-    return bool(_PAGE_STRING.search(s))
+    if low.startswith(opt.noise_prefixes_lower):
+        return True
+    return bool(_NOISE_COMBINED.search(s))
 
 
 def escape_md(s: str) -> str:

@@ -41,7 +41,10 @@ def parse_word_pages(html: bytes) -> tuple[list[list[RawWord]], list[float]]:
         heights.append(float(m.group(1)))
         words: list[RawWord] = []
         for wm in _WORD_RE.finditer(m.group(2)):
-            text = _html.unescape(wm.group(5).decode("utf-8", errors="replace"))
+            raw = wm.group(5)
+            text = raw.decode("utf-8", errors="replace")
+            if b"&" in raw:  # unescape only when an entity can exist
+                text = _html.unescape(text)
             words.append(
                 RawWord(
                     text=text,
