@@ -168,6 +168,7 @@ def run_crawl(
             scheduled_ok = scheduled
             failed = None
         children = fr.expand_wave(scheduled_ok, expander, wave)
+        t_expand = time.monotonic()  # lazy plans built; writes trigger the work
 
         # 5. dedup vs seen: bloom prefilter + exact confirm (scale path)
         #    or plain anti-join (oracle path)
@@ -178,6 +179,9 @@ def run_crawl(
             )
         else:
             new_rows = dd.anti_join_unseen(children, seen_df)
+        # the expand+dedup pipeline feeds THREE writes (frontier union,
+        # seen delta, bloom delta) — persist once instead of recomputing
+        new_rows = new_rows.persist()
 
         # 6. assemble next frontier state + seen delta, commit snapshot
         fetched = scheduled_ok.select("url_key").withColumn("_new_state", F.lit(fr.FETCHED))
@@ -213,7 +217,7 @@ def run_crawl(
             denied.select("url_key", "url_canon").join(
                 seen_df.select("url_key"), "url_key", "left_anti"
             )
-        ).distinct()
+        ).distinct().persist()
         delta_shards = dd.build_bloom_shards(
             seen_delta, n_shards=cfg.n_bloom_shards, geometry=geometry
         )
@@ -241,18 +245,23 @@ def run_crawl(
             )
             tables["errors"] = store.write(errors, "errors", wave)
         scheduled.unpersist()
+        new_rows.unpersist()
+        seen_delta.unpersist()
         pending.unpersist()
         # re-read from the written snapshot: truncates lineage across waves
         # (deferred rows stay PENDING inside next_frontier automatically)
         frontier_df = spark.read.parquet(tables["frontier"])
         shards = spark.read.parquet(tables["bloom_shards"])
 
+        t_writes = time.monotonic()
         stats = {
             "wave": wave,
             "scheduled": spark.read.parquet(tables["fetch_log"]).count(),
             "denied": denied.count(),
             "discovered_new": spark.read.parquet(tables["seen"]).count(),
             "elapsed_s": round(time.monotonic() - t0, 3),
+            "write_s": round(t_writes - t_expand, 3),
+            "plan_s": round(t_expand - t0, 3),
         }
         # metrics row written driver-side via pyarrow (one tiny row does
         # not warrant a Spark job per wave)
