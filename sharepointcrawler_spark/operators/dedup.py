@@ -139,19 +139,17 @@ def build_bloom_shards(
     return keyed.groupBy("shard").applyInPandas(build, BLOOM_SHARD_SCHEMA)
 
 
-def bloom_probe(candidates: DataFrame, shards: DataFrame, n_shards: int | None = None) -> DataFrame:
+def bloom_probe(candidates: DataFrame, shards: DataFrame, n_shards: int) -> DataFrame:
     """Annotate candidates with ``maybe_seen`` by probing their shard.
 
     Candidates co-partition with shards on the shard id; within each
     group the single shard row rides along (cogroup) and probing is one
     vectorized numpy pass. Rows whose shard has no bitset yet are
     definitely unseen.
+
+    ``n_shards`` is REQUIRED (it is crawl config, CrawlConfig.n_bloom_shards):
+    deriving it from the shards side would launch a Spark job mid-plan.
     """
-    if n_shards is None:
-        # read n_shards from the shards side (tiny, one row is enough);
-        # callers that know it pass it to skip this extra job
-        n_shards_row = shards.select("n_shards").limit(1).collect()
-        n_shards = int(n_shards_row[0]["n_shards"]) if n_shards_row else 1
     cand = candidates.withColumn(
         "shard", F.pmod(F.col("url_key"), F.lit(n_shards)).cast("int")
     )
@@ -185,7 +183,7 @@ def bloom_filtered_unseen(
     candidates: DataFrame,
     shards: DataFrame,
     seen: DataFrame,
-    n_shards: int | None = None,
+    n_shards: int,
 ) -> DataFrame:
     """The production dedup plan: bloom prefilter, exact confirm.
 

@@ -56,9 +56,13 @@ def grouped_sequence(
 
     Equivalent to ``row_number() OVER (PARTITION BY g ORDER BY ...)`` but
     executed as range-repartition on (group, order...) + per-partition
-    cumcount + cross-partition offsets. The offset table has one row per
-    (partition, group-present-in-partition) — O(partitions + groups)
-    rows, collected to the driver and broadcast.
+    cumcount + cross-partition offsets. Range partitioning keeps each
+    group contiguous, so only groups SPANNING a partition boundary need a
+    nonzero offset — at most O(n_partitions) rows regardless of group
+    count. Those offsets are computed as a window over the per-(partition,
+    group) count table (fully distributed — nothing is ever collected to
+    the driver) and broadcast-joined back, which preserves the sorted
+    per-partition layout (narrow BroadcastHashJoin).
 
     ``approx_rows`` (when the caller knows the wave size) picks the
     small-wave window fast path below SMALL_WAVE_THRESHOLD.
@@ -74,34 +78,42 @@ def grouped_sequence(
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
-    counts = sorted_df.groupBy("_pid", group_col).agg(F.count("*").alias("cnt")).collect()
-    # offset for (pid, g) = total rows of g in partitions with smaller pid
-    per_group: dict = {}
-    offsets: dict = {}
-    for row in sorted(counts, key=lambda r: r["_pid"]):
-        g = row[group_col]
-        offsets[(int(row["_pid"]), g)] = per_group.get(g, 0)
-        per_group[g] = per_group.get(g, 0) + row["cnt"]
-    b_offsets = spark.sparkContext.broadcast(offsets)
-    out_schema = T.StructType(sorted_df.schema.fields + [T.StructField(out_col, T.LongType(), False)])
+    # offset for (pid, g) = total rows of g in partitions with smaller
+    # pid; nonzero only for boundary-spanning groups (<= n_partitions of
+    # them under range partitioning), so the broadcast side is tiny.
+    counts = sorted_df.groupBy("_pid", group_col).agg(F.count("*").alias("_cnt"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        counts.withColumn("_goff", F.sum("_cnt").over(w))
+        .filter(F.col("_goff").isNotNull() & (F.col("_goff") > 0))
+        .select("_pid", group_col, "_goff")
+    )
+    joined = sorted_df.join(F.broadcast(offsets), ["_pid", group_col], "left")
+    out_schema = T.StructType(
+        sorted_df.schema.fields + [T.StructField(out_col, T.LongType(), False)]
+    )
+
+    out_cols = [f.name for f in out_schema.fields]
 
     def assign(it):
         seen: dict = {}
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            pid = int(pdf["_pid"].iloc[0])
             local = pdf.groupby(group_col, sort=False).cumcount()
-            base = pdf[group_col].map(
-                lambda g: b_offsets.value.get((pid, g), 0) + seen.get(g, 0)
-            )
+            carry = pdf[group_col].map(lambda g: seen.get(g, 0))
+            base = pdf["_goff"].fillna(0).astype("int64")
             pdf = pdf.copy()
-            pdf[out_col] = (local + base + 1).astype("int64")
+            pdf[out_col] = (local + carry + base + 1).astype("int64")
             for g, c in pdf[group_col].value_counts().items():
                 seen[g] = seen.get(g, 0) + int(c)
-            yield pdf
+            yield pdf[out_cols]
 
-    return sorted_df.mapInPandas(assign, out_schema).drop("_pid")
+    return joined.mapInPandas(assign, out_schema).drop("_pid")
 
 
 def assign_fetch_slots(

@@ -54,15 +54,26 @@ def brute_force_topk(
     )
 
 
+# per-executor plane cache: one matrix per (dim, n_planes, seed), not
+# one per Arrow batch
+_PLANES_CACHE: dict[tuple[int, int, int], np.ndarray] = {}
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((dim, n_planes))
+    key = (dim, n_planes, seed)
+    planes = _PLANES_CACHE.get(key)
+    if planes is None:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_planes))
+        _PLANES_CACHE[key] = planes
+    return planes
 
 
 def lsh_bucket_udf(dim: int, n_planes: int = 12, seed: int = 7):
     """Pandas UDF: embedding -> random-hyperplane bucket id (int).
-    One matmul per Arrow batch (vectorized); planes generated per
-    executor from the seed (cheaper than broadcasting the matrix)."""
+    One matmul per Arrow batch (vectorized); planes generated ONCE per
+    executor from the seed (module-level cache — cheaper than
+    broadcasting the matrix, and never per-batch)."""
     @F.pandas_udf(T.IntegerType())
     def bucket(vecs: pd.Series) -> pd.Series:  # pragma: no cover
         planes = _hyperplanes(dim, n_planes, seed)

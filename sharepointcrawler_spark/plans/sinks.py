@@ -3,15 +3,17 @@
 The reference's extension point is ``SendToExternalApiAsync`` — a
 protected virtual method subclasses override to change where documents
 go (SharePointClient.cs:35-37,405; README.md:41). The Spark analog is a
-sink callable applied per partition with a per-executor connection pool
+sink stage applied per partition with a per-executor connection pool
 (the reference churns one HttpClient per upload, :442 — the pool fixes
 exactly that).
 
 In this sandbox no network leaves the box, so the HTTP sink is a
 deterministic stub recording what WOULD be posted; the parquet/console
-sinks are real. The contract: ``sink(rows_iterator, pool)`` per
-partition, failures raised per row are collected as error rows, not
-aborts (the reference's catch-log-skip, :283-293).
+sinks are real. The contract mirrors the reference's catch-log-skip
+(SharePointClient.cs:283-293 + ErrorLogger.cs:17-28): a failing row
+never aborts its partition, and every failure surfaces as a STATUS ROW
+(ok=false + error message) that the caller routes to the errors table —
+failures are lineage, never silently swallowed.
 """
 
 from __future__ import annotations
@@ -19,7 +21,10 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 from typing import Any
 
+import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 class ConnectionPool:
@@ -45,25 +50,69 @@ class ConnectionPool:
         return {"status": "ok", "n": self.sent}
 
 
+def sink_with_status(
+    df: DataFrame,
+    target: str,
+    make_payload: Callable[[dict], Any] | None = None,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Post every row to the sink, returning a per-row STATUS DataFrame
+    ``(id_cols..., ok boolean, error string)``.
+
+    Executed as one ``mapInPandas`` pass: one connection pool per
+    executor, rows posted sequentially within a partition (per-partition
+    ordering preserved — politeness slots were assigned upstream). A row
+    whose payload raises yields ``ok=false`` with the exception message —
+    the reference's catch-log-skip (SharePointClient.cs:283-293) with the
+    ErrorLogger lineage (ErrorLogger.cs:17-28) — and the partition
+    continues. Route ``filter(~ok)`` to the errors table (S6).
+    """
+    id_cols = id_cols or [df.columns[0]]
+    payload_fn = make_payload or (lambda row: row)
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name in id_cols]
+        + [
+            T.StructField("ok", T.BooleanType(), False),
+            T.StructField("error", T.StringType(), True),
+        ]
+    )
+
+    def send(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pool = ConnectionPool.get(target)
+        for pdf in batches:
+            oks: list[bool] = []
+            errs: list[str | None] = []
+            for row in pdf.to_dict("records"):
+                try:
+                    pool.post(payload_fn(row))
+                    oks.append(True)
+                    errs.append(None)
+                except Exception as exc:  # catch-log-skip, as status row
+                    oks.append(False)
+                    errs.append(f"{type(exc).__name__}: {exc}")
+            out = pdf[id_cols].copy()
+            out["ok"] = oks
+            out["error"] = errs
+            yield out
+
+    return df.mapInPandas(send, out_schema)
+
+
 def foreach_partition_sink(
     df: DataFrame,
     target: str,
-    make_payload: Callable[[Any], Any] = lambda row: row.asDict(),
-) -> None:
-    """Apply the sink per partition: one pool per executor, rows posted
-    sequentially within a partition (per-partition ordering preserved —
-    the politeness slots were already assigned upstream)."""
-
-    def send(rows: Iterator[Any]) -> None:
-        pool = ConnectionPool.get(target)
-        for row in rows:
-            try:
-                pool.post(make_payload(row))
-            except Exception:
-                # catch-log-skip (never abort the partition)
-                pass
-
-    df.foreachPartition(send)
+    make_payload: Callable[[dict], Any] | None = None,
+    id_cols: list[str] | None = None,
+) -> dict:
+    """Eager convenience wrapper over :func:`sink_with_status`: runs the
+    sink and returns aggregate counts. Failures are COUNTED (and
+    retrievable via sink_with_status), never silently dropped."""
+    status = sink_with_status(df, target, make_payload, id_cols)
+    agg = status.agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("failed"),
+    ).collect()[0]
+    return {"total": int(agg["total"] or 0), "failed": int(agg["failed"] or 0)}
 
 
 def parquet_sink(df: DataFrame, path: str, mode: str = "append") -> None:

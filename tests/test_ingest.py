@@ -42,3 +42,30 @@ def test_ingest_chunks_over_markdown(spark):
     for key in ("ChunkIndex", "TextContent", "ContentBytes", "Breadcrumbs",
                 "collection", "Domain", "AllowedGroups"):
         assert key in body
+
+
+def test_sink_failure_lineage(spark):
+    """A poisoned payload yields an error STATUS row (ErrorLogger.cs:17-28
+    catch-log-skip) and never aborts the partition."""
+    from sharepointcrawler_spark.plans.sinks import foreach_partition_sink, sink_with_status
+
+    df = spark.createDataFrame(
+        [(i, f"payload-{i}") for i in range(20)], "doc_id long, body string"
+    ).repartition(4)
+
+    def make_payload(row):
+        if row["doc_id"] % 7 == 3:
+            raise ValueError(f"poisoned row {row['doc_id']}")
+        return row
+
+    status = sink_with_status(df, "stub://ingest", make_payload, id_cols=["doc_id"])
+    rows = status.collect()
+    assert len(rows) == 20  # every row has a status — partition completed
+    failed = {r.doc_id for r in rows if not r.ok}
+    assert failed == {3, 10, 17}
+    assert all("poisoned row" in r.error for r in rows if not r.ok)
+    assert all(r.error is None for r in rows if r.ok)
+
+    # eager wrapper counts failures instead of swallowing them
+    counts = foreach_partition_sink(df, "stub://ingest", make_payload, id_cols=["doc_id"])
+    assert counts == {"total": 20, "failed": 3}

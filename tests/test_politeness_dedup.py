@@ -89,7 +89,7 @@ def test_bloom_zero_false_negatives(spark):
     df = with_url_columns(spark.createDataFrame(urls, ["url"]))
     seen = df.select("url_key", "url_canon")
     shards = build_bloom_shards(seen, n_shards=8, fp_rate=0.01)
-    probed = bloom_probe(seen, shards)
+    probed = bloom_probe(seen, shards, n_shards=8)
     # every seen key MUST be maybe_seen (zero false negatives)
     assert probed.filter(~F.col("maybe_seen")).count() == 0
 
@@ -101,7 +101,7 @@ def test_bloom_filtered_unseen_equals_exact(spark):
     seen = base.filter(F.col("url_key") % 2 == 0).select("url_key", "url_canon")
     shards = build_bloom_shards(seen, n_shards=4)
     cands = base.select("url", "url_canon", "url_key")
-    got = {r.url_canon for r in bloom_filtered_unseen(cands, shards, seen).collect()}
+    got = {r.url_canon for r in bloom_filtered_unseen(cands, shards, seen, n_shards=4).collect()}
     want = {r.url_canon for r in anti_join_unseen(cands, seen).collect()}
     assert got == want  # bloom path == exact oracle path
 
@@ -114,7 +114,7 @@ def test_bloom_merge_incremental(spark):
     sb = build_bloom_shards(b.select("url_key", "url_canon"), n_shards=4, geometry=geom)
     merged = merge_bloom_shards(sa, sb)
     both = a.unionByName(b).select("url", "url_canon", "url_key")
-    probed = bloom_probe(both, merged)
+    probed = bloom_probe(both, merged, n_shards=4)
     assert probed.filter(~F.col("maybe_seen")).count() == 0
 
 
