@@ -480,8 +480,11 @@ def q_ingest_chunks(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
+    """60-bit JVM simhash + pigeonhole chunk blocking; the DuckDB oracle
+    recomputes the signatures from scratch and brute-forces all pairs —
+    the blocked plan must find exactly the same ones (exhaustiveness)."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=10).select(
+    return simhash_pairs(docs, max_hamming=3).select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long"), F.col("hamming").cast("long")
     )
 
@@ -627,6 +630,36 @@ _QUALITY = """(
           WHEN ({TOKC}) = 0 AND length(text) BETWEEN 3.0 AND 12.0 THEN 1
           ELSE 0 END
   ) / 3.0)""".replace("{TOKC}", _TOKC)
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """Brute-force 60-bit simhash pair oracle: same token split, same
+    portable md5->int64 hash, same ±1 bit sums — but ALL pairs scored
+    (no blocking), so it also proves the Spark-side pigeonhole blocking
+    is exhaustive."""
+    sums = ", ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(60)
+    )
+    bits = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN (1::BIGINT << {j}) ELSE 0::BIGINT END"
+        for j in range(60)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15))::UBIGINT AS BIGINT) AS h
+  FROM toks WHERE tok <> ''
+),
+sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id),
+sims AS (SELECT doc_id, {bits} AS sim FROM sums)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+"""
+
 
 _SHINGLES = """
 norm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents),
@@ -873,6 +906,7 @@ cands AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
                  unnest(generate_series(0,
                      CAST(greatest(ceil((length(text) - 50) / 150.0), 1) AS INT) - 1)) AS t(i)
         """,
+        "dedup_simhash": _simhash_sql(3),
         "ann_topk_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
             scored AS (

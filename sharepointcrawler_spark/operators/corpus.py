@@ -8,9 +8,10 @@ designed for the 100 TB shape:
 * minhash LSH      — shingle -> portable 64-bit hash -> k minhash
                      lanes -> bands -> bucket join. Only docs sharing a
                      band bucket ever meet: no O(n^2) pair stage.
-* simhash          — 64-bit sign-aggregated token hashes (vectorized
-                     numpy inside a pandas UDF); near-dup = small
-                     hamming distance on a single long.
+* simhash          — 60-bit sign-aggregated token hashes, all JVM
+                     builtins (explode + portable hash + 60 bit-sum
+                     aggregates); near-dup = small hamming distance on
+                     a single long, pigeonhole chunk blocking.
 * n-gram jaccard   — shingle inverted index join; exact similarity on
                      LSH candidates (or small corpora).
 * embedding cosine — see operators/similarity.py.
@@ -23,13 +24,8 @@ oracle parity).
 
 from __future__ import annotations
 
-import hashlib
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from sharepointcrawler_spark.functions.textanalysis import (
     doc_fingerprint,
@@ -220,46 +216,68 @@ def minhash_lsh_dedup(
 
 # ---------------------------------------------------------------- simhash
 
+# 60-bit simhash: portable_hash64 yields 60 bits (15 hex chars of md5),
+# which keeps every step JVM-side AND byte-equal to a DuckDB oracle.
+SIMHASH_BITS = 60
 
-def _simhash64_batch(texts: pd.Series) -> pd.Series:
-    """Vectorized-ish simhash: per doc, sum ±1 per bit over md5-derived
-    64-bit token hashes; sign -> bit. numpy inner loop over unique
-    tokens (no per-character python)."""
-    out = []
-    for t in texts:
-        if t is None:
-            out.append(None)
-            continue
-        toks = str(t).lower().split()
-        if not toks:
-            out.append(0)
-            continue
-        hs = np.frombuffer(
-            b"".join(hashlib.md5(tok.encode()).digest()[:8] for tok in toks),
-            dtype=np.uint64,
+
+def simhash_signature(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, sim) — 60-bit simhash, 100% JVM builtins (no Python).
+
+    explode whitespace tokens -> portable md5-int64 token hash -> one
+    groupBy with 60 ±1 bit-sum aggregates (map-side partial agg) ->
+    sign bits assembled into a single long. Token multiplicity weights
+    the sums (classic simhash). Docs with no tokens are absent from the
+    output (they have no signature — and no near-dup semantics).
+
+    Replaces the former per-token python md5 loop: the hot path of a
+    100 TB dedup must stay inside whole-stage codegen.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    hashed = toks.withColumn("h", portable_hash64("tok"))
+    sums = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-        v = (2 * bits - 1).sum(axis=0)
-        sim = np.uint64(0)
-        for b in np.nonzero(v > 0)[0]:
-            sim |= np.uint64(1) << np.uint64(b)
-        out.append(int(sim.astype(np.int64)))
-    return pd.Series(out, dtype="object")
+    return sums.select(F.col(id_col), sim.alias("sim"))
 
 
-@F.pandas_udf(T.LongType())
-def simhash64(texts: pd.Series) -> pd.Series:  # pragma: no cover
-    return _simhash64_batch(texts)
+def _simhash_chunks(max_hamming: int) -> tuple[int, int]:
+    """(n_chunks, chunk_bits): smallest divisor of 60 > max_hamming so the
+    pigeonhole blocking is exhaustive (a pair within hamming distance d
+    must agree exactly on at least one of d+1 disjoint chunks)."""
+    for n in (2, 3, 4, 5, 6, 10, 12, 15, 20, 30, 60):
+        if n > max_hamming:
+            return n, SIMHASH_BITS // n
+    raise ValueError(f"max_hamming={max_hamming} too large for {SIMHASH_BITS}-bit simhash")
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs by simhash hamming distance.
+    """Near-dup pairs by simhash hamming distance — exhaustive under
+    pigeonhole blocking, never an O(n^2) pair stage.
 
-    Scale path: block by the 4 16-bit chunks of the simhash (a pair
-    within hamming<=3 must agree on at least one chunk — pigeonhole), so
-    the self-join key is a chunk value, not a cross join.
+    Scale path: block by the (max_hamming+1 or more) disjoint bit chunks
+    of the simhash; a pair within the hamming budget must agree on at
+    least one chunk, so the self-join key is a chunk value, not a cross
+    join. The chunk keys are near-uniform (md5-derived bits), so the
+    shuffle has no inherent skew; AQE skew-split is the backstop for a
+    pathological all-identical corpus.
     """
-    sh = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("sim"))
+    n_chunks, chunk_bits = _simhash_chunks(max_hamming)
+    mask = (1 << chunk_bits) - 1
+    sh = simhash_signature(docs, text_col, id_col)
     chunks = sh.select(
         id_col,
         "sim",
@@ -267,9 +285,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
             F.array(*[
                 F.struct(
                     F.lit(c).alias("chunk_idx"),
-                    F.shiftright("sim", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    F.shiftright("sim", chunk_bits * c).bitwiseAND(F.lit(mask)).alias("chunk"),
                 )
-                for c in range(4)
+                for c in range(n_chunks)
             ])
         ).alias("ck"),
     ).select(id_col, "sim", "ck.chunk_idx", "ck.chunk")
