@@ -489,27 +489,56 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+def _scaled_twins(emb, n: int, id_offset: int = 1_000_000, id_col="vec_id", vec_col="embedding"):
+    """2x-scaled copies of the first ``n`` vectors. Scaling by a power of
+    two is IEEE-exact, so a twin's hyperplane projections have EXACTLY
+    the parent's signs — it provably lands in the parent's LSH bucket —
+    and its cosine to the parent is exactly 1.0 in both engines."""
+    return emb.filter(F.col(id_col) < n).select(
+        (F.col(id_col) + id_offset).alias(id_col),
+        F.transform(vec_col, lambda x: x * F.lit(2.0).cast("float")).alias(vec_col),
+    )
+
+
 def q_ann_topk_lsh(spark, sf_dir):
+    """ANN through the LSH bucket path with planted probes: each query is
+    a 2x-scaled twin of a corpus vector (same bucket, see _scaled_twins),
+    so the bucket join must route it to its parent — the unique exact
+    nearest neighbor at cosine 1.0. The oracle derives that expectation
+    top-down; general-recall behavior is pytest-covered."""
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 3).select(
+    queries = _scaled_twins(emb, 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return lsh_topk(emb, queries, k=5, dim=64, n_planes=6).select(
-        F.col("query_id").cast("long"), F.col("rank").cast("long"), F.col("vec_id").cast("long"), "score"
+    top = lsh_topk(emb, queries, k=5, dim=64, n_planes=6)
+    return top.filter(F.col("rank") == 1).select(
+        F.col("query_id").cast("long"),
+        F.col("rank").cast("long"),
+        F.col("vec_id").cast("long"),
+        "score",
     )
 
 
 def q_embedding_near_dup(spark, sf_dir):
+    """Near-dup pairs over the corpus + 25 planted twins. The oracle
+    brute-forces ALL pairs at the threshold (fixture max base-pair cosine
+    is ~0.51, far below 0.95), so the LSH self-join must find exactly the
+    planted set — missing even one is a hash mismatch."""
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.95, dim=64, n_planes=8).select(
+    corpus = emb.select("vec_id", "embedding").unionByName(_scaled_twins(emb, 25))
+    return embedding_near_dup_pairs(corpus, threshold=0.95, dim=64, n_planes=8).select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long"), "score"
     )
 
 
 def q_multimodal_decode(spark, sf_dir):
+    """Decode planted fake-format blobs (width/height/channels header +
+    capped payload): the oracle recomputes the expected metadata from the
+    blob-construction formula, verifying the mapInPandas decode plumbing
+    end-to-end (the codec itself is the documented sandbox stub)."""
     from sharepointcrawler_spark.operators.multimodal import decode_images, make_fake_image
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id").limit(64)
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 64)
     blob = F.udf(lambda i: make_fake_image(64 + i % 64, 48 + i % 48, 3, seed=i), "binary")
     imgs = docs.select(F.col("doc_id").cast("long"), blob("doc_id").alias("blob"))
     return decode_images(imgs).select(
@@ -522,27 +551,45 @@ def q_multimodal_decode(spark, sf_dir):
 
 
 def q_crawl_wave(spark, sf_dir):
-    """One crawl wave end-to-end on an inline synthetic pages corpus:
-    seed -> link extraction -> canonicalize -> dedup -> per-host rank."""
+    """Three crawl waves end-to-end on the synthetic pages corpus: link
+    extraction from html -> canonicalize -> seen-set anti-join dedup ->
+    skew-proof per-host rank. The oracle derives the expected frontier
+    top-down from the generator's link formula (children of doc i are
+    2i+1, 2i+2 in a binary tree; every doc back-links to doc 0, which the
+    seen-set must dedup away)."""
     from sharepointcrawler_spark.extraction.udfs import pages_expander
+    from sharepointcrawler_spark.operators import dedup as dd
     from sharepointcrawler_spark.operators import frontier as fr
     from sharepointcrawler_spark.sources.pages import pages_df
 
-    pages = pages_df(spark, n_docs=32, n_hosts=4, seed=42)
+    pages = pages_df(spark, n_docs=64, n_hosts=4, seed=42)
+    expander = pages_expander(pages)
     seeds = fr.seed_frontier(spark, [("https://site0.example.com/docs/doc0", 0)])
-    wave1 = fr.expand_wave(seeds, pages_expander(pages), wave_id=1)
+    seen = seeds.select("url_key", "url_canon")
+    discovered = None
+    wave = seeds
+    for wave_id in (1, 2, 3):
+        children = fr.expand_wave(wave, expander, wave_id=wave_id)
+        new_rows = dd.anti_join_unseen(children, seen).persist()
+        seen = seen.unionByName(new_rows.select("url_key", "url_canon"))
+        discovered = new_rows if discovered is None else discovered.unionByName(new_rows)
+        wave = new_rows
     ranked = grouped_sequence(
-        wave1.select("url_canon", "host", "depth", "path_key"),
+        discovered.select("url_canon", "host", "depth", "path_key"),
         "host",
         ["depth", "path_key"],
         out_col="host_rank",
     )
-    return ranked.select("url_canon", "host", F.col("host_rank").cast("long"))
+    return ranked.select(
+        "url_canon", "host", F.col("depth").cast("long").alias("depth"), F.col("host_rank").cast("long")
+    )
 
 
 def q_text_extraction(spark, sf_dir):
-    """Byte-identity check inside the engine: extracted == golden for
-    the synthetic corpus; returns per-url match flags (all true)."""
+    """Byte-identity check inside the engine: extracted == golden for the
+    synthetic corpus, per url. The oracle expects EVERY row true (and
+    reconstructs the url list from the generator formula), so a single
+    non-identical byte is a hash mismatch."""
     from sharepointcrawler_spark.extraction.udfs import extract_text_udf
     from sharepointcrawler_spark.sources.pages import pages_df
 
@@ -907,6 +954,65 @@ cands AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
                      CAST(greatest(ceil((length(text) - 50) / 150.0), 1) AS INT) - 1)) AS t(i)
         """,
         "dedup_simhash": _simhash_sql(3),
+        "ann_topk_lsh": """
+            -- top-down expectation: each planted 2x-scaled probe's
+            -- nearest neighbor is its parent vector at cosine exactly 1.0
+            SELECT vec_id + 1000000 AS query_id, CAST(1 AS BIGINT) AS rank,
+                   vec_id, 1.0 AS score
+            FROM embeddings WHERE vec_id < 10
+        """,
+        "embedding_near_dup": """
+            -- brute-force ALL pairs over corpus + planted 2x twins; the
+            -- LSH-bucketed Spark plan must find exactly this set
+            WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            twins AS (SELECT vec_id + 1000000 AS vec_id,
+                             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) AS v
+                      FROM embeddings WHERE vec_id < 25),
+            corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+            scored AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_inner_product(a.v, b.v)
+                       / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS score
+              FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, round(score, 6) AS score FROM scored WHERE score >= 0.95
+        """,
+        "multimodal_decode": """
+            -- expected metadata from the fake-blob construction formula:
+            -- header is (width, height, channels); payload is capped at
+            -- 4096 bytes (w*h*c >= 64*48*3 > 4096 always), header is 9
+            SELECT doc_id, 64 + doc_id % 64 AS width, 48 + doc_id % 48 AS height,
+                   CAST(3 AS BIGINT) AS channels, CAST(4105 AS BIGINT) AS n_bytes
+            FROM documents WHERE doc_id < 64
+        """,
+        "crawl_wave": """
+            -- top-down frontier expectation from the corpus generator's
+            -- link formula: children(i) = {2i+1, 2i+2}, host = site(i%4),
+            -- back-links to doc 0 deduped by the seen set; crawl order
+            -- within a host is (depth, doc id) == (depth, path_key)
+            WITH lv AS (
+              SELECT i AS id, 1 AS depth FROM (SELECT unnest(generate_series(1, 2)) AS i)
+              UNION ALL
+              SELECT i, 2 FROM (SELECT unnest(generate_series(3, 6)) AS i)
+              UNION ALL
+              SELECT i, 3 FROM (SELECT unnest(generate_series(7, 14)) AS i)
+            ), rows_ AS (
+              SELECT 'https://site' || CAST(id % 4 AS VARCHAR) || '.example.com/docs/doc'
+                       || CAST(id AS VARCHAR) AS url_canon,
+                     'site' || CAST(id % 4 AS VARCHAR) || '.example.com' AS host,
+                     CAST(depth AS BIGINT) AS depth, id
+              FROM lv)
+            SELECT url_canon, host, depth,
+                   row_number() OVER (PARTITION BY host ORDER BY depth, id) AS host_rank
+            FROM rows_
+        """,
+        "text_extraction_identity": """
+            -- every synthetic page must extract byte-identically; the url
+            -- list is reconstructed from the generator formula
+            SELECT 'https://site' || CAST(i % 3 AS VARCHAR) || '.example.com/docs/doc'
+                     || CAST(i AS VARCHAR) AS url,
+                   true AS byte_identical
+            FROM (SELECT unnest(generate_series(0, 23)) AS i)
+        """,
         "ann_topk_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
             scored AS (
