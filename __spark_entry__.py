@@ -476,6 +476,59 @@ def q_ingest_chunks(spark, sf_dir):
     )
 
 
+def q_metadata_coercion(spark, sf_dir):
+    """P1 typed metadata coercion (SharePointClient.cs:358-370): mixed-type
+    JSON entities synthesized from orders; every value lands in exactly
+    one typed lane (string / int64-else-double / bool). The oracle
+    derives the expected typed projection from the source columns
+    directly, independent of any JSON parsing."""
+    from sharepointcrawler_spark.sources.odata import coerce_metadata_map
+
+    orders = _t(spark, sf_dir, "orders")
+    js = F.concat(
+        F.lit('{"Name":"'), F.col("o_orderpriority"),
+        F.lit('","Length":'), F.col("o_totalprice").cast("string"),
+        F.lit(',"Count":'), F.col("o_orderkey").cast("string"),
+        F.lit(',"Flag":'),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit("}"),
+    )
+    m = coerce_metadata_map(F.from_json(js, "map<string,string>"))
+    return orders.select(
+        F.col("o_orderkey").cast("long"),
+        m["Name"]["kind"].alias("name_kind"),
+        m["Name"]["s"].alias("name_s"),
+        m["Length"]["kind"].alias("len_kind"),
+        m["Length"]["d"].alias("len_d"),
+        m["Count"]["kind"].alias("count_kind"),
+        m["Count"]["i"].alias("count_i"),
+        m["Flag"]["kind"].alias("flag_kind"),
+        m["Flag"]["b"].alias("flag_b"),
+    )
+
+
+def q_ingest_document(spark, sf_dir):
+    """S5 document-level envelope: RagIngestDocument DTO with nested
+    Chunks (RagIngestDocument.cs:28-50). The query reads the envelope
+    fields back OUT of the nested array (size / element_at), so the
+    collect_list nesting itself is what the oracle checks."""
+    from sharepointcrawler_spark.operators.ingest import assemble_ingest_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    d = assemble_ingest_documents(
+        docs, chunk_size=200, chunk_overlap=50, title_col="source"
+    )
+    return d.select(
+        F.col("doc_id").cast("long"),
+        F.col("Title").alias("title"),
+        F.size("Chunks").cast("long").alias("n_chunks"),
+        F.element_at("Chunks", -1)["ChunkIndex"].cast("long").alias("last_chunk_index"),
+        F.substring(F.element_at("Chunks", 1)["ContentBytes"], 1, 24).alias("first_b64_prefix"),
+        F.element_at("AllowedGroups", 1).alias("group0"),
+        F.col("Domain").alias("domain"),
+    )
+
+
 # ------------------------------------------------- rows-only (no oracle)
 
 
@@ -627,6 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_endpoint_escape": q_endpoint_escape,
         "f2_stopword_removal": q_stopword_removal,
         "s5_ingest_chunks": q_ingest_chunks,
+        "p1_metadata_coercion": q_metadata_coercion,
+        "s5_ingest_document": q_ingest_document,
         # training-data pipeline layer
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -909,6 +964,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents,
                  unnest(generate_series(0,
                      CAST(greatest(ceil((length(text) - 50) / 150.0), 1) AS INT) - 1)) AS t(i)
+        """,
+        "p1_metadata_coercion": """
+            -- independent derivation of the typed projection from the
+            -- source columns (the Spark side does the real JSON map
+            -- parse + per-value coercion)
+            SELECT o_orderkey, 'string' AS name_kind, o_orderpriority AS name_s,
+                   'double' AS len_kind, CAST(o_totalprice AS DOUBLE) AS len_d,
+                   'long' AS count_kind, CAST(o_orderkey AS BIGINT) AS count_i,
+                   'bool' AS flag_kind, (o_orderkey % 2 = 0) AS flag_b
+            FROM orders
+        """,
+        "s5_ingest_document": """
+            SELECT doc_id, source AS title,
+                   CAST(greatest(ceil((length(text) - 50) / 150.0), 1) AS BIGINT) AS n_chunks,
+                   CAST(greatest(ceil((length(text) - 50) / 150.0), 1) AS BIGINT) - 1 AS last_chunk_index,
+                   substr(to_base64(encode(substr(text, 1, 200))), 1, 24) AS first_b64_prefix,
+                   'AllEmployees' AS group0,
+                   'MS Documents' AS domain
+            FROM documents
         """,
         "dedup_exact": f"""
             SELECT md5({_NORM}) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dupes

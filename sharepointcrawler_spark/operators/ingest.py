@@ -72,6 +72,59 @@ def assemble_ingest_chunks(
     )
 
 
+def assemble_ingest_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    title_col: str | None = None,
+    chunk_size: int = 1400,
+    chunk_overlap: int = 300,
+    collection: str = DEFAULT_COLLECTION,
+    keywords: list[str] | None = None,
+) -> DataFrame:
+    """The document-level RagIngestDocument DTO (RagIngestDocument.cs:10-50):
+    doc metadata + ``Chunks: List<IngestChunk>`` nested in ONE row per
+    document. Chunk defaults (1400/300, RagIngestDocument.cs:40-41) and
+    the Domain/'AllEmployees' defaults (:28-33) thread through.
+
+    Spark shape: the per-chunk rows of :func:`assemble_ingest_chunks`
+    collapse via ``collect_list(struct(...))`` (one shuffle on doc id,
+    map-side partial agg) and ``array_sort`` restores ChunkIndex order —
+    ``ArrayType(StructType)``, serialized by :func:`ingest_document_json`.
+    """
+    chunks = assemble_ingest_chunks(
+        docs, text_col, id_col, title_col, chunk_size, chunk_overlap, collection
+    )
+    nested = chunks.groupBy(id_col, "title").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("ChunkIndex", "TextContent", "ContentBytes", "Breadcrumbs")
+            )
+        ).alias("Chunks")
+    )
+    kw = keywords or []
+    return nested.select(
+        F.col(id_col),
+        F.coalesce(F.col("title"), F.lit("")).alias("Title"),
+        F.lit(DEFAULT_DOMAIN).alias("Domain"),
+        F.lit(collection).alias("Collection"),
+        F.lit(chunk_size).alias("ChunkSize"),
+        F.lit(chunk_overlap).alias("ChunkOverlap"),
+        F.array(*[F.lit(k) for k in kw]).cast("array<string>").alias("Keywords"),
+        F.array(*[F.lit(g) for g in DEFAULT_ALLOWED_GROUPS]).alias("AllowedGroups"),
+        F.col("Chunks"),
+    )
+
+
+def ingest_document_json(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Serialize each RagIngestDocument row to the JSON body the ingest
+    API receives — ``to_json`` over the nested struct (chunks included)."""
+    payload_cols = [c for c in documents.columns if c != id_col]
+    return documents.select(
+        F.col(id_col), F.to_json(F.struct(*payload_cols)).alias("payload")
+    )
+
+
 def ingest_payload_json(chunks: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Serialize each chunk row to the JSON body the ingest API receives
     (IngestJsonPayload analog) — ``to_json`` over the struct."""

@@ -75,6 +75,50 @@ def project_file_entities(decoded: DataFrame) -> DataFrame:
     )
 
 
+def coerce_json_value(col: Column | str) -> Column:
+    """P1 typed coercion of one metadata value (SharePointClient.cs:358-370):
+    the reference copies every JSON property as string / int64-else-double
+    / bool / null. Returns a struct ``(kind, s, i, d, b)`` with exactly one
+    typed field populated (the others null).
+
+    Operates on the STRING form the open-world ``map<string,string>``
+    carries (cast-on-read, SURVEY §1.2): ``true``/``false`` -> bool, a
+    <=18-digit integer -> int64, other numerics (incl. exponent form) ->
+    double, null -> kind 'null', anything else stays string. Caveat vs
+    the reference: it switches on the raw JSON token kind, so a JSON
+    *string* "true" stays a string there; after the map projection that
+    distinction is gone — callers needing it must classify entity_json
+    before projection.
+    """
+    v = F.col(col) if isinstance(col, str) else col
+    is_bool = v.rlike(r"^(true|false)$")
+    is_long = v.rlike(r"^-?\d{1,18}$")
+    is_num = v.rlike(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
+    kind = (
+        F.when(v.isNull(), F.lit("null"))
+        .when(is_bool, F.lit("bool"))
+        .when(is_long, F.lit("long"))
+        .when(is_num, F.lit("double"))
+        .otherwise(F.lit("string"))
+    )
+    return F.struct(
+        kind.alias("kind"),
+        F.when(kind == "string", v).alias("s"),
+        F.when(kind == "long", v.cast("long")).alias("i"),
+        F.when(kind == "double", v.cast("double")).alias("d"),
+        F.when(kind == "bool", v == "true").alias("b"),
+    )
+
+
+def coerce_metadata_map(map_col: Column | str) -> Column:
+    """Typed view of the open-world metadata map: every value coerced via
+    :func:`coerce_json_value` (map<string, struct<kind,s,i,d,b>>). All
+    JVM builtins — ``transform_values`` keeps the coercion inside
+    whole-stage codegen."""
+    m = F.col(map_col) if isinstance(map_col, str) else map_col
+    return F.transform_values(m, lambda _k, v: coerce_json_value(v))
+
+
 def quote_escape_url(col: Column | str) -> Column:
     """The ``'`` -> ``''`` endpoint escaping (S3, SharePointClient.cs:387)."""
     c = F.col(col) if isinstance(col, str) else col

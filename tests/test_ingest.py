@@ -69,3 +69,43 @@ def test_sink_failure_lineage(spark):
     # eager wrapper counts failures instead of swallowing them
     counts = foreach_partition_sink(df, "stub://ingest", make_payload, id_cols=["doc_id"])
     assert counts == {"total": 20, "failed": 3}
+
+
+def test_ingest_document_envelope(spark):
+    """Document-level RagIngestDocument DTO: nested Chunks list ordered by
+    ChunkIndex, doc-level defaults, to_json serialization round-trip."""
+    from sharepointcrawler_spark.operators.ingest import (
+        assemble_ingest_documents,
+        ingest_document_json,
+    )
+
+    specs = [make_doc_spec(i, random.Random(42)) for i in range(3)]
+    docs = spark.createDataFrame(
+        [(i, expected_markdown(s), s.title) for i, s in enumerate(specs)],
+        "doc_id long, text string, title string",
+    )
+    env = assemble_ingest_documents(
+        docs, chunk_size=300, chunk_overlap=60, title_col="title",
+        keywords=["procedure", "sop"],
+    ).cache()
+    rows = {r.doc_id: r for r in env.collect()}
+    assert len(rows) == 3
+    for i, s in enumerate(specs):
+        r = rows[i]
+        assert r.Title == s.title
+        assert r.Domain == "MS Documents"
+        assert r.ChunkSize == 300 and r.ChunkOverlap == 60
+        assert r.Keywords == ["procedure", "sop"]
+        assert r.AllowedGroups == ["AllEmployees"]
+        # chunks nested, in ChunkIndex order, round-tripping the text
+        idxs = [c.ChunkIndex for c in r.Chunks]
+        assert idxs == list(range(len(idxs)))
+        for c in r.Chunks:
+            assert base64.b64decode(c.ContentBytes).decode() == c.TextContent
+
+    body = json.loads(ingest_document_json(env).collect()[0].payload)
+    for key in ("Title", "Domain", "Collection", "ChunkSize", "ChunkOverlap",
+                "Keywords", "AllowedGroups", "Chunks"):
+        assert key in body
+    assert isinstance(body["Chunks"], list) and body["Chunks"]
+    assert {"ChunkIndex", "TextContent", "ContentBytes", "Breadcrumbs"} <= set(body["Chunks"][0])
