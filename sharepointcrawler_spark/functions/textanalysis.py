@@ -53,6 +53,9 @@ def bpe_ish_count(col: Column | str) -> Column:
 
 
 def lang_marker_score(col: Column | str, lang: str) -> Column:
+    """Per-language marker count (kept for single-language scoring; the
+    multi-language argmax in lang_id uses the fused one-pass extraction
+    instead of 20 regexp_count scans)."""
     c = F.col(col) if isinstance(col, str) else col
     low = F.lower(c)
     score = F.lit(0)
@@ -61,10 +64,25 @@ def lang_marker_score(col: Column | str, lang: str) -> Column:
     return score
 
 
+# one alternation over every marker word (longest-first so e.g. 'est'
+# wins over 'es' without relying on backtracking): a single regex pass
+# extracts all marker hits, then each language counts its own words
+# with an array filter — 1 scan of the text instead of 20
+_ALL_MARKERS = sorted({w for ws in LANG_MARKERS.values() for w in ws}, key=len, reverse=True)
+_MARKER_PATTERN = r"\b(" + "|".join(_ALL_MARKERS) + r")\b"
+
+
 def lang_id(col: Column | str) -> Column:
     """Argmax of marker scores; ties and zero-evidence rows -> 'und'.
-    Tie-break: language order en,de,fr,es (strictly-greater comparison)."""
-    scores = {lang: lang_marker_score(col, lang) for lang in LANG_MARKERS}
+    Tie-break: language order en,de,fr,es (strictly-greater comparison).
+    Identical semantics to per-word counting (whole words match exactly
+    one alternative), but one regex pass over the text."""
+    c = F.col(col) if isinstance(col, str) else col
+    hits = F.regexp_extract_all(F.lower(c), F.lit(_MARKER_PATTERN), F.lit(1))
+    scores = {
+        lang: F.size(F.filter(hits, lambda x: x.isin(*LANG_MARKERS[lang])))
+        for lang in LANG_MARKERS
+    }
     best_lang = F.lit("und")
     best_score = F.lit(0)
     for lang in LANG_MARKERS:  # insertion order = tie-break order
