@@ -42,6 +42,7 @@ HEADLINE = [
     "a2_running_metrics",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "text_lang_id",
     "text_token_counts",
     "chunk_text",
@@ -178,6 +179,11 @@ def run_crawl_waves(spark, n_docs: int = 2000) -> dict:
         "pages_fetched": fetched,
         "total_sec": round(dt, 3),
         "crawl_pages_per_sec": round(fetched / dt, 2),
+        # incremental-frontier evidence: per-wave wall time and delta
+        # rows written — wave cost tracks the wave DELTA, not the
+        # cumulative frontier (merge-on-read, plans/crawl.py)
+        "wave_elapsed_s": [m["elapsed_s"] for m in res.metrics],
+        "wave_delta_rows": [m["delta_rows"] for m in res.metrics],
     }
 
 
@@ -245,7 +251,36 @@ def main() -> None:
         out["queries"] = run_suite(spark, sf_dir)
         out["queries"]["pages_pipeline"] = pipe["total_sec"]
         out["queries"]["crawl_loop"] = out["crawl_loop"]["total_sec"]
+        out["vs_prev"] = _vs_prev(out["queries"])
     print(json.dumps(out))
+
+
+def _vs_prev(queries: dict[str, float]) -> dict:
+    """Round-over-round per-query speedup vs the latest BENCH_r*.json
+    (new/old seconds; < 1.0 means faster this round). Host timing noise
+    is 1.5-3x on this box, so single-query deltas are indicative only."""
+    import re
+
+    rounds = []
+    for fn in os.listdir(REPO):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
+        if m:
+            rounds.append((int(m.group(1)), fn))
+    if not rounds:
+        return {}
+    rounds.sort()
+    prev_round, fn = rounds[-1]
+    try:
+        with open(os.path.join(REPO, fn)) as f:
+            prev = json.load(f).get("parsed", {}).get("queries", {})
+    except Exception:
+        return {}
+    ratios = {
+        q: round(queries[q] / prev[q], 3)
+        for q in queries
+        if q in prev and prev[q] > 0
+    }
+    return {"prev_round": prev_round, "sec_ratio": ratios}
 
 
 def _spin(sec: float) -> int:

@@ -8,8 +8,20 @@ lives on the driver while ALL data work is partition-parallel:
     wave k: read pending -> robots gate -> politeness slots ->
             "fetch" (expander) -> canonicalize + within-wave dedup ->
             bloom-prefiltered anti-join vs seen -> new pending rows ->
-            commit snapshot k (frontier, seen delta, bloom shards,
+            commit snapshot k (frontier DELTA, seen delta, bloom shards,
             fetch log, metrics, errors)
+
+Frontier state is **merge-on-read** — the parquet emulation of Iceberg
+MERGE INTO (SURVEY §4): a base table hive-partitioned by ``state`` plus
+one upsert delta per wave (latest ``delta_wave`` wins per url_key).
+Per-wave write IO is O(wave delta), NEVER O(total frontier); reading the
+working set scans only the base's ``state=pending`` partition (directory
+pruned) plus the deltas since the last compaction. Every
+``compact_every`` waves the merged view is rewritten as a fresh base
+(amortized O(total/compact_every) per wave), exactly Iceberg's
+compaction story. States are monotone (pending -> fetched/denied/failed,
+retries stay pending), which is what makes the pending-partition prune
+sound: a terminal row can never become pending again.
 
 Each wave ends in one atomic snapshot commit (plans/snapshot.py); a
 killed job resumes from the latest manifest with zero re-fetches —
@@ -26,7 +38,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sharepointcrawler_spark.operators import frontier as fr
@@ -34,6 +46,10 @@ from sharepointcrawler_spark.operators import dedup as dd
 from sharepointcrawler_spark.operators.politeness import assign_fetch_slots, top_k_per_host
 from sharepointcrawler_spark.operators.robots import RobotsGate, apply_robots_gate
 from sharepointcrawler_spark.plans.snapshot import SnapshotStore
+
+# storage-only column marking which wave last touched a frontier row;
+# stripped before rows re-enter the pipeline
+DELTA_WAVE = "delta_wave"
 
 
 @dataclass
@@ -48,6 +64,7 @@ class CrawlConfig:
     per_host_wave_budget: int | None = None  # top-k per host per wave (W5)
     default_crawl_delay_s: float = 1.0
     max_fetch_attempts: int = 2  # bounded retry (reference has none: :283-293)
+    compact_every: int = 8  # frontier base rewrite cadence (merge-on-read)
     extra: dict = field(default_factory=dict)
 
 
@@ -59,6 +76,36 @@ class CrawlResult:
     fetch_log: DataFrame
     metrics: list[dict]
     errors: DataFrame | None = None
+
+
+def _merged_frontier(
+    spark: SparkSession,
+    base_path: str,
+    delta_paths: list[str],
+    pending_only: bool = False,
+) -> DataFrame:
+    """Merge-on-read reconstruction: base ∪ deltas, latest delta_wave wins
+    per url_key. With ``pending_only`` the base scan is pruned to the
+    ``state=pending`` partition (sound because states are monotone); the
+    caller still filters the merged view, because a delta may have
+    terminalized a base-pending row."""
+    base = spark.read.parquet(base_path)
+    if pending_only:
+        base = base.filter(F.col("state") == fr.PENDING)
+    cols = [f.name for f in fr.FRONTIER_SCHEMA.fields]
+    merged = base.select(*cols).withColumn(DELTA_WAVE, F.lit(-1))
+    for p in delta_paths:
+        merged = merged.unionByName(
+            spark.read.parquet(p).select(*cols, DELTA_WAVE)
+        )
+    if not delta_paths:
+        return merged.drop(DELTA_WAVE)
+    w = Window.partitionBy("url_key").orderBy(F.desc(DELTA_WAVE))
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", DELTA_WAVE)
+    )
 
 
 def run_crawl(
@@ -90,42 +137,47 @@ def run_crawl(
         max(cfg.bloom_capacity // cfg.n_bloom_shards, 64), cfg.bloom_fp_rate
     )
     metrics_all: list[dict] = []
+    sel = [f.name for f in fr.FRONTIER_SCHEMA.fields]
 
     last = store.latest_wave() if resume else None
     if last is not None:
-        frontier_df = store.read("frontier", last)
+        manifest = store.manifest(last)
+        base_path = manifest["tables"]["frontier_base"]
+        delta_paths = list(manifest["tables"].get("frontier_deltas", []))
         shards = store.read("bloom_shards", last)
         wave = last
     else:
         if not seeds:
             raise ValueError("fresh crawl needs seeds")
-        frontier_df = fr.seed_frontier(spark, seeds)
+        frontier0 = fr.seed_frontier(spark, seeds)
         # seeds enter the seen-set immediately (they are scheduled)
-        seed_seen = frontier_df.select("url_key", "url_canon")
+        seed_seen = frontier0.select("url_key", "url_canon")
         shards = dd.build_bloom_shards(
             seed_seen, n_shards=cfg.n_bloom_shards, geometry=geometry
         )
         wave = 0
-        store.write(frontier_df, "frontier", 0)
+        base_path = store.write_partitioned(frontier0, "frontier_base", 0)
+        delta_paths = []
         store.write(shards, "bloom_shards", 0)
         store.write(seed_seen, "seen", 0)
-        empty_log = spark.createDataFrame(
-            [], "url_canon string, host string, wave_id int, fetch_slot double"
-        )
         store.commit(
             0,
             {
-                "frontier": store.table_dir("frontier", 0),
+                "frontier_base": base_path,
+                "frontier_deltas": [],
                 "bloom_shards": store.table_dir("bloom_shards", 0),
                 "seen": store.table_dir("seen", 0),
             },
             {"seeded": len(seeds)},
         )
-        del empty_log
 
     while wave < cfg.max_waves:
         t0 = time.monotonic()
-        pending = frontier_df.filter(F.col("state") == fr.PENDING).persist()
+        pending = (
+            _merged_frontier(spark, base_path, delta_paths, pending_only=True)
+            .filter(F.col("state") == fr.PENDING)
+            .persist()
+        )
         n_pending = pending.count()
         if n_pending == 0:
             pending.unpersist()
@@ -135,13 +187,11 @@ def run_crawl(
         # 1. robots gate (broadcast probe) — denied rows are terminal
         allowed, denied = apply_robots_gate(pending, gate)
 
-        # 2. per-host wave budget (priority min-heap, W5)
-        deferred = None
+        # 2. per-host wave budget (priority min-heap, W5); deferred rows
+        # stay pending in the merged view at ZERO delta cost (no row
+        # is written for them)
         if cfg.per_host_wave_budget is not None:
             budgeted = top_k_per_host(allowed, cfg.per_host_wave_budget)
-            deferred = allowed.join(
-                budgeted.select("url_key"), "url_key", "left_anti"
-            )
             allowed = budgeted.drop("host_rank")
 
         # 3. politeness virtual-clock slots (skew-proof grouped rank at
@@ -179,40 +229,34 @@ def run_crawl(
             )
         else:
             new_rows = dd.anti_join_unseen(children, seen_df)
-        # the expand+dedup pipeline feeds THREE writes (frontier union,
+        # the expand+dedup pipeline feeds THREE writes (frontier delta,
         # seen delta, bloom delta) — persist once instead of recomputing
         new_rows = new_rows.persist()
 
-        # 6. assemble next frontier state + seen delta, commit snapshot
-        fetched = scheduled_ok.select("url_key").withColumn("_new_state", F.lit(fr.FETCHED))
-        denied_k = denied.select("url_key").withColumn("_new_state", F.lit(fr.DENIED))
-        state_updates = fetched.unionByName(denied_k)
-        retry_keys = None
+        # 6. assemble the wave's UPSERT DELTA: rows that changed state
+        #    this wave + newly discovered rows. O(wave), never O(frontier).
+        def as_upsert(df: DataFrame, new_state: str | None = None, bump: bool = False) -> DataFrame:
+            out = df
+            if new_state is not None:
+                out = out.withColumn("state", F.lit(new_state))
+            if bump:
+                out = out.withColumn("attempt", F.col("attempt") + 1)
+            return out.select(sel)
+
+        delta = as_upsert(scheduled_ok, fr.FETCHED).unionByName(
+            as_upsert(denied, fr.DENIED)
+        )
         if failed is not None:
             # retryable: stays pending with attempt+1; exhausted: failed
             exhausted = failed.filter(F.col("attempt") + 1 >= cfg.max_fetch_attempts)
             retryable = failed.filter(F.col("attempt") + 1 < cfg.max_fetch_attempts)
-            state_updates = state_updates.unionByName(
-                exhausted.select("url_key").withColumn("_new_state", F.lit(fr.FAILED))
+            delta = delta.unionByName(as_upsert(exhausted, fr.FAILED)).unionByName(
+                as_upsert(retryable, bump=True)
             )
-            retry_keys = retryable.select("url_key")
-        next_frontier = (
-            frontier_df.join(state_updates, "url_key", "left")
-            .withColumn("state", F.coalesce(F.col("_new_state"), F.col("state")))
-            .drop("_new_state")
+        delta = delta.unionByName(new_rows.select(sel)).withColumn(
+            DELTA_WAVE, F.lit(wave)
         )
-        if retry_keys is not None:
-            next_frontier = next_frontier.join(
-                retry_keys.withColumn("_retry", F.lit(1)), "url_key", "left"
-            ).withColumn(
-                "attempt",
-                F.when(F.col("_retry").isNotNull(), F.col("attempt") + 1).otherwise(
-                    F.col("attempt")
-                ),
-            ).drop("_retry")
-        next_frontier = next_frontier.unionByName(
-            new_rows.select([f.name for f in fr.FRONTIER_SCHEMA.fields])
-        )
+
         seen_delta = new_rows.select("url_key", "url_canon").unionByName(
             denied.select("url_key", "url_canon").join(
                 seen_df.select("url_key"), "url_key", "left_anti"
@@ -226,8 +270,10 @@ def run_crawl(
             "url_canon", "host", F.lit(wave).alias("wave_id"), "fetch_slot"
         )
 
+        delta_path = store.write(delta, "frontier_delta", wave)
+        delta_paths = delta_paths + [delta_path]
         tables = {
-            "frontier": store.write(next_frontier, "frontier", wave),
+            "frontier_delta": delta_path,
             "seen": store.write(seen_delta, "seen", wave),
             "bloom_shards": store.write(shards, "bloom_shards", wave),
             "fetch_log": store.write(fetch_log, "fetch_log", wave),
@@ -248,9 +294,19 @@ def run_crawl(
         new_rows.unpersist()
         seen_delta.unpersist()
         pending.unpersist()
-        # re-read from the written snapshot: truncates lineage across waves
-        # (deferred rows stay PENDING inside next_frontier automatically)
-        frontier_df = spark.read.parquet(tables["frontier"])
+
+        # 7. periodic compaction: rewrite the merged view as a fresh base
+        #    (amortized O(total/compact_every) per wave — Iceberg's
+        #    rewrite_data_files story); deltas before it retire.
+        compacted = False
+        if cfg.compact_every and wave % cfg.compact_every == 0:
+            merged_full = _merged_frontier(spark, base_path, delta_paths)
+            base_path = store.write_partitioned(merged_full, "frontier_base", wave)
+            delta_paths = []
+            compacted = True
+
+        # bloom shards re-read from the written snapshot: truncates
+        # lineage across waves (deltas/base are re-read lazily anyway)
         shards = spark.read.parquet(tables["bloom_shards"])
 
         t_writes = time.monotonic()
@@ -259,10 +315,14 @@ def run_crawl(
             "scheduled": spark.read.parquet(tables["fetch_log"]).count(),
             "denied": denied.count(),
             "discovered_new": spark.read.parquet(tables["seen"]).count(),
+            "delta_rows": spark.read.parquet(delta_path).count(),
+            "compacted": compacted,
             "elapsed_s": round(time.monotonic() - t0, 3),
             "write_s": round(t_writes - t_expand, 3),
             "plan_s": round(t_expand - t0, 3),
         }
+        tables["frontier_base"] = base_path
+        tables["frontier_deltas"] = delta_paths
         # metrics row written driver-side via pyarrow (one tiny row does
         # not warrant a Spark job per wave)
         tables["metrics"] = store.write_rows([stats], "metrics", wave)
@@ -272,6 +332,7 @@ def run_crawl(
         if stop_after_wave is not None and wave >= stop_after_wave:
             break
 
+    frontier_final = _merged_frontier(spark, base_path, delta_paths)
     seen_final = store.read_appended("seen", wave)
     fetch_log_final = store.read_appended("fetch_log", wave)
     if fetch_log_final is None:
@@ -280,7 +341,7 @@ def run_crawl(
         )
     return CrawlResult(
         waves=wave,
-        frontier=frontier_df,
+        frontier=frontier_final,
         seen=seen_final,
         fetch_log=fetch_log_final,
         metrics=metrics_all,

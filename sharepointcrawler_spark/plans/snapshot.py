@@ -17,8 +17,11 @@ resume reads the latest manifest and continues — zero re-fetches (tested
 in tests/test_resume.py).
 
 At cluster scale the manifest rename happens on an object store with
-atomic PUT (S3 strong consistency) or HDFS rename; the frontier rewrite
-becomes an Iceberg MERGE INTO carrying wave_id.
+atomic PUT (S3 strong consistency) or HDFS rename. The frontier itself
+is maintained merge-on-read (plans/crawl.py): a state-partitioned base
+plus per-wave upsert deltas with periodic compaction — the parquet
+emulation of Iceberg MERGE INTO + rewrite_data_files, so per-wave write
+IO is O(wave delta), never O(total frontier).
 """
 
 from __future__ import annotations
@@ -68,6 +71,14 @@ class SnapshotStore:
     def write(self, df: DataFrame, name: str, wave: int) -> str:
         path = self.table_dir(name, wave)
         df.write.mode("overwrite").parquet(path)
+        return path
+
+    def write_partitioned(self, df: DataFrame, name: str, wave: int, partition_col: str = "state") -> str:
+        """Write a table hive-partitioned by ``partition_col`` so readers
+        filtering on it (the frontier's PENDING working set) prune whole
+        directories — terminal history costs zero IO per wave."""
+        path = self.table_dir(name, wave)
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
         return path
 
     def write_rows(self, rows: list[dict], name: str, wave: int) -> str:
