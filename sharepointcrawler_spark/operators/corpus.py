@@ -94,45 +94,65 @@ def word_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 # ----------------------------------------------------------- minhash LSH
 
 
+def minhash_signatures_wide(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, m0..m{k-1}) — the k minhash lanes as COLUMNS of one row.
+
+    One groupBy(id) with k min-aggregates over the single portable
+    shingle hash: no |shingles| x k row blowup, no param-table join,
+    map-side partial agg shrinks each partition to one row per doc
+    before the shuffle. The affine params are inlined literals (the
+    exact formula the DuckDB oracle recomputes independently)."""
+    hashed = shingled.withColumn(
+        "h", F.pmod(portable_hash64("shingle"), F.lit(MINHASH_P))
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"m{i}")
+        for (i, a, b) in minhash_params()
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, i, minhash) — k lanes per doc. The shingle set is hashed
-    once (portable md5->int64 mod p) and crossed with the tiny (k)
-    param table (broadcast): |shingles| x k rows, min-combined map-side
-    before the groupBy shuffle."""
-    spark = shingled.sparkSession
-    params = spark.createDataFrame(minhash_params(), "i int, a long, b long")
-    hashed = shingled.withColumn("h", F.pmod(portable_hash64("shingle"), F.lit(MINHASH_P)))
-    return (
-        hashed.join(F.broadcast(params))
-        .withColumn("hv", (F.col("a") * F.col("h") + F.col("b")) % MINHASH_P)
-        .groupBy(id_col, "i")
-        .agg(F.min("hv").alias("minhash"))
+    """(id, i, minhash) long format — a stack of the wide signatures
+    (kept for inspection/tests; the dedup plan uses the wide form)."""
+    wide = minhash_signatures_wide(shingled, id_col)
+    pairs = ", ".join(f"{i}, m{i}" for i in range(MINHASH_K))
+    return wide.select(
+        F.col(id_col), F.expr(f"stack({MINHASH_K}, {pairs})").alias("s")
+    ).select(
+        id_col, F.col("s.col0").alias("i"), F.col("s.col1").alias("minhash")
     )
 
 
-def lsh_bucket_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Candidate pairs: docs agreeing on ALL rows of any band.
+def lsh_bucket_pairs(signatures_wide: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Candidate pairs: docs agreeing on ALL lanes of any band.
 
-    band key = md5 of the ordered minhash lane values in the band
-    (portable string agg). Pairs are produced by a self-join on
-    (band, band_key) — the join key is high-entropy, so the shuffle is
-    uniform; a pathological mega-bucket (all-identical docs) is the
-    data's fault, and AQE skew-split handles it.
+    band key = md5 of the comma-joined lane values of the band, lanes
+    ascending (byte-equal to the oracle's ``string_agg(... ORDER BY i)``).
+    Banding is a pure PROJECTION over the wide signature row (no second
+    aggregation), exploded to (band, band_key) and self-joined — the key
+    is high-entropy md5, so the shuffle is uniform; a pathological
+    mega-bucket (all-identical docs) is the data's fault, and AQE
+    skew-split handles it.
     """
     rows_per_band = MINHASH_K // MINHASH_BANDS
-    banded = (
-        signatures.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",", F.transform(F.array_sort(
-                        F.collect_list(F.struct("i", "minhash"))
-                    ), lambda s: s["minhash"].cast("string"))
+    banded = signatures_wide.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(",", *[
+                            F.col(f"m{b * rows_per_band + j}").cast("string")
+                            for j in range(rows_per_band)
+                        ])
+                    ).alias("band_key"),
                 )
-            ).alias("band_key")
-        )
-    )
+                for b in range(MINHASH_BANDS)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.band_key")
     left = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
@@ -207,7 +227,7 @@ def minhash_lsh_dedup(
     """The scale path end-to-end: shingle -> minhash -> LSH buckets ->
     exact-jaccard verification of candidates only."""
     sh = word_shingles(docs, text_col, id_col).persist()
-    sigs = minhash_signatures(sh, id_col)
+    sigs = minhash_signatures_wide(sh, id_col)
     cands = lsh_bucket_pairs(sigs, id_col)
     return jaccard_pairs(
         docs, threshold, text_col, id_col, candidates=cands, shingled=sh

@@ -18,13 +18,40 @@ failures are lineage, never silently swallowed.
 
 from __future__ import annotations
 
+import hashlib
+import json
 from collections.abc import Callable, Iterator
 from typing import Any
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# response contracts of the two ingest endpoints, mirroring the
+# reference DTOs (snake_case wire names per their JsonPropertyName
+# attributes; the reference parses case-insensitively,
+# SharePointClient.cs:473-476 — the wire format itself is snake_case):
+# UploadResponse.cs (/upload-document) and IngestUploadResponse.cs
+UPLOAD_RESPONSE_SCHEMA = "struct<document_id:string, message:string, source_url:string>"
+INGEST_UPLOAD_RESPONSE_SCHEMA = (
+    "struct<status:string, doc_id:string, chunks:int, reason:string, "
+    "category:string, keywords:array<string>>"
+)
+
+
+def parse_upload_response(body: Column | str) -> Column:
+    """Typed UploadResponse from the /upload-document body
+    (UploadResponse.cs:10-18): (document_id, message, source_url)."""
+    c = F.col(body) if isinstance(body, str) else body
+    return F.from_json(c, UPLOAD_RESPONSE_SCHEMA)
+
+
+def parse_ingest_upload_response(body: Column | str) -> Column:
+    """Typed IngestUploadResponse (IngestUploadResponse.cs:12-23):
+    (status, doc_id, chunks, reason, category, keywords)."""
+    c = F.col(body) if isinstance(body, str) else body
+    return F.from_json(c, INGEST_UPLOAD_RESPONSE_SCHEMA)
 
 
 class ConnectionPool:
@@ -43,11 +70,19 @@ class ConnectionPool:
             cls._instances[target] = cls(target)
         return cls._instances[target]
 
-    def post(self, payload: Any) -> dict:
+    def post(self, payload: Any) -> str:
         # STUB: a real deployment does pooled HTTP here (multipart form
-        # with file bytes + source_url, SharePointClient.cs:449-462).
+        # with file bytes + source_url, SharePointClient.cs:449-462) and
+        # returns the response body. The stub answers a deterministic
+        # UploadResponse-shaped body so the parse contract is exercised.
         self.sent += 1
-        return {"status": "ok", "n": self.sent}
+        doc_id = hashlib.md5(repr(sorted(str(payload))).encode()).hexdigest()[:12]
+        source_url = ""
+        if isinstance(payload, dict):
+            source_url = str(payload.get("source_url", ""))
+        return json.dumps(
+            {"document_id": doc_id, "message": "ok", "source_url": source_url}
+        )
 
 
 def sink_with_status(
@@ -74,6 +109,7 @@ def sink_with_status(
         + [
             T.StructField("ok", T.BooleanType(), False),
             T.StructField("error", T.StringType(), True),
+            T.StructField("response", T.StringType(), True),
         ]
     )
 
@@ -82,17 +118,20 @@ def sink_with_status(
         for pdf in batches:
             oks: list[bool] = []
             errs: list[str | None] = []
+            bodies: list[str | None] = []
             for row in pdf.to_dict("records"):
                 try:
-                    pool.post(payload_fn(row))
+                    bodies.append(pool.post(payload_fn(row)))
                     oks.append(True)
                     errs.append(None)
                 except Exception as exc:  # catch-log-skip, as status row
+                    bodies.append(None)
                     oks.append(False)
                     errs.append(f"{type(exc).__name__}: {exc}")
             out = pdf[id_cols].copy()
             out["ok"] = oks
             out["error"] = errs
+            out["response"] = bodies
             yield out
 
     return df.mapInPandas(send, out_schema)

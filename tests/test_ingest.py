@@ -109,3 +109,38 @@ def test_ingest_document_envelope(spark):
         assert key in body
     assert isinstance(body["Chunks"], list) and body["Chunks"]
     assert {"ChunkIndex", "TextContent", "ContentBytes", "Breadcrumbs"} <= set(body["Chunks"][0])
+
+
+def test_upload_response_contract(spark):
+    """UploadResponse parse (UploadResponse.cs / SharePointClient.cs:473-476):
+    the sink's response body decodes to the typed DTO."""
+    from pyspark.sql import functions as F
+
+    from sharepointcrawler_spark.plans.sinks import (
+        parse_ingest_upload_response,
+        parse_upload_response,
+        sink_with_status,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"https://site/doc{i}") for i in range(6)], "doc_id long, source_url string"
+    )
+    status = sink_with_status(
+        df, "stub://upload", lambda row: {"source_url": row["source_url"]},
+        id_cols=["doc_id"],
+    )
+    parsed = status.select(
+        "doc_id", parse_upload_response("response").alias("r")
+    ).select("doc_id", "r.document_id", "r.message", "r.source_url")
+    rows = {r.doc_id: r for r in parsed.collect()}
+    assert len(rows) == 6
+    assert all(r.message == "ok" and len(r.document_id) == 12 for r in rows.values())
+    assert rows[2].source_url == "https://site/doc2"
+
+    # IngestUploadResponse shape (IngestUploadResponse.cs:12-23)
+    body = '{"status":"ok","doc_id":"abc","chunks":7,"reason":null,"category":"HR","keywords":["badge","policy"]}'
+    one = spark.createDataFrame([(body,)], "body string").select(
+        parse_ingest_upload_response("body").alias("r")
+    ).select("r.*").collect()[0]
+    assert one.status == "ok" and one.doc_id == "abc" and one.chunks == 7
+    assert one.keywords == ["badge", "policy"] and one.category == "HR"
