@@ -238,6 +238,64 @@ def escape_md(s: str) -> str:
     return s.replace("|", "\\|").replace("*", "\\*").replace("_", "\\_").strip()
 
 
+# ------------------------------------------- dormant reference operators
+# Defined-but-never-called in the reference (SURVEY §2.8 D5-D7);
+# reproduced for API completeness so a reference user porting custom
+# subclasses finds the full surface.
+
+_ORPHAN_WORD = re.compile(r"^[A-Za-z]{1,12}$")
+
+
+def is_orphan_word(body_texts: list[str], idx: int) -> bool:
+    """IsOrphanWord (PdfToMarkdownConverter.cs:643-650, dormant): a short
+    1-12-letter word whose previous or next body line is a numbered
+    heading."""
+    txt = body_texts[idx].strip()
+    if not _ORPHAN_WORD.match(txt):
+        return False
+    prev_is = idx > 0 and bool(_NUMBERED_HEADING.match(body_texts[idx - 1]))
+    next_is = idx + 1 < len(body_texts) and bool(
+        _NUMBERED_HEADING.match(body_texts[idx + 1])
+    )
+    return prev_is or next_is
+
+
+def write_meta_row(out: list[str], key: str, value: str | None) -> None:
+    """WriteMetaRow (PdfToMarkdownConverter.cs:347-351, dormant): append a
+    ``| key | value |`` markdown row when the value is non-blank."""
+    if value is not None and value.strip():
+        out.append(f"| {escape_md(key)} | {escape_md(value)} |")
+
+
+# AssignHeader's validated key -> (field, value-pattern-or-None) mapping
+# (PdfToMarkdownConverter.cs:371-399, dormant duplicate of the D2 sweep)
+_ASSIGN_HEADER_RULES: dict[str, tuple[str, str | None]] = {
+    "document no.": ("doc", r"^[A-Z0-9\-]+$"),
+    "document no": ("doc", r"^[A-Z0-9\-]+$"),
+    "effective date": ("eff", r"^\d{2}/\d{2}/\d{4}$"),
+    "revision": ("rev", r"^[A-Za-z0-9]+$"),
+    "accountable organization": ("org", None),
+    "management approval": ("appr", None),
+    "source": ("src", None),
+}
+
+
+def assign_header(header: dict[str, str], key_raw: str, val_raw: str) -> None:
+    """AssignHeader (PdfToMarkdownConverter.cs:371-399, dormant): key is
+    trimmed, colon-stripped and lower-cased; values are pattern-validated
+    before assignment; 'page' is explicitly ignored."""
+    key = key_raw.strip().rstrip(":").lower()
+    val = val_raw.strip()
+    if key == "page":
+        return
+    rule = _ASSIGN_HEADER_RULES.get(key)
+    if rule is None:
+        return
+    field, pattern = rule
+    if pattern is None or re.match(pattern, val):
+        header[field] = val
+
+
 # ------------------------------------------------------------ header parse
 
 

@@ -248,3 +248,44 @@ def test_html_roundtrip_words():
     assert len(pages) == spec.n_pages
     assert heights == [792.0] * spec.n_pages
     assert all(len(p) > 0 for p in pages)
+
+
+def test_dormant_operators_d5_d6_d7():
+    """D5-D7 (SURVEY §2.8): dormant in the reference but part of the
+    declared surface — IsOrphanWord (:643-650), WriteMetaRow (:347-351),
+    AssignHeader (:371-399)."""
+    from sharepointcrawler_spark.extraction.converter import (
+        assign_header,
+        is_orphan_word,
+        write_meta_row,
+    )
+
+    body = ["1.0 Purpose", "Badge", "This is a full sentence line.", "2.0 Scope"]
+    assert is_orphan_word(body, 1)            # adjacent to heading above
+    assert not is_orphan_word(body, 2)        # not a 1-12-letter word
+    assert is_orphan_word(body, 3) is False   # heading itself: has digits
+    assert is_orphan_word(["x", "1.0 T"], 0)  # heading below
+    assert not is_orphan_word(["abc", "plain"], 0)  # no adjacent heading
+    assert not is_orphan_word(["supercalifragilistic", "1.0 T"], 0)  # >12
+
+    out: list[str] = []
+    write_meta_row(out, "Doc|No", "CLG_1*")
+    write_meta_row(out, "Empty", "   ")
+    write_meta_row(out, "None", None)
+    assert out == ["| Doc\\|No | CLG\\_1\\* |"]  # escaped; blanks skipped
+
+    h: dict[str, str] = {}
+    assign_header(h, " Document No.: ", "CLG-EN-1000")
+    assign_header(h, "document no", "lower-invalid")   # pattern rejects
+    assign_header(h, "Effective Date", "01/02/2024")
+    assign_header(h, "effective date:", "2024-01-02")  # pattern rejects
+    assign_header(h, "Revision", "B")
+    assign_header(h, "Accountable Organization", "Safety Office")
+    assign_header(h, "Management Approval", "Jane Doe")
+    assign_header(h, "Source", "Internal")
+    assign_header(h, "Page", "2 of 4")                 # explicitly ignored
+    assign_header(h, "Unknown Key", "whatever")        # unmapped
+    assert h == {
+        "doc": "CLG-EN-1000", "eff": "01/02/2024", "rev": "B",
+        "org": "Safety Office", "appr": "Jane Doe", "src": "Internal",
+    }
