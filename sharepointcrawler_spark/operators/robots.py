@@ -91,3 +91,101 @@ def apply_robots_gate(wave: DataFrame, gate: RobotsGate) -> tuple[DataFrame, Dat
     allowed = tagged.filter(F.col("_allowed")).drop("_allowed")
     denied = tagged.filter(~F.col("_allowed")).drop("_allowed")
     return allowed, denied
+
+
+# ------------------------------------------------------ robots.txt parse
+
+def parse_robots_txt(
+    host: str, text: str, agent: str = "*"
+) -> list[tuple[str, str, str, float | None]]:
+    """Parse one robots.txt body into ROBOTS_SCHEMA rows for ``agent``.
+
+    RFC 9309 group selection, simplified to the crawl cache's prefix
+    model: consecutive ``User-agent`` lines open a group; the group
+    whose agent token is the longest case-insensitive substring match of
+    ``agent`` wins, with ``*`` as fallback. ``Allow``/``Disallow`` carry
+    path prefixes (an empty Disallow means allow-everything and emits no
+    rule); ``Crawl-delay`` rides on every emitted row for the host (the
+    RobotsGate keeps one delay per host). ``$``/``*`` path wildcards are
+    NOT interpreted — the gate is longest-PREFIX match (the dominant
+    pattern in real robots files); wildcard semantics belong in the
+    matcher UDF if ever needed.
+    """
+    agent_l = agent.lower()
+    groups: list[tuple[list[str], list[tuple[str, str]], float | None]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, str]] = []
+    cur_delay: float | None = None
+    in_group_header = False
+
+    def flush():
+        nonlocal cur_agents, cur_rules, cur_delay
+        if cur_agents:
+            groups.append((cur_agents, cur_rules, cur_delay))
+        cur_agents, cur_rules, cur_delay = [], [], None
+
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_group_header:
+                flush()
+                in_group_header = True
+            cur_agents.append(val.lower())
+            continue
+        in_group_header = False
+        if key in ("allow", "disallow"):
+            if val == "" and key == "disallow":
+                continue  # empty Disallow = allow all
+            if val:
+                cur_rules.append(("allow" if key == "allow" else "deny", val))
+        elif key == "crawl-delay":
+            try:
+                cur_delay = float(val)
+            except ValueError:
+                pass
+    flush()
+
+    best: tuple[int, list[tuple[str, str]], float | None] | None = None
+    for agents, rules, delay in groups:
+        for a in agents:
+            if a == "*":
+                score = 0
+            elif a in agent_l:
+                score = len(a)
+            else:
+                continue
+            if best is None or score > best[0]:
+                best = (score, rules, delay)
+    if best is None:
+        return []
+    _, rules, delay = best
+    rows = [(host, rt, prefix, delay) for rt, prefix in rules]
+    if not rows and delay is not None:
+        rows = [(host, "allow", "", delay)]
+    return rows
+
+
+def robots_rules_df(spark_or_df, texts: DataFrame | None = None, agent: str = "*") -> DataFrame:
+    """(host, robots_txt) table -> ROBOTS_SCHEMA rule rows, parsed on the
+    executors (mapInPandas over Arrow batches): at web scale robots
+    bodies are a big fetched table; the RULES distilled from it are the
+    tiny broadcastable cache the RobotsGate wants."""
+    import pandas as pd  # noqa: F811 (module-level import exists)
+
+    df = texts if texts is not None else spark_or_df
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for h, t in zip(pdf["host"], pdf["robots_txt"]):
+                rows.extend(parse_robots_txt(h, t, agent))
+            yield pd.DataFrame(
+                rows, columns=["host", "rule_type", "path_prefix", "crawl_delay_s"]
+            )
+
+    return df.select("host", "robots_txt").mapInPandas(parse, ROBOTS_SCHEMA)

@@ -1,0 +1,70 @@
+"""robots.txt parsing -> broadcast rule cache -> wave gate (T5 +
+north_star 'robots.txt allow/deny cache broadcast to executors')."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sharepointcrawler_spark.operators.robots import (
+    RobotsGate,
+    apply_robots_gate,
+    parse_robots_txt,
+    robots_rules_df,
+)
+
+ROBOTS_A = """
+# comments are stripped
+User-agent: megacrawler
+Disallow: /private/
+Allow: /private/press/
+Crawl-delay: 2.5
+
+User-agent: *
+Disallow: /tmp/
+"""
+
+ROBOTS_B = """
+User-agent: *
+Disallow:
+Crawl-delay: 7
+"""
+
+
+def test_parse_group_selection_and_rules():
+    # specific agent group wins over *
+    rows = parse_robots_txt("a.com", ROBOTS_A, agent="MegaCrawler/2.0")
+    assert ("a.com", "deny", "/private/", 2.5) in rows
+    assert ("a.com", "allow", "/private/press/", 2.5) in rows
+    assert all("/tmp/" not in r[2] for r in rows)
+    # unknown agent falls back to *
+    rows_star = parse_robots_txt("a.com", ROBOTS_A, agent="otherbot")
+    assert rows_star == [("a.com", "deny", "/tmp/", None)]
+    # empty Disallow = allow everything; crawl-delay still surfaces
+    rows_b = parse_robots_txt("b.com", ROBOTS_B)
+    assert rows_b == [("b.com", "allow", "", 7.0)]
+    # no matching group at all -> no rules (gate allows by default)
+    assert parse_robots_txt("c.com", "User-agent: onlybot\nDisallow: /x\n", "elsebot") == []
+
+
+def test_rules_df_feeds_gate_end_to_end(spark):
+    texts = spark.createDataFrame(
+        [("a.com", ROBOTS_A), ("b.com", ROBOTS_B)], "host string, robots_txt string"
+    )
+    rules = robots_rules_df(texts, agent="megacrawler")
+    gate = RobotsGate(spark, rules)
+    wave = spark.createDataFrame(
+        [
+            ("https://a.com/private/secret",),   # denied
+            ("https://a.com/private/press/x",),  # allow overrides (longest prefix)
+            ("https://a.com/public",),           # no rule -> allow
+            ("https://b.com/anything",),         # empty disallow -> allow
+            ("https://nohost.com/x",),           # unknown host -> allow
+        ],
+        ["url_canon"],
+    )
+    allowed, denied = apply_robots_gate(wave, gate)
+    assert {r.url_canon for r in denied.collect()} == {"https://a.com/private/secret"}
+    assert allowed.count() == 4
+    # crawl-delay reaches the politeness scheduler
+    delays = {r.host: r.crawl_delay_s for r in gate.delays_df().collect()}
+    assert delays == {"a.com": 2.5, "b.com": 7.0}
