@@ -102,3 +102,73 @@ def metrics_stream(spark: SparkSession, watch_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stateful_politeness_stream(
+    spark: SparkSession,
+    watch_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    default_delay_s: float = 1.0,
+    delays: dict[str, float] | None = None,
+):
+    """Streaming T3 via ``applyInPandasWithState``: per-host virtual-clock
+    fetch slots that stay MONOTONE across micro-batches.
+
+    The batch engine ranks a whole wave at once (operators/politeness);
+    a streaming crawler sees each host's URLs dribble in over many
+    micro-batches, so the next free slot per host is CUSTOM STATE: a
+    GroupState holding ``next_rank``, persisted in the streaming state
+    store (checkpoint) — a restarted query resumes its virtual clocks
+    with no slot reuse. Within a batch, a host's rows are ordered by
+    (warc_ts, url_canon) for determinism.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import _parse_datatype_string
+
+    delays_map = dict(delays or {})
+    schema = _parse_datatype_string(PAGES_SCHEMA)
+    out_schema = _parse_datatype_string(
+        "host string, url_canon string, host_rank long, fetch_slot double"
+    )
+    state_schema = _parse_datatype_string("next_rank long")
+
+    def assign(key, pdfs, state: GroupState):
+        host = key[0]
+        (next_rank,) = state.get if state.exists else (1,)
+        delay = delays_map.get(host, default_delay_s)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["warc_ts", "url_canon"], kind="mergesort")
+            n = len(pdf)
+            ranks = list(range(next_rank, next_rank + n))
+            next_rank += n
+            yield pd.DataFrame(
+                {
+                    "host": [host] * n,
+                    "url_canon": list(pdf["url_canon"]),
+                    "host_rank": ranks,
+                    "fetch_slot": [(r - 1) * delay for r in ranks],
+                }
+            )
+        state.update((int(next_rank),))
+
+    stream = spark.readStream.schema(schema).parquet(watch_dir)
+    ranked = (
+        with_url_columns(stream)
+        .select("host", "url_canon", "warc_ts")
+        .groupBy("host")
+        .applyInPandasWithState(
+            assign, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+    return (
+        ranked.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

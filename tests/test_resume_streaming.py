@@ -92,3 +92,41 @@ def test_streaming_metrics(spark, tmp_path):
     # passes; schema must be right and the query must have consumed input
     assert set(out.columns) == {"window", "host", "n_pages", "avg_html_bytes"}
     assert q.lastProgress is None or q.lastProgress["numInputRows"] >= 0
+
+
+def test_stateful_politeness_stream(spark, tmp_path):
+    """applyInPandasWithState custom operator: per-host virtual clocks
+    stay monotone across micro-batches AND across a query restart (state
+    store in the checkpoint)."""
+    from sharepointcrawler_spark.streaming.incremental import stateful_politeness_stream
+
+    watch = str(tmp_path / "in_slots")
+    out = str(tmp_path / "out_slots")
+    ckpt = str(tmp_path / "ckpt_slots")
+    rows = build_pages_rows(n_docs=12, n_hosts=2, seed=42)
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+
+    df.filter(F.col("url").rlike("doc[0-7]$")).write.mode("append").parquet(watch)
+    q = stateful_politeness_stream(spark, watch, out, ckpt, delays={"site0.example.com": 2.0})
+    q.awaitTermination(120)
+    first = spark.read.parquet(out)
+    n_first_per_host = {
+        r.host: r.n for r in first.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+
+    # restart with 4 more docs: ranks must CONTINUE, not reset
+    df.filter(F.col("url").rlike("doc(8|9|10|11)$")).write.mode("append").parquet(watch)
+    q2 = stateful_politeness_stream(spark, watch, out, ckpt, delays={"site0.example.com": 2.0})
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 12
+    for host_rows in (
+        got.filter(F.col("host") == h).orderBy("host_rank").collect()
+        for h in n_first_per_host
+    ):
+        ranks = [r.host_rank for r in host_rows]
+        assert ranks == list(range(1, len(ranks) + 1))  # dense, monotone, no reuse
+    # per-host crawl-delay respected in the virtual clock
+    s0 = got.filter(F.col("host") == "site0.example.com").orderBy("host_rank").collect()
+    assert [r.fetch_slot for r in s0] == [(r.host_rank - 1) * 2.0 for r in s0]
