@@ -572,6 +572,30 @@ def q_ann_topk_lsh(spark, sf_dir):
     )
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """ANN through the IVF path (spherical-k-means coarse quantizer +
+    n_probe cells): planted 2x-scaled probes normalize to their parent's
+    exact direction, so they land in the parent's cell and the cell join
+    must surface the parent as rank-1 at cosine 1.0."""
+    from sharepointcrawler_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(emb, n_centroids=16, seed=7)
+    queries = _scaled_twins(emb, 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = ivf_topk(emb, queries, centroids, k=5, n_probe=2)
+    return top.filter(F.col("rank") == 1).select(
+        F.col("query_id").cast("long"),
+        F.col("rank").cast("long"),
+        F.col("vec_id").cast("long"),
+        "score",
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Near-dup pairs over the corpus + 25 planted twins. The oracle
     brute-forces ALL pairs at the threshold (fixture max base-pair cosine
@@ -694,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible)
         "dedup_simhash": q_dedup_simhash,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
         "crawl_wave": q_crawl_wave,
@@ -1031,6 +1056,15 @@ cands AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
         "ann_topk_lsh": """
             -- top-down expectation: each planted 2x-scaled probe's
             -- nearest neighbor is its parent vector at cosine exactly 1.0
+            SELECT vec_id + 1000000 AS query_id, CAST(1 AS BIGINT) AS rank,
+                   vec_id, 1.0 AS score
+            FROM embeddings WHERE vec_id < 10
+        """,
+        "ann_topk_ivf": """
+            -- top-down expectation: each planted 2x-scaled probe
+            -- normalizes to its parent's direction, lands in the
+            -- parent's IVF cell, and the parent is the unique nearest
+            -- neighbor at cosine exactly 1.0
             SELECT vec_id + 1000000 AS query_id, CAST(1 AS BIGINT) AS rank,
                    vec_id, 1.0 AS score
             FROM embeddings WHERE vec_id < 10

@@ -148,3 +148,101 @@ def embedding_near_dup_pairs(
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", F.round("score", 6).alias("score"))
     )
+
+
+# -------------------------------------------------------------- IVF ANN
+
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 8,
+    sample_size: int = 4096,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer trained on a bounded sample.
+
+    Training a coarse quantizer is an offline/driver step even at scale
+    (FAISS trains IVF on a sample too): ``sample_size`` rows come back to
+    the driver, numpy iterates. The sample is the lowest ``sample_size``
+    ids (ordered — a bare limit() is partition-order-dependent), so
+    training is fully deterministic under ``seed``. Assignment is argmax
+    cosine (vectors and centroids unit-normalized), so scaling a vector
+    never changes its cell. Empty cells keep their previous centroid."""
+    sample = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    mat = _normalize_rows(np.array([r[1] for r in sample], dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    n_centroids = min(n_centroids, len(mat))
+    centroids = mat[rng.choice(len(mat), size=n_centroids, replace=False)]
+    for _ in range(n_iters):
+        assign = (mat @ centroids.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize_rows(centroids)
+    return centroids
+
+
+def ivf_assign_udf(centroids: np.ndarray, n_probe: int = 1):
+    """Pandas UDF: vector -> the n_probe nearest centroid ids (argmax
+    cosine on the normalized vector; one matmul per Arrow batch)."""
+    cts = centroids  # captured, shipped once per task
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe(vecs: pd.Series) -> pd.Series:  # pragma: no cover
+        mat = _normalize_rows(np.stack(vecs.to_numpy()).astype(np.float64))
+        scores = mat @ cts.T
+        top = np.argsort(-scores, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(top))
+
+    return probe
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF ANN top-k: corpus rows live in their argmax-cosine cell; each
+    query probes its ``n_probe`` nearest cells and scores exact cosine
+    within them only. The join key is the cell id, so the shuffle is
+    |corpus| + n_probe x |queries| — never the cross product. A query's
+    own cell is always probed (argmax is probe #1), so an exact-duplicate
+    vector is always found."""
+    assign1 = ivf_assign_udf(centroids, n_probe=1)
+    assignp = ivf_assign_udf(centroids, n_probe=n_probe)
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col).cast("array<double>").alias("_qv"),
+        F.explode(assignp(F.col(query_vec_col))).alias("cell"),
+    )
+    scored = c.join(F.broadcast(q), "cell").withColumn(
+        "score", cosine_sim(F.col("_cv"), F.col("_qv"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, F.round("score", 6).alias("score"))
+    )

@@ -180,3 +180,32 @@ def test_multimodal_plumbing(spark):
     )
     frames = frame_sample_stub(video, every_n=2).collect()
     assert [f.frame_idx for f in frames] == [0, 2, 4]
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF (spherical k-means cells + n_probe) finds the exact top-1 for
+    in-corpus queries and has decent top-5 recall on the fixture."""
+    from sharepointcrawler_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = train_ivf_centroids(emb, n_centroids=8, seed=7)
+    assert centroids.shape == (8, 64)
+    queries = emb.filter("vec_id < 8").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, centroids, k=5, n_probe=3).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_top1 = {r.query_id: r.vec_id for r in approx if r.rank == 1}
+    # an in-corpus query's own cell is always probed -> top-1 is itself
+    assert approx_top1 == {q: q for q in range(8)}
+    hits = sum(
+        1 for r in approx if r.vec_id in exact_sets[r.query_id]
+    )
+    assert hits / (5 * 8) >= 0.5  # n_probe=3 of 8 cells on random vectors
