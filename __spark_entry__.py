@@ -2,11 +2,14 @@
 
 ``queries()`` exposes the implemented operator inventory from
 SURVEY.md §2 plus the training-data pipeline layer over the driver's
-TPC-H-ish tables; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL
-for every SQL-expressible operator (portable constructs only: md5-hex
--> int64 hashing, decimal-exact aggregation, \\b regex counts).
-Non-SQL-expressible ops (simhash, hyperplane LSH, multimodal stubs,
-crawl wave) are exposed rows-only.
+TPC-H-ish tables; ``oracle_sql()`` gives a DuckDB oracle for EVERY
+entry (portable constructs only: md5-hex -> int64 hashing,
+decimal-exact aggregation, \\b regex counts, list ops). Ops whose
+output is not directly SQL-recomputable (hyperplane LSH, IVF, the fake
+multimodal codec, the crawl wave) are verified against top-down derived
+expectations instead: planted 2x-scaled twin vectors (IEEE-exact same
+bucket/cell, cosine exactly 1.0), the blob-construction formula, and
+the synthetic corpus' link-topology formula.
 
 Integer results are cast to long on the Spark side (DuckDB counts are
 BIGINT); float aggregates go through DECIMAL(18,2) so both engines sum
@@ -382,6 +385,18 @@ def q_chunk_text(spark, sf_dir):
     )
 
 
+def q_text_winnowing(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (k=3-gram, window w=4): the
+    oracle recomputes the same gram hashes and window minima with DuckDB
+    list ops."""
+    from sharepointcrawler_spark.functions.textanalysis import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, k=3, w=4).select(
+        F.col("doc_id").cast("long"), F.col("fp").cast("long")
+    )
+
+
 def q_ann_topk_bruteforce(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
@@ -714,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_token_counts": q_text_token_counts,
         "chunk_text": q_chunk_text,
+        "text_winnowing": q_text_winnowing,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         # rows-only (non-SQL-expressible)
         "dedup_simhash": q_dedup_simhash,
@@ -1120,6 +1136,24 @@ cands AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
                      || CAST(i AS VARCHAR) AS url,
                    true AS byte_identical
             FROM (SELECT unnest(generate_series(0, 23)) AS i)
+        """,
+        "text_winnowing": """
+            WITH norm AS (
+              SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+              FROM documents),
+            words AS (SELECT doc_id, regexp_split_to_array(t, ' ') AS wds FROM norm),
+            hashes AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, greatest(len(wds) - 2, 1)),
+                       i -> CAST(('0x' || substr(md5(array_to_string(list_slice(wds, i, i + 2), ' ')), 1, 15))::UBIGINT AS BIGINT)
+                     ) AS hs
+              FROM words),
+            mins AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+                       j -> list_aggregate(list_slice(hs, j, j + 3), 'min'))) AS fps
+              FROM hashes)
+            SELECT doc_id, unnest(fps) AS fp FROM mins
         """,
         "ann_topk_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),

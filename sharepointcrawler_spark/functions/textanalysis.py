@@ -123,3 +123,35 @@ def portable_hash64(col: Column | str) -> Column:
 def doc_fingerprint(col: Column | str) -> Column:
     """Whole-document fingerprint over normalized text (exact-dedup key)."""
     return F.md5(normalize_text(col))
+
+
+def winnowing_fingerprints(
+    docs, k: int = 3, w: int = 4, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    k-word-gram rolling hashes, minimum per sliding window of w grams,
+    distinct minima = the fingerprint set. Guarantees any shared run of
+    >= k+w-1 words between two documents shares a fingerprint.
+
+    100% JVM builtins (split -> gram array -> portable hash transform ->
+    windowed array_min -> array_distinct -> explode): no shuffle at all
+    until the caller aggregates, and byte-equal to a DuckDB list-ops
+    oracle. Returns (id, fp) rows."""
+    from pyspark.sql import functions as F
+
+    words = F.split(normalize_text(text_col), " ")
+    n_grams = F.greatest(F.size(words) - F.lit(k - 1), F.lit(1))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(words, i, k))), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    n_windows = F.greatest(F.size(gram_hashes) - F.lit(w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(gram_hashes, j, w)),
+    )
+    return docs.select(
+        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp")
+    )
