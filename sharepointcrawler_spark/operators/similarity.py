@@ -246,3 +246,62 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, F.round("score", 6).alias("score"))
     )
+
+
+def lsh_topk_multiband(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_bands: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """OR-amplified LSH ANN: ``n_bands`` independent hyperplane tables
+    (seeds seed..seed+n_bands-1); a (query, vector) pair is a candidate
+    if it collides in ANY band — miss probability decays exponentially
+    with the band count, so recall is tunable without growing buckets.
+
+    Plan shape: the bucket tables carry only (id, band, bucket) — vectors
+    do NOT ride through the n_bands-way explode; candidates are deduped
+    as bare id pairs, then the (tiny) pair set joins the vectors back for
+    one exact-cosine pass. Shuffles: |corpus| x n_bands skinny rows +
+    |candidates|, never the cross product."""
+    def banded(df, idc, vecc):
+        parts = [
+            F.struct(
+                F.lit(b).alias("band"),
+                lsh_bucket_udf(dim, n_planes, seed + b)(F.col(vecc)).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+        return df.select(F.col(idc), F.explode(F.array(*parts)).alias("bb")).select(
+            idc, "bb.band", "bb.bucket"
+        )
+
+    c_buckets = banded(corpus, id_col, vec_col)
+    q_buckets = banded(queries, query_id_col, query_vec_col)
+    cands = (
+        c_buckets.join(F.broadcast(q_buckets), ["band", "bucket"])
+        .select(query_id_col, id_col)
+        .distinct()
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_qv")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
+    scored = (
+        cands.join(c, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .withColumn("score", cosine_sim(F.col("_cv"), F.col("_qv")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, F.round("score", 6).alias("score"))
+    )

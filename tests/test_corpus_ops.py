@@ -209,3 +209,36 @@ def test_ivf_topk_recall_vs_exact(spark):
         1 for r in approx if r.vec_id in exact_sets[r.query_id]
     )
     assert hits / (5 * 8) >= 0.5  # n_probe=3 of 8 cells on random vectors
+
+
+def test_lsh_multiband_recall_dominates_single_band(spark):
+    """OR-amplification: n_bands independent hyperplane tables can only
+    ADD candidates, so multiband top-k recall >= single-band recall."""
+    from sharepointcrawler_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        lsh_topk_multiband,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 8").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(rows):
+        return sum(1 for r in rows if r.vec_id in exact_sets[r.query_id]) / (5 * 8)
+
+    single = recall(lsh_topk(emb, queries, k=5, dim=64, n_planes=8).collect())
+    multi = recall(
+        lsh_topk_multiband(emb, queries, k=5, dim=64, n_planes=8, n_bands=4).collect()
+    )
+    assert multi >= single
+    # every query finds at least itself (same bucket in every band)
+    top1 = {r.query_id: r.vec_id for r in
+            lsh_topk_multiband(emb, queries, k=5, dim=64, n_planes=8, n_bands=4).collect()
+            if r.rank == 1}
+    assert top1 == {q: q for q in range(8)}
