@@ -1,0 +1,104 @@
+"""Property-based invariants (hypothesis) for the column-function layer —
+the randomized complement to the example-based suites (SURVEY §5: the
+reference has no tests at all; we add generative coverage).
+
+Each property generates a whole BATCH per example and runs one Spark job
+over it (hypothesis example count kept small; Spark jobs are the cost)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+# url-ish strings: scheme/host casings, ports, dot segments, queries
+_url = st.builds(
+    lambda scheme, host, port, path, q: f"{scheme}://{host}{port}{path}{q}",
+    st.sampled_from(["http", "HTTP", "https", "HTTPS", "hTtPs"]),
+    st.sampled_from(["Example.COM", "a.b.example.com", "SITE7.net", "x-y.org"]),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.sampled_from(["", "/", "/a/b", "/a/./b", "/a/../b", "/Dir%7Ex", "/p q"]),
+    st.sampled_from(["", "?b=2&a=1", "?x=%41"]),
+)
+
+_words = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=6), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_url, min_size=1, max_size=25))
+def test_canonicalize_idempotent(spark, urls):
+    """canonicalize(canonicalize(u)) == canonicalize(u): the canonical
+    form is a fixed point (RFC 3986 normalization is idempotent)."""
+    from sharepointcrawler_spark.functions.urlnorm import canonicalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    out = df.select(
+        canonicalize_url("url").alias("c1"),
+    ).select("c1", canonicalize_url("c1").alias("c2")).collect()
+    for r in out:
+        assert r.c1 == r.c2
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abc XY.\n", min_size=0, max_size=400), min_size=1, max_size=12),
+    st.integers(min_value=2, max_value=50),
+    st.integers(min_value=0, max_value=30),
+)
+def test_chunk_text_matches_python_slicing(spark, texts, size, overlap):
+    """chunk i == text[i*stride : i*stride + size] and the chunks cover
+    the whole text (last chunk reaches the end)."""
+    from sharepointcrawler_spark.operators.chunking import chunk_text
+
+    if overlap >= size:
+        overlap = size - 1
+    stride = size - overlap
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = chunk_text(df, chunk_size=size, overlap=overlap).collect()
+    by_doc: dict[int, dict[int, str]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_index] = r.chunk
+    for i, t in enumerate(texts):
+        chunks = by_doc[i]
+        n = len(chunks)
+        assert sorted(chunks) == list(range(n))  # dense indexes
+        for j in range(n):
+            assert chunks[j] == t[j * stride : j * stride + size]
+        assert (n - 1) * stride + size >= len(t)  # full coverage
+        if n > 1:  # no spurious trailing chunk
+            assert (n - 2) * stride + size < len(t)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_words, _words, st.data())
+def test_winnowing_shared_run_guarantee(spark, a_words, b_words, data):
+    """Winnowing guarantee: two docs sharing a run of >= k+w-1 words
+    (k=3, w=4 -> 6 words) share at least one fingerprint."""
+    from sharepointcrawler_spark.functions.textanalysis import winnowing_fingerprints
+
+    run = data.draw(st.lists(st.sampled_from(["q", "rr", "sss", "tt"]), min_size=6, max_size=6))
+    doc_a = " ".join(a_words + run)
+    doc_b = " ".join(run + b_words)
+    df = spark.createDataFrame([(0, doc_a), (1, doc_b)], "doc_id long, text string")
+    rows = winnowing_fingerprints(df, k=3, w=4).collect()
+    fps = {0: set(), 1: set()}
+    for r in rows:
+        fps[r.doc_id].add(r.fp)
+    assert fps[0] & fps[1]
+
+
+@settings(max_examples=5, deadline=None)
+@given(_words, st.randoms())
+def test_simhash_is_token_order_invariant(spark, words, rnd):
+    """SimHash sums ±1 per bit over the token MULTISET — permuting the
+    tokens must not change the signature; equal docs have hamming 0."""
+    from sharepointcrawler_spark.operators.corpus import simhash_signature
+
+    shuffled = list(words)
+    rnd.shuffle(shuffled)
+    df = spark.createDataFrame(
+        [(0, " ".join(words)), (1, " ".join(shuffled))], "doc_id long, text string"
+    )
+    sims = {r.doc_id: r.sim for r in simhash_signature(df).collect()}
+    assert sims[0] == sims[1]
