@@ -122,28 +122,28 @@ _COMBO_DOC_PAGE = re.compile(r"(?i)^(?P<doc>[A-Z0-9\-]+)\s+(?P<page>\d+\s+of\s+\
 # ----------------------------------------------------------- layout model
 
 
-@dataclass
+@dataclass(slots=True)
 class Word:
     text: str
     left: float
     right: float
 
 
-@dataclass
+@dataclass(slots=True)
 class Line:
     y: float
     words: list[Word] = field(default_factory=list)
     text: str = ""
 
 
-@dataclass
+@dataclass(slots=True)
 class PageLines:
     number: int
     height: float
     lines: list[Line] = field(default_factory=list)
 
 
-@dataclass
+@dataclass(slots=True)
 class RawWord:
     """Input word box: what PdfPig's Word gives the reference."""
 
