@@ -172,3 +172,36 @@ def stateful_politeness_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_metrics_parquet(
+    spark: SparkSession,
+    watch_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+):
+    """Event-time windowed metrics with LATE-DATA semantics: append-mode
+    windowed counts over a watermark. A window emits exactly once, when
+    the watermark passes its end; rows arriving after that are DROPPED
+    (never double-counted) — the contract a streaming crawl's metrics
+    need to stay idempotent. Watermark state persists in the checkpoint
+    across availableNow restarts."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = _parse_datatype_string("ts timestamp, host string, v double")
+    stream = spark.readStream.schema(schema).parquet(watch_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "host")
+        .agg(F.count("*").alias("n"), F.avg("v").alias("avg_v"))
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -130,3 +130,46 @@ def test_stateful_politeness_stream(spark, tmp_path):
     # per-host crawl-delay respected in the virtual clock
     s0 = got.filter(F.col("host") == "site0.example.com").orderBy("host_rank").collect()
     assert [r.fetch_slot for r in s0] == [(r.host_rank - 1) * 2.0 for r in s0]
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data contract: a row arriving after the watermark passed its
+    window is dropped — the window emits once and its count never moves."""
+    import datetime as dt
+
+    from sharepointcrawler_spark.streaming.incremental import windowed_metrics_parquet
+
+    watch = str(tmp_path / "in_wm")
+    out = str(tmp_path / "out_wm")
+    ckpt = str(tmp_path / "ckpt_wm")
+    base = dt.datetime(2024, 1, 1, 1, 0, tzinfo=dt.timezone.utc)
+
+    def write(rows):
+        spark.createDataFrame(rows, "ts timestamp, host string, v double").coalesce(
+            1
+        ).write.mode("append").parquet(watch)
+
+    # batch 1: three rows in window [01:00, 01:10) + a watermark-advancer
+    write([
+        (base, "h", 1.0),
+        (base + dt.timedelta(minutes=2), "h", 2.0),
+        (base + dt.timedelta(minutes=4), "h", 3.0),
+        (base + dt.timedelta(hours=2), "h", 9.0),  # watermark -> 02:30
+    ])
+    windowed_metrics_parquet(spark, watch, out, ckpt).awaitTermination(120)
+
+    # batch 2: a LATE row for the finalized window + another advancer
+    write([
+        (base + dt.timedelta(minutes=5), "h", 99.0),  # LATE: must be dropped
+        (base + dt.timedelta(hours=3), "h", 9.0),
+    ])
+    windowed_metrics_parquet(spark, watch, out, ckpt).awaitTermination(120)
+    # batch 3: flush any finalized-but-unemitted windows
+    write([(base + dt.timedelta(hours=4), "h", 9.0)])
+    windowed_metrics_parquet(spark, watch, out, ckpt).awaitTermination(120)
+
+    got = spark.read.parquet(out).collect()
+    first = [r for r in got if r.window.start.minute == 0 and r.window.start.hour == 1]
+    assert len(first) == 1          # emitted exactly once, never updated
+    assert first[0].n == 3          # the late row is NOT counted
+    assert abs(first[0].avg_v - 2.0) < 1e-9
