@@ -278,6 +278,8 @@ def run_crawl(
             "bloom_shards": store.write(shards, "bloom_shards", wave),
             "fetch_log": store.write(fetch_log, "fetch_log", wave),
         }
+        n_scheduled = scheduled.count()
+        n_discovered = seen_delta.count()
         if failed is not None:
             # errors table (S6 ErrorLogger analog): per-failure lineage
             errors = failed.select(
@@ -312,9 +314,12 @@ def run_crawl(
         t_writes = time.monotonic()
         stats = {
             "wave": wave,
-            "scheduled": spark.read.parquet(tables["fetch_log"]).count(),
+            # counts come from the still-persisted wave DataFrames (no
+            # parquet re-read jobs); delta_rows is the one read-back —
+            # it is the EVIDENCE of rows physically written this wave
+            "scheduled": n_scheduled,
             "denied": denied.count(),
-            "discovered_new": spark.read.parquet(tables["seen"]).count(),
+            "discovered_new": n_discovered,
             "delta_rows": spark.read.parquet(delta_path).count(),
             "compacted": compacted,
             "elapsed_s": round(time.monotonic() - t0, 3),
