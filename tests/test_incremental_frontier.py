@@ -70,3 +70,35 @@ def test_compaction_equivalence_and_resume(spark, tmp_path):
     # zero re-fetches across the kill/compaction/resume boundary
     log = ra2.fetch_log.toPandas()
     assert (log.groupby("url_canon").size() > 1).sum() == 0
+
+
+def test_per_host_budget_defers_at_zero_delta_cost(spark, tmp_path):
+    """W5 budget: deferred rows are simply NOT in the wave's delta (they
+    stay pending in the merged view), yet the crawl converges to the
+    same fetched set as the unbudgeted run — just over more waves, with
+    at most k fetches per host per wave."""
+    from pyspark.sql import functions as F
+
+    root, edges = _edges(spark, depth=2, files=4, folders=2)
+    sa = SnapshotStore(spark, str(tmp_path / "budget"))
+    ra = run_crawl(
+        spark, sa, graph_expander(edges), seeds=[(root.url, 0)],
+        config=CrawlConfig(per_host_wave_budget=3, max_waves=30), resume=False,
+    )
+    sb = SnapshotStore(spark, str(tmp_path / "nobudget"))
+    rb = run_crawl(
+        spark, sb, graph_expander(edges), seeds=[(root.url, 0)],
+        config=CrawlConfig(), resume=False,
+    )
+    fa = {r.url_canon for r in ra.frontier.filter("state = 'fetched'").collect()}
+    fb = {r.url_canon for r in rb.frontier.filter("state = 'fetched'").collect()}
+    assert fa == fb                      # same coverage, budget only delays
+    assert ra.waves > rb.waves           # deferral really happened
+    per_wave_host = (
+        ra.fetch_log.groupBy("wave_id", "host").agg(F.count("*").alias("n")).collect()
+    )
+    assert max(r.n for r in per_wave_host) <= 3   # budget enforced
+    # zero delta cost for deferred rows: every fetched row appears in
+    # deltas exactly twice (discovered + terminalized), seeds once
+    total_delta = sum(m["delta_rows"] for m in ra.metrics)
+    assert total_delta <= 2 * len(fa)
