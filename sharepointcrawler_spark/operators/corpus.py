@@ -178,23 +178,24 @@ def jaccard_pairs(
     corpora / oracle path); with LSH candidates only those pairs are
     scored (the scale path: minhash_lsh_dedup below).
     """
-    sh = shingled if shingled is not None else word_shingles(docs, text_col, id_col, n)
+    sh = shingled if shingled is not None else word_shingles(docs, text_col, id_col, n).persist()
     # the shingle expansion feeds three consumers (both join sides +
-    # sizes): persist once instead of recomputing the explode 3x.
-    sh = sh.persist()
+    # sizes): the caller persists it once (minhash_lsh_dedup) or we do.
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     if candidates is not None:
         # prune BOTH sides to docs that appear in any candidate pair
         # BEFORE the inverted-index shuffle — the whole point of LSH is
-        # that this set is tiny relative to the corpus
+        # that this set is tiny relative to the corpus. The candidate
+        # set is broadcast (it is small BY CONSTRUCTION — near-dup pairs
+        # — and a broadcast semi-join avoids shuffling the shingles).
         candidates = candidates.persist()
         a = a.join(
-            candidates.select(F.col("id_a")).distinct(), "id_a", "left_semi"
+            F.broadcast(candidates.select(F.col("id_a")).distinct()), "id_a", "left_semi"
         )
         b = b.join(
-            candidates.select(F.col("id_b")).distinct(), "id_b", "left_semi"
+            F.broadcast(candidates.select(F.col("id_b")).distinct()), "id_b", "left_semi"
         )
     shared = (
         a.join(b, "shingle")
@@ -203,9 +204,22 @@ def jaccard_pairs(
         .agg(F.count("*").alias("shared"))
     )
     if candidates is not None:
-        shared = shared.join(candidates, ["id_a", "id_b"], "left_semi")
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+        shared = shared.join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
+        # with candidates, the size table prunes to candidate docs (tiny
+        # by construction) and the enrichment joins broadcast; without
+        # them (oracle/small-corpus path) sizes is O(docs) — no hint,
+        # AQE decides
+        cand_docs = F.broadcast(
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sizes = sizes.join(cand_docs, id_col, "left_semi")
+        sz_a = F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")))
+        sz_b = F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")))
+    else:
+        sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+        sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
         shared.join(sz_a, "id_a")
         .join(sz_b, "id_b")
