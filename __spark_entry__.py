@@ -385,6 +385,18 @@ def q_chunk_text(spark, sf_dir):
     )
 
 
+def q_dedup_spans(spark, sf_dir):
+    """Span-level dedup stats (Lee et al. 2022 shape): per doc, how many
+    30-char windows of normalized text occur more than once corpus-wide.
+    Oracle recomputes the same window hashes with DuckDB list ops."""
+    from sharepointcrawler_spark.operators.corpus import duplicated_window_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_window_stats(docs, window_chars=30).select(
+        F.col("doc_id").cast("long"), "n_windows", "n_dup_windows"
+    )
+
+
 def q_text_winnowing(spark, sf_dir):
     """Winnowing rolling-hash fingerprints (k=3-gram, window w=4): the
     oracle recomputes the same gram hashes and window minima with DuckDB
@@ -730,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_text_token_counts,
         "chunk_text": q_chunk_text,
         "text_winnowing": q_text_winnowing,
+        "dedup_spans": q_dedup_spans,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         # rows-only (non-SQL-expressible)
         "dedup_simhash": q_dedup_simhash,
@@ -1136,6 +1149,21 @@ cands AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
                      || CAST(i AS VARCHAR) AS url,
                    true AS byte_identical
             FROM (SELECT unnest(generate_series(0, 23)) AS i)
+        """,
+        "dedup_spans": """
+            WITH norm AS (
+              SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+              FROM documents),
+            wins AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, greatest(length(t) - 29, 1)),
+                       i -> CAST(('0x' || substr(md5(substr(t, CAST(i AS INT), 30)), 1, 15))::UBIGINT AS BIGINT)
+                     )) AS h
+              FROM norm),
+            counts AS (SELECT h, count(*) AS cnt FROM wins GROUP BY h)
+            SELECT w.doc_id, count(*) AS n_windows,
+                   CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+            FROM wins w JOIN counts c USING (h) GROUP BY w.doc_id
         """,
         "text_winnowing": """
             WITH norm AS (

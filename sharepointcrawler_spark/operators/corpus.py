@@ -340,3 +340,40 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ------------------------------------------------- substring-span dedup
+
+def duplicated_window_stats(
+    docs: DataFrame, window_chars: int = 30, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact substring-duplication detection (span-level dedup a la
+    'Deduplicating Training Data Makes Language Models Better', Lee et
+    al. 2022): every ``window_chars``-char window of normalized text is
+    hashed; a window whose hash occurs more than once in the CORPUS is
+    duplicated. Returns per-doc (n_windows, n_dup_windows).
+
+    Plan: windows are a JVM array transform over a position sequence
+    (one md5 per position — no Python), exploded to skinny (id, h) rows;
+    one global groupBy(h) counts occurrences; a second groupBy(id)
+    aggregates the dup flags. Two shuffles on high-entropy keys, no pair
+    stage. Docs shorter than the window contribute one whole-text
+    window, so nothing silently disappears."""
+    norm = normalize_text(text_col)
+    n_win = F.greatest(F.length(norm) - F.lit(window_chars - 1), F.lit(1))
+    docs_n = docs.select(F.col(id_col), norm.alias("_t"), n_win.alias("_n"))
+    wins = docs_n.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, _n), i -> "
+                f"conv(substr(md5(substring(_t, i, {window_chars})), 1, 15), 16, 10))"
+            ).cast("array<long>")
+        ).alias("h"),
+    )
+    counts = wins.groupBy("h").agg(F.count("*").alias("_cnt"))
+    flagged = wins.join(counts, "h")
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("_cnt") > 1, 1).otherwise(0)).cast("long").alias("n_dup_windows"),
+    )
