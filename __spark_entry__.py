@@ -397,6 +397,23 @@ def q_dedup_spans(spark, sf_dir):
     )
 
 
+def q_dedup_spans_sampled(spark, sf_dir):
+    """Strided span-level dedup — the 100 TB mode of dedup_spans: every
+    7th window start position is hashed instead of every one, cutting
+    the exploded row volume (and both shuffles) 7x. Any duplicated run
+    of >= 36 chars still lands in at least one sampled window when
+    aligned (whole-doc / whole-paragraph boilerplate — the dominant
+    case). The oracle recomputes the same strided positions with a
+    stepped generate_series; stride=1 (dedup_spans) stays the exhaustive
+    oracle path."""
+    from sharepointcrawler_spark.operators.corpus import duplicated_window_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_window_stats(docs, window_chars=30, stride=7).select(
+        F.col("doc_id").cast("long"), "n_windows", "n_dup_windows"
+    )
+
+
 def q_text_winnowing(spark, sf_dir):
     """Winnowing rolling-hash fingerprints (k=3-gram, window w=4): the
     oracle recomputes the same gram hashes and window minima with DuckDB
@@ -551,7 +568,7 @@ def q_ingest_document(spark, sf_dir):
         F.size("Chunks").cast("long").alias("n_chunks"),
         F.element_at("Chunks", -1)["ChunkIndex"].cast("long").alias("last_chunk_index"),
         F.substring(F.element_at("Chunks", 1)["ContentBytes"], 1, 24).alias("first_b64_prefix"),
-        F.element_at("AllowedGroups", 1).alias("group0"),
+        F.element_at("allowed_groups", 1).alias("group0"),
         F.col("Domain").alias("domain"),
     )
 
@@ -621,6 +638,81 @@ def q_ann_topk_ivf(spark, sf_dir):
         F.col("vec_id").cast("long"),
         "score",
     )
+
+
+def q_ann_topk_multiband(spark, sf_dir):
+    """OR-amplified multiband LSH ANN (4 independent hyperplane tables)
+    with planted 2x-scaled probes: an exact twin collides in EVERY band
+    (IEEE-exact signs), so the candidate union must surface the parent
+    as rank-1 at cosine exactly 1.0. General recall-domination over the
+    single-band path is pytest-covered."""
+    from sharepointcrawler_spark.operators.similarity import lsh_topk_multiband
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = _scaled_twins(emb, 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = lsh_topk_multiband(emb, queries, k=5, dim=64, n_planes=8, n_bands=4)
+    return top.filter(F.col("rank") == 1).select(
+        F.col("query_id").cast("long"),
+        F.col("rank").cast("long"),
+        F.col("vec_id").cast("long"),
+        "score",
+    )
+
+
+def _perturbed_twins(emb, n: int, id_offset: int = 2_000_000, eps: float = 0.02):
+    """Deterministic NON-exact near neighbors: component-wise jitter
+    ``x_i * (1 + eps * (((id*31 + i*17) % 13) - 6) / 6)``. Cosine to the
+    parent is ~0.9999 but NOT 1.0, so finding the parent exercises
+    genuine approximate recall — not the IEEE-exact twin shortcut (a
+    twin collides in every LSH band by construction; a jittered query
+    can genuinely miss). The jitter formula is pure integer-then-double
+    arithmetic, so DuckDB recomputes the identical query vectors."""
+    v = F.col("embedding").cast("array<double>")
+    pert = F.transform(
+        v,
+        lambda x, i: x
+        * (
+            F.lit(1.0)
+            + F.lit(eps)
+            * (((F.col("vec_id") * 31 + i * 17) % 13 - 6).cast("double") / F.lit(6.0))
+        ),
+    )
+    return emb.filter(F.col("vec_id") < n).select(
+        (F.col("vec_id") + id_offset).alias("query_id"), pert.alias("query_vec")
+    )
+
+
+def q_ann_recall_floor(spark, sf_dir):
+    """Recall gate beyond planted twins: 20 jittered (non-exact) queries,
+    each of whose TRUE nearest neighbor is its parent (cosine ~0.9999 vs
+    ~0.51 for the best base pair). The DuckDB oracle brute-forces the
+    exact rank-1 neighbor of every query; the LSH-multiband and IVF
+    paths must each return exactly that set — one missed query is a
+    row/hash mismatch, so this pins recall = 1.0 at these params (8x8
+    multiband; 16-cell IVF with n_probe=3)."""
+    from sharepointcrawler_spark.operators.similarity import (
+        ivf_topk,
+        lsh_topk_multiband,
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = _perturbed_twins(emb, 20)
+    lsh = lsh_topk_multiband(emb, queries, k=1, dim=64, n_planes=8, n_bands=8)
+    centroids = train_ivf_centroids(emb, n_centroids=16, seed=7)
+    ivf = ivf_topk(emb, queries, centroids, k=1, n_probe=3)
+
+    def shape(df, method):
+        return df.filter(F.col("rank") == 1).select(
+            F.lit(method).alias("method"),
+            F.col("query_id").cast("long"),
+            F.col("vec_id").cast("long"),
+            "score",
+        )
+
+    return shape(lsh, "lsh_multiband").unionByName(shape(ivf, "ivf"))
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -743,11 +835,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text": q_chunk_text,
         "text_winnowing": q_text_winnowing,
         "dedup_spans": q_dedup_spans,
+        "dedup_spans_sampled": q_dedup_spans_sampled,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
+        "ann_recall_floor": q_ann_recall_floor,
         # rows-only (non-SQL-expressible)
         "dedup_simhash": q_dedup_simhash,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_multiband": q_ann_topk_multiband,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
         "crawl_wave": q_crawl_wave,
@@ -1098,6 +1193,41 @@ cands AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
                    vec_id, 1.0 AS score
             FROM embeddings WHERE vec_id < 10
         """,
+        "ann_topk_multiband": """
+            -- top-down expectation: an exact 2x-scaled probe has the
+            -- parent's hyperplane signs in EVERY band, so the OR-union
+            -- of candidates must contain the parent — the unique
+            -- nearest neighbor at cosine exactly 1.0
+            SELECT vec_id + 1000000 AS query_id, CAST(1 AS BIGINT) AS rank,
+                   vec_id, 1.0 AS score
+            FROM embeddings WHERE vec_id < 10
+        """,
+        "ann_recall_floor": """
+            -- genuine brute-force oracle: recompute the jittered query
+            -- vectors (identical integer-then-double arithmetic), score
+            -- ALL corpus vectors exactly, take rank-1 per query — the
+            -- ANN paths must return exactly this set (recall 1.0 at the
+            -- stated params; one miss = row/hash mismatch)
+            WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (
+              SELECT vec_id + 2000000 AS query_id,
+                     list_transform(generate_series(1, len(v)),
+                       i -> v[i] * (1.0 + 0.02 * (CAST(((vec_id*31 + (i-1)*17) % 13) - 6 AS DOUBLE) / 6.0))
+                     ) AS qv
+              FROM base WHERE vec_id < 20),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_inner_product(e.v, q.qv)
+                       / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv))) AS score
+              FROM base e, q),
+            ranked AS (
+              SELECT query_id, vec_id, score,
+                     row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rk
+              FROM scored)
+            SELECT m.method, query_id, vec_id, round(score, 6) AS score
+            FROM ranked, (VALUES ('lsh_multiband'), ('ivf')) m(method)
+            WHERE rk = 1
+        """,
         "embedding_near_dup": """
             -- brute-force ALL pairs over corpus + planted 2x twins; the
             -- LSH-bucketed Spark plan must find exactly this set
@@ -1157,6 +1287,21 @@ cands AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
             wins AS (
               SELECT doc_id,
                      unnest(list_transform(generate_series(1, greatest(length(t) - 29, 1)),
+                       i -> CAST(('0x' || substr(md5(substr(t, CAST(i AS INT), 30)), 1, 15))::UBIGINT AS BIGINT)
+                     )) AS h
+              FROM norm),
+            counts AS (SELECT h, count(*) AS cnt FROM wins GROUP BY h)
+            SELECT w.doc_id, count(*) AS n_windows,
+                   CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+            FROM wins w JOIN counts c USING (h) GROUP BY w.doc_id
+        """,
+        "dedup_spans_sampled": """
+            WITH norm AS (
+              SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+              FROM documents),
+            wins AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, greatest(length(t) - 29, 1), 7),
                        i -> CAST(('0x' || substr(md5(substr(t, CAST(i AS INT), 30)), 1, 15))::UBIGINT AS BIGINT)
                      )) AS h
               FROM norm),

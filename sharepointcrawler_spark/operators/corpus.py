@@ -163,6 +163,15 @@ def lsh_bucket_pairs(signatures_wide: DataFrame, id_col: str = "doc_id") -> Data
     )
 
 
+# Broadcast gate for candidate-derived tables in jaccard_pairs: the LSH
+# candidate set is DATA-DEPENDENT (a boilerplate-heavy corpus yields
+# billions of band-collision pairs), so it must never be force-broadcast
+# unconditionally — the 8 GB broadcast hard cap / driver OOM is the
+# single scale-killer in the dedup path. 500k (id, id) pairs is ~8 MB
+# serialized: far inside every broadcast limit.
+BROADCAST_CANDIDATE_LIMIT = 500_000
+
+
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -171,12 +180,21 @@ def jaccard_pairs(
     candidates: DataFrame | None = None,
     n: int = SHINGLE_N,
     shingled: DataFrame | None = None,
+    broadcast_candidate_limit: int | None = BROADCAST_CANDIDATE_LIMIT,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (inverted-index join).
 
     Without ``candidates`` every shingle-sharing pair is scored (small
     corpora / oracle path); with LSH candidates only those pairs are
     scored (the scale path: minhash_lsh_dedup below).
+
+    Broadcast policy: the candidate tables are only hinted broadcast
+    when a count probe says they are actually small
+    (``<= broadcast_candidate_limit`` pairs). The probe is free in
+    amortized terms — ``candidates`` is persisted and consumed by three
+    joins anyway. Above the limit (or with ``limit=None`` semantics
+    disabled by passing 0) no hint is emitted and AQE picks the join
+    strategy; the pre-shuffle semi-join pruning is kept either way.
     """
     sh = shingled if shingled is not None else word_shingles(docs, text_col, id_col, n).persist()
     # the shingle expansion feeds three consumers (both join sides +
@@ -187,15 +205,22 @@ def jaccard_pairs(
     if candidates is not None:
         # prune BOTH sides to docs that appear in any candidate pair
         # BEFORE the inverted-index shuffle — the whole point of LSH is
-        # that this set is tiny relative to the corpus. The candidate
-        # set is broadcast (it is small BY CONSTRUCTION — near-dup pairs
-        # — and a broadcast semi-join avoids shuffling the shingles).
+        # that this set is usually tiny relative to the corpus. Whether
+        # it is ACTUALLY tiny is a property of the data, so the
+        # broadcast hint is gated on a count probe of the persisted
+        # candidate set, never assumed.
         candidates = candidates.persist()
+        n_cand = candidates.count()
+        small = (
+            broadcast_candidate_limit is not None
+            and n_cand <= broadcast_candidate_limit
+        )
+        hint = F.broadcast if small else (lambda df: df)
         a = a.join(
-            F.broadcast(candidates.select(F.col("id_a")).distinct()), "id_a", "left_semi"
+            hint(candidates.select(F.col("id_a")).distinct()), "id_a", "left_semi"
         )
         b = b.join(
-            F.broadcast(candidates.select(F.col("id_b")).distinct()), "id_b", "left_semi"
+            hint(candidates.select(F.col("id_b")).distinct()), "id_b", "left_semi"
         )
     shared = (
         a.join(b, "shingle")
@@ -204,19 +229,19 @@ def jaccard_pairs(
         .agg(F.count("*").alias("shared"))
     )
     if candidates is not None:
-        shared = shared.join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
-        # with candidates, the size table prunes to candidate docs (tiny
-        # by construction) and the enrichment joins broadcast; without
-        # them (oracle/small-corpus path) sizes is O(docs) — no hint,
-        # AQE decides
-        cand_docs = F.broadcast(
+        shared = shared.join(hint(candidates), ["id_a", "id_b"], "left_semi")
+        # the size table prunes to candidate docs; its join hint follows
+        # the same probe-gated policy (candidate docs <= 2 x candidate
+        # pairs). Without candidates (oracle/small-corpus path) sizes is
+        # O(docs) — no hint, AQE decides.
+        cand_docs = hint(
             candidates.select(F.col("id_a").alias(id_col))
             .union(candidates.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
         sizes = sizes.join(cand_docs, id_col, "left_semi")
-        sz_a = F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")))
-        sz_b = F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")))
+        sz_a = hint(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")))
+        sz_b = hint(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")))
     else:
         sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
         sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
@@ -237,6 +262,7 @@ def minhash_lsh_dedup(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_candidate_limit: int | None = BROADCAST_CANDIDATE_LIMIT,
 ) -> DataFrame:
     """The scale path end-to-end: shingle -> minhash -> LSH buckets ->
     exact-jaccard verification of candidates only."""
@@ -244,7 +270,8 @@ def minhash_lsh_dedup(
     sigs = minhash_signatures_wide(sh, id_col)
     cands = lsh_bucket_pairs(sigs, id_col)
     return jaccard_pairs(
-        docs, threshold, text_col, id_col, candidates=cands, shingled=sh
+        docs, threshold, text_col, id_col, candidates=cands, shingled=sh,
+        broadcast_candidate_limit=broadcast_candidate_limit,
     )
 
 
@@ -345,7 +372,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
 # ------------------------------------------------- substring-span dedup
 
 def duplicated_window_stats(
-    docs: DataFrame, window_chars: int = 30, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    window_chars: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stride: int = 1,
 ) -> DataFrame:
     """Exact substring-duplication detection (span-level dedup a la
     'Deduplicating Training Data Makes Language Models Better', Lee et
@@ -358,7 +389,20 @@ def duplicated_window_stats(
     one global groupBy(h) counts occurrences; a second groupBy(id)
     aggregates the dup flags. Two shuffles on high-entropy keys, no pair
     stage. Docs shorter than the window contribute one whole-text
-    window, so nothing silently disappears."""
+    window, so nothing silently disappears.
+
+    ``stride`` is the 100 TB knob: stride=1 is the exhaustive Lee et al.
+    definition — one exploded row PER CHARACTER POSITION, ~8-16x the
+    corpus text bytes shuffled twice, petabytes at 100 TB. stride=s
+    samples every s-th start position, cutting the exploded volume (and
+    both shuffles) by s while still flagging any duplicated run of
+    ``window_chars + s - 1`` chars or longer in at least one window
+    (aligned duplicates — whole-doc or whole-paragraph boilerplate, the
+    dominant case — are detected at full fidelity because their windows
+    sample identically). The exhaustive stride-1 path stays the oracle.
+    """
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
     norm = normalize_text(text_col)
     n_win = F.greatest(F.length(norm) - F.lit(window_chars - 1), F.lit(1))
     docs_n = docs.select(F.col(id_col), norm.alias("_t"), n_win.alias("_n"))
@@ -366,7 +410,7 @@ def duplicated_window_stats(
         id_col,
         F.explode(
             F.expr(
-                "transform(sequence(1, _n), i -> "
+                f"transform(sequence(1, _n, {stride}), i -> "
                 f"conv(substr(md5(substring(_t, i, {window_chars})), 1, 15), 16, 10))"
             ).cast("array<long>")
         ).alias("h"),

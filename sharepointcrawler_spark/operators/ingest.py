@@ -111,7 +111,11 @@ def assemble_ingest_documents(
         F.lit(chunk_size).alias("ChunkSize"),
         F.lit(chunk_overlap).alias("ChunkOverlap"),
         F.array(*[F.lit(k) for k in kw]).cast("array<string>").alias("Keywords"),
-        F.array(*[F.lit(g) for g in DEFAULT_ALLOWED_GROUPS]).alias("AllowedGroups"),
+        # wire name: the Foundation DTO declares
+        # [JsonPropertyName("allowed_groups")] (RagIngestDocument.cs:34),
+        # so the document-level envelope serializes snake_case here (the
+        # chunk-level AllowedGroups has no attribute and stays PascalCase)
+        F.array(*[F.lit(g) for g in DEFAULT_ALLOWED_GROUPS]).alias("allowed_groups"),
         F.col("Chunks"),
     )
 

@@ -122,28 +122,79 @@ def lsh_topk(
     )
 
 
+def derive_n_planes(
+    n_vectors: int, target_bucket_size: int = 256, lo: int = 4, hi: int = 24
+) -> int:
+    """Plane count sized to the CORPUS: 2^n_planes buckets ~
+    n_vectors / target_bucket_size, clamped to [lo, hi]. A fixed plane
+    count means bucket population grows linearly with corpus size and
+    the within-bucket self-join is quadratic per bucket — at 10^9
+    vectors a fixed 2^10 table is ~10^12 pairs per bucket. Deriving the
+    count keeps the EXPECTED bucket size constant as n grows."""
+    import math
+
+    if n_vectors <= 0:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(max(n_vectors / target_bucket_size, 2.0)))))
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.98,
     dim: int = 64,
-    n_planes: int = 10,
+    n_planes: int | None = None,
+    n_bands: int = 2,
+    seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket_size: int = 256,
+    n_vectors: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate vectors: LSH self-join (same bucket) + exact
-    cosine >= threshold. The all-pairs version of lsh_topk; near-dups
-    at cosine ~1 collide in the same bucket with high probability."""
-    bucket = lsh_bucket_udf(dim, n_planes)
-    c = corpus.select(
+    """Near-duplicate vectors: multiband LSH self-join on SKINNY bucket
+    rows + exact cosine >= threshold on the deduped candidate pairs.
+
+    Scale shape (mirrors :func:`lsh_topk_multiband`): the ``n_bands``-way
+    banded explode carries only (id, band, bucket) — vectors do NOT ride
+    the band shuffle; candidates are deduped as bare (id_a, id_b) pairs;
+    only the (near-dup-sized) pair set joins the vectors back for one
+    exact-cosine pass. ``n_planes`` defaults to
+    :func:`derive_n_planes`'s corpus-sized count (one count() probe,
+    skippable by passing ``n_vectors``), so bucket population stays
+    bounded as the corpus grows instead of the quadratic blowup a fixed
+    2^10 table gives at 10^9 vectors. Recall: a near-dup pair at cosine
+    ~1 collides in any given band with probability ~(1 - theta/pi)^planes;
+    ``n_bands`` independent tables OR-amplify that, and exact twins
+    (theta = 0) collide in EVERY band regardless of plane count. No
+    broadcast hints on data-dependent tables — AQE picks strategies and
+    skew-splits a pathological mega-bucket."""
+    if n_planes is None:
+        if n_vectors is None:
+            n_vectors = corpus.count()
+        n_planes = derive_n_planes(n_vectors, target_bucket_size)
+    banded = corpus.select(
         F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-        bucket(F.col(vec_col)).alias("bucket"),
-    )
-    a = c.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "bucket")
-    b = c.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "bucket")
-    return (
-        a.join(b, "bucket")
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    lsh_bucket_udf(dim, n_planes, seed + b)(F.col(vec_col)).alias("bucket"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    return (
+        cands.join(vecs.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")), "id_a")
+        .join(vecs.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")), "id_b")
         .withColumn("score", cosine_sim(F.col("_va"), F.col("_vb")))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", F.round("score", 6).alias("score"))

@@ -278,8 +278,6 @@ def run_crawl(
             "bloom_shards": store.write(shards, "bloom_shards", wave),
             "fetch_log": store.write(fetch_log, "fetch_log", wave),
         }
-        n_scheduled = scheduled.count()
-        n_discovered = seen_delta.count()
         if failed is not None:
             # errors table (S6 ErrorLogger analog): per-failure lineage
             errors = failed.select(
@@ -292,6 +290,27 @@ def run_crawl(
                 ).alias("message"),
             )
             tables["errors"] = store.write(errors, "errors", wave)
+
+        # ONE stats job for the whole wave: a tagged union of 1-column
+        # projections over the still-persisted wave DataFrames (scheduled,
+        # denied-from-persisted-pending, seen_delta) plus the delta
+        # read-back — which doubles as the evidence of rows physically
+        # written this wave. Replaces the former 4 separate count()
+        # actions per wave (each a full Spark job: the bulk of the
+        # fixed per-wave overhead at toy scale).
+        def _tag(df: DataFrame, key: str) -> DataFrame:
+            return df.select(F.lit(key).alias("_k"))
+
+        counts = {
+            r["_k"]: r["n"]
+            for r in _tag(scheduled, "scheduled")
+            .unionAll(_tag(denied, "denied"))
+            .unionAll(_tag(seen_delta, "discovered_new"))
+            .unionAll(_tag(spark.read.parquet(delta_path), "delta_rows"))
+            .groupBy("_k")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
         scheduled.unpersist()
         new_rows.unpersist()
         seen_delta.unpersist()
@@ -314,13 +333,10 @@ def run_crawl(
         t_writes = time.monotonic()
         stats = {
             "wave": wave,
-            # counts come from the still-persisted wave DataFrames (no
-            # parquet re-read jobs); delta_rows is the one read-back —
-            # it is the EVIDENCE of rows physically written this wave
-            "scheduled": n_scheduled,
-            "denied": denied.count(),
-            "discovered_new": n_discovered,
-            "delta_rows": spark.read.parquet(delta_path).count(),
+            "scheduled": counts.get("scheduled", 0),
+            "denied": counts.get("denied", 0),
+            "discovered_new": counts.get("discovered_new", 0),
+            "delta_rows": counts.get("delta_rows", 0),
             "compacted": compacted,
             "elapsed_s": round(time.monotonic() - t0, 3),
             "write_s": round(t_writes - t_expand, 3),

@@ -76,7 +76,13 @@ class ConnectionPool:
         # returns the response body. The stub answers a deterministic
         # UploadResponse-shaped body so the parse contract is exercised.
         self.sent += 1
-        doc_id = hashlib.md5(repr(sorted(str(payload))).encode()).hexdigest()[:12]
+        # deterministic, structure-faithful stub id: key-ordered JSON for
+        # dicts, plain str otherwise (anagram payloads must NOT collide)
+        if isinstance(payload, dict):
+            rep = json.dumps(payload, sort_keys=True, default=str)
+        else:
+            rep = str(payload)
+        doc_id = hashlib.md5(rep.encode()).hexdigest()[:12]
         source_url = ""
         if isinstance(payload, dict):
             source_url = str(payload.get("source_url", ""))

@@ -96,7 +96,9 @@ def test_ingest_document_envelope(spark):
         assert r.Domain == "MS Documents"
         assert r.ChunkSize == 300 and r.ChunkOverlap == 60
         assert r.Keywords == ["procedure", "sop"]
-        assert r.AllowedGroups == ["AllEmployees"]
+        # document-level wire name is snake_case per the Foundation DTO's
+        # [JsonPropertyName("allowed_groups")] (RagIngestDocument.cs:34)
+        assert r.allowed_groups == ["AllEmployees"]
         # chunks nested, in ChunkIndex order, round-tripping the text
         idxs = [c.ChunkIndex for c in r.Chunks]
         assert idxs == list(range(len(idxs)))
@@ -105,7 +107,7 @@ def test_ingest_document_envelope(spark):
 
     body = json.loads(ingest_document_json(env).collect()[0].payload)
     for key in ("Title", "Domain", "Collection", "ChunkSize", "ChunkOverlap",
-                "Keywords", "AllowedGroups", "Chunks"):
+                "Keywords", "allowed_groups", "Chunks"):
         assert key in body
     assert isinstance(body["Chunks"], list) and body["Chunks"]
     assert {"ChunkIndex", "TextContent", "ContentBytes", "Breadcrumbs"} <= set(body["Chunks"][0])
