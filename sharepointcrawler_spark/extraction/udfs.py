@@ -20,14 +20,25 @@ from sharepointcrawler_spark.extraction.converter import (
     convert_pages_to_markdown,
 )
 from sharepointcrawler_spark.extraction.htmlwords import extract_links, parse_word_pages
+from sharepointcrawler_spark.extraction.pdfwords import is_pdf, parse_pdf_word_pages
 
 _OPT = ConvertOptions()
+
+
+def word_pages_of(blob: bytes) -> tuple[list, list[float]]:
+    """Pluggable word-box provider dispatch (the PdfPig seam,
+    PdfToMarkdownConverter.cs:81-113): real PDF bytes -> the mini PDF
+    text extractor; anything else -> the synthetic html dialect. Both
+    return the same (pages of RawWord, page heights) contract."""
+    if is_pdf(blob):
+        return parse_pdf_word_pages(blob)
+    return parse_word_pages(blob)
 
 
 def _extract_one(html: bytes | None, name: str | None) -> str | None:
     if html is None:
         return None
-    page_words, heights = parse_word_pages(html)
+    page_words, heights = word_pages_of(html)
     pages = [
         build_lines(ws, n + 1, heights[n], _OPT.line_y_tolerance)
         for n, ws in enumerate(page_words)

@@ -1,0 +1,158 @@
+"""Real-PDF word-box provider (the PdfPig input contract,
+PdfToMarkdownConverter.cs:81-113, page.GetWords at :285).
+
+Fidelity chain: layout -> write_pdf -> parse_pdf_word_pages must
+round-trip the word boxes EXACTLY, so the converter's markdown is
+byte-identical whether the words arrived as PDF bytes or as the direct
+box list. A hand-written content stream covers the text operators our
+own writer never emits (Td/TD/T*/TL/TJ/'), proving the parser is a
+genuine (if minimal) PDF text interpreter, not a mirror of the writer.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from sharepointcrawler_spark.extraction.converter import (
+    ConvertOptions,
+    build_lines,
+    convert_pages_to_markdown,
+)
+from sharepointcrawler_spark.extraction.pdfwords import (
+    CHAR_W,
+    is_pdf,
+    layout_words,
+    parse_pdf_word_pages,
+    word_box,
+    write_pdf,
+)
+
+FIXTURE_TEXT = (
+    "1.0 Introduction\n"
+    "\n"
+    "This document describes the corporate telecommuting process and the\n"
+    "responsibilities of each employee when working remotely from home.\n"
+    "\n"
+    "1.1 Scope\n"
+    "The policy applies to all full time employees of the organization.\n"
+    "\n"
+    "2.0 Process\n"
+    "Employees must submit form TC-1 to their manager for approval first.\n"
+    + "\n".join(
+        f"Paragraph {i} filler sentence with enough words to wrap across "
+        f"lines in the courier layout engine number {i}."
+        for i in range(30)
+    )
+)
+
+_OPT = ConvertOptions()
+
+
+def _md(pages, heights):
+    built = [
+        build_lines(ws, n + 1, heights[n], _OPT.line_y_tolerance)
+        for n, ws in enumerate(pages)
+    ]
+    return convert_pages_to_markdown(built, "document", _OPT)
+
+
+def test_pdf_round_trip_boxes_exact():
+    pages, heights = layout_words(FIXTURE_TEXT)
+    pdf = write_pdf(pages, heights)
+    assert is_pdf(pdf) and pdf.startswith(b"%PDF-1.4")
+    assert len(pages) >= 2  # fixture spans a page break
+    got_pages, got_heights = parse_pdf_word_pages(pdf)
+    assert got_heights == heights
+    assert [len(p) for p in got_pages] == [len(p) for p in pages]
+    for want, got in zip(pages, got_pages):
+        for a, b in zip(want, got):
+            assert a == b  # text AND all four box floats, exactly
+
+
+def test_pdf_markdown_byte_identity():
+    """The golden gate: converter output from PDF bytes == converter
+    output from the direct box list, byte for byte — and structurally
+    sane (title + numbered headings emitted)."""
+    pages, heights = layout_words(FIXTURE_TEXT)
+    md_direct = _md(pages, heights)
+    md_pdf = _md(*parse_pdf_word_pages(write_pdf(pages, heights)))
+    assert md_pdf == md_direct
+    assert md_pdf.startswith("# document\n")
+    assert "### 1.0 Introduction" in md_pdf
+    assert "### 2.0 Process" in md_pdf
+
+
+def _wrap_pdf(content: bytes, height: float = 200.0) -> bytes:
+    """Minimal single-page PDF around a raw content stream (uncompressed
+    AND a flate variant are both exercised)."""
+    flate = zlib.compress(content)
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 "
+        + str(height).encode() + b"] /Contents 4 0 R >>",
+        b"<< /Length " + str(len(flate)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + flate + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, body in enumerate(objs, start=1):
+        out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+def test_parser_handles_foreign_text_operators():
+    """A content stream written the way 'normal' PDF producers write:
+    relative Td moves, TL/T* line advances, ' (move-and-show), TJ arrays
+    with kerning numbers, multi-word strings, escaped parens."""
+    content = (
+        b"BT\n"
+        b"/F1 10 Tf\n"
+        b"14 TL\n"
+        b"72 150 Td\n"
+        b"(alpha beta) Tj\n"          # two words from one Tj
+        b"T*\n"
+        b"(gamma \\(quoted\\)) Tj\n"  # escaped parens
+        b"0 -14 Td\n"
+        b"[(del) -500 (ta)] TJ\n"     # kerned halves -> two segments
+        b"' \n"                        # empty-op guard: ' needs a string
+        b"(epsilon) '\n"              # move-and-show
+        b"ET\n"
+    )
+    pages, heights = parse_pdf_word_pages(_wrap_pdf(content))
+    assert heights == [200.0]
+    (words,) = pages
+    texts = [w.text for w in words]
+    assert texts == ["alpha", "beta", "gamma", "(quoted)", "del", "ta", "epsilon"]
+    # positions: alpha at (72, 150); beta one word+space later; each T*/Td
+    # line drops by the 14pt leading
+    assert (words[0].left, words[0].bottom) == (72.0, 150.0)
+    assert words[1].left == 72.0 + CHAR_W * 10 * len("alpha ")
+    assert words[2].bottom == 136.0  # T* applied TL
+    assert words[4].bottom == 122.0  # relative Td
+    # TJ kerning: -500/1000 em at 10pt pushes 'ta' 5pt FURTHER right
+    assert words[5].left == pytest.approx(words[4].right + 5.0)
+    assert words[6].bottom == 108.0  # ' advanced one more line
+    # boxes follow the shared Courier metric
+    assert words[0] == word_box(72.0, 150.0, 10.0, "alpha")
+
+
+def test_extract_text_udf_dispatches_on_pdf_magic(spark):
+    """The engine-level entry point: a DataFrame whose binary column
+    holds REAL PDF bytes extracts through the same pandas UDF as the
+    html dialect — the user-facing fidelity gap from VERDICT r2 item 1."""
+    from sharepointcrawler_spark.extraction.udfs import extract_text_udf
+
+    pages, heights = layout_words(FIXTURE_TEXT)
+    pdf = write_pdf(pages, heights)
+    want = _md(pages, heights)
+    df = spark.createDataFrame(
+        [(1, bytearray(pdf), "document")], "id long, html binary, name string"
+    )
+    got = df.select(
+        extract_text_udf(F.col("html"), F.col("name")).alias("md")
+    ).collect()[0].md
+    assert got == want

@@ -1,0 +1,330 @@
+"""Round-3 scale hardening (VERDICT r2 'What's wrong' items).
+
+1. jaccard_pairs must NOT force-broadcast a data-dependent candidate
+   set: the hint is probe-gated, and above the limit the join takes the
+   shuffle path (no BroadcastHashJoin in the executed plan).
+2. embedding near-dup derives its plane count from the corpus, so the
+   max LSH bucket population stays bounded as the corpus grows.
+3. Span dedup's stride mode samples the exhaustive stride-1 semantics.
+4. The simhash chunk self-join and the minhash band self-join survive an
+   adversarial all-identical corpus, and AQE's skew-split fires on the
+   mega-bucket when its thresholds are in range.
+5. A crawl wave runs its stats as ONE job (the tagged-union agg), not
+   one count() action per statistic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sharepointcrawler_spark.operators.corpus import (
+    duplicated_window_stats,
+    jaccard_pairs,
+    lsh_bucket_pairs,
+    minhash_lsh_dedup,
+    minhash_signatures_wide,
+    simhash_pairs,
+    word_shingles,
+)
+from sharepointcrawler_spark.operators.similarity import (
+    derive_n_planes,
+    embedding_near_dup_pairs,
+    lsh_bucket_udf,
+)
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "the quick  brown fox Jumps over the lazy dog near the river bank today"),
+        (2, "The quick brown fox jumps over the lazy dog near the river bank tonight"),
+        (3, "Completely different content about spark clusters and shuffle partitions"),
+        (4, "Der schnelle braune Fuchs springt und der Hund ist nicht da"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class _Conf:
+    """Set Spark confs for a block, restoring the previous values after."""
+
+    def __init__(self, spark, **confs):
+        self.spark = spark
+        self.confs = {k.replace("__", "."): v for k, v in confs.items()}
+
+    def __enter__(self):
+        self.saved = {}
+        for k, v in self.confs.items():
+            try:
+                self.saved[k] = self.spark.conf.get(k)
+            except Exception:
+                self.saved[k] = None
+            self.spark.conf.set(k, v)
+
+    def __exit__(self, *exc):
+        for k, v in self.saved.items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
+
+
+# ------------------------------------------------ 1. broadcast gating
+
+
+def test_candidate_broadcast_hint_is_probe_gated(spark, near_dup_docs):
+    """Small candidate set -> hint present; gate forced off -> no hint;
+    results identical either way."""
+    hinted = minhash_lsh_dedup(near_dup_docs, threshold=0.6)
+    gated = minhash_lsh_dedup(near_dup_docs, threshold=0.6, broadcast_candidate_limit=0)
+    hinted_plan = hinted._jdf.queryExecution().analyzed().toString()
+    gated_plan = gated._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in hinted_plan  # probe said small -> hint emitted
+    assert "ResolvedHint" not in gated_plan  # probe said big -> AQE decides
+
+    key = lambda df: sorted((r.id_a, r.id_b, r.jaccard) for r in df.collect())
+    assert key(hinted) == key(gated)
+
+
+def test_oversized_candidates_take_shuffle_path(spark, near_dup_docs):
+    """A candidate set bigger than the configured limit must not be
+    broadcast: no hint in the logical plan AND no BroadcastHashJoin in
+    the executed plan (AQE conversion disabled so the assertion is about
+    OUR hint, not AQE's runtime choice)."""
+    big_cands = spark.range(600_000).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    with _Conf(
+        spark,
+        **{
+            "spark__sql__autoBroadcastJoinThreshold": "-1",
+            "spark__sql__adaptive__autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        scored = jaccard_pairs(
+            near_dup_docs,
+            threshold=0.6,
+            candidates=big_cands,
+            broadcast_candidate_limit=500_000,
+        )
+        assert "ResolvedHint" not in scored._jdf.queryExecution().analyzed().toString()
+        cnt = scored.groupBy().count()
+        cnt.collect()  # execute THIS plan so the AQE final plan is inspectable
+        executed = cnt._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in executed
+    big_cands.unpersist()
+
+
+# ------------------------------------- 2. bounded LSH bucket population
+
+
+def test_derive_n_planes_scales_with_corpus():
+    assert derive_n_planes(0) == 4
+    assert derive_n_planes(10**3, target_bucket_size=256) == 4
+    assert derive_n_planes(10**6, target_bucket_size=256) == 12
+    assert derive_n_planes(10**9, target_bucket_size=256) == 22
+    assert derive_n_planes(10**12, target_bucket_size=256) == 24  # clamped
+    sizes = [derive_n_planes(n) for n in (10**3, 10**5, 10**7, 10**9)]
+    assert sizes == sorted(sizes)
+
+
+def test_bucket_population_bounded_as_corpus_grows(spark):
+    """8x the vectors with derived planes -> max bucket population must
+    NOT grow ~8x (the fixed-bucket-table failure mode); it stays within
+    a small factor of the target."""
+    dim, target = 16, 64
+    rng = np.random.default_rng(0)
+
+    def max_bucket(n: int) -> int:
+        vecs = rng.standard_normal((n, dim)).astype("float32")
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        planes = derive_n_planes(n, target_bucket_size=target)
+        bucket = lsh_bucket_udf(dim, planes)
+        pops = (
+            df.select(bucket(F.col("embedding")).alias("b"))
+            .groupBy("b")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        return int(pops)
+
+    m1, m8 = max_bucket(1000), max_bucket(8000)
+    # hyperplane buckets are not perfectly uniform (measured: 104 and
+    # 281 at n=1000/8000): bounded within a small constant of target...
+    assert m8 <= 5 * target
+    assert m8 <= 3 * m1  # ...and NOT growing linearly with n (8x data)
+
+
+def test_embedding_near_dup_derived_planes_finds_twins(spark):
+    """The n_planes=None path (count probe + derived planes) still finds
+    every planted exact twin — twins collide in every band regardless of
+    the derived plane count."""
+    dim = 16
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((200, dim)).astype("float32")
+    base = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    twins = base.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    pairs = embedding_near_dup_pairs(
+        base.unionByName(twins), threshold=0.999, dim=dim, target_bucket_size=32
+    )
+    got = sorted((r.id_a, r.id_b) for r in pairs.collect())
+    assert got == [(i, i + 1000) for i in range(10)]
+
+
+# ---------------------------------------------- 3. strided span dedup
+
+
+def test_span_dedup_stride_semantics(spark):
+    boiler = "x" + "the same boilerplate sentence repeated verbatim " * 4
+    uniq = "an entirely different document with its own words and content here"
+    docs = spark.createDataFrame(
+        [(0, boiler), (1, boiler), (2, uniq)], "doc_id long, text string"
+    )
+    full = {r.doc_id: r for r in duplicated_window_stats(docs, 30).collect()}
+    samp = {
+        r.doc_id: r for r in duplicated_window_stats(docs, 30, stride=7).collect()
+    }
+    # aligned exact duplicates: every window duplicated in BOTH modes
+    for d in (0, 1):
+        assert full[d].n_dup_windows == full[d].n_windows
+        assert samp[d].n_dup_windows == samp[d].n_windows
+    # unique doc: zero duplicated windows in both modes
+    assert full[2].n_dup_windows == 0 and samp[2].n_dup_windows == 0
+    # sampled window count: positions 1, 8, 15, ... over the norm text
+    import re
+
+    for d, text in ((0, boiler), (1, boiler), (2, uniq)):
+        norm = re.sub(r"\s+", " ", text.strip().lower())
+        n_pos = max(len(norm) - 29, 1)
+        assert full[d].n_windows == n_pos
+        assert samp[d].n_windows == (n_pos - 1) // 7 + 1
+
+    with pytest.raises(ValueError):
+        duplicated_window_stats(docs, 30, stride=0)
+
+
+# ------------------------------- 4. adversarial skew on the self-joins
+
+
+def test_self_joins_survive_identical_corpus_with_skew_split(spark):
+    """All-identical mega-group (10x the usual fixture size) + light
+    tail: both blocked self-joins must complete with the exhaustive pair
+    count, and with AQE skew thresholds in range the mega-bucket is
+    split (skew=true on the SortMergeJoin) instead of serializing one
+    reducer. Coalescing is disabled inside the block so the light
+    partitions keep the median low enough for detection at this toy
+    scale (at production bytes the default 256MB threshold plays the
+    same role)."""
+    n_dup, n_uniq = 1200, 200
+    rows = [
+        (i, "identical boilerplate text repeated across the corpus many times "
+            "for skew detection purposes")
+        for i in range(n_dup)
+    ]
+    rows += [
+        (100000 + i, f"unique little document number {i} with its own words "
+                     f"w{i * 7}x and y{i * 13}z")
+        for i in range(n_uniq)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    docs = docs.persist()
+    docs.count()
+    expected_dup_pairs = n_dup * (n_dup - 1) // 2
+    try:
+        with _Conf(
+            spark,
+            **{
+                "spark__sql__shuffle__partitions": "32",
+                "spark__sql__autoBroadcastJoinThreshold": "-1",
+                "spark__sql__adaptive__autoBroadcastJoinThreshold": "-1",
+                "spark__sql__adaptive__forceOptimizeSkewedJoin": "true",
+                "spark__sql__adaptive__coalescePartitions__enabled": "false",
+                "spark__sql__adaptive__skewJoin__skewedPartitionThresholdInBytes": "1kb",
+                "spark__sql__adaptive__advisoryPartitionSizeInBytes": "1kb",
+                "spark__sql__adaptive__skewJoin__skewedPartitionFactor": "2.0",
+            },
+        ):
+            # simhash pigeonhole chunk self-join
+            sim_cnt = simhash_pairs(docs, max_hamming=3).groupBy().count()
+            assert sim_cnt.collect()[0][0] >= expected_dup_pairs
+            sim_plan = sim_cnt._jdf.queryExecution().executedPlan().toString()
+            assert "skew=true" in sim_plan
+
+            # minhash LSH band self-join
+            sh = word_shingles(docs)
+            band_cnt = (
+                lsh_bucket_pairs(minhash_signatures_wide(sh)).groupBy().count()
+            )
+            assert band_cnt.collect()[0][0] >= expected_dup_pairs
+            band_plan = band_cnt._jdf.queryExecution().executedPlan().toString()
+            assert "skew=true" in band_plan
+    finally:
+        docs.unpersist()
+
+
+# --------------------------------------- 5. one stats job per wave
+
+
+def test_wave_stats_run_as_single_action(spark, tmp_path, monkeypatch):
+    """Driver-action budget per crawl wave: exactly ONE count() (the
+    pending loop guard) and ONE collect() (the tagged-union stats job).
+    The former per-statistic count() actions (scheduled / denied /
+    discovered / delta read-back — 4 extra jobs per wave) are gone.
+    Asserted by counting DataFrame actions directly: raw statusTracker
+    job ids are AQE-noise-dominated (every adaptive query stage
+    materializes as its own scheduler job), so the action count is the
+    stable unit of per-wave driver overhead."""
+    from sharepointcrawler_spark.operators.frontier import graph_expander
+    from sharepointcrawler_spark.plans.crawl import CrawlConfig, run_crawl
+    from sharepointcrawler_spark.plans.snapshot import SnapshotStore
+    from sharepointcrawler_spark.sources import sitegraph as sg
+
+    root = sg.balanced_tree(depth=3)
+    edges_df = spark.createDataFrame(
+        sg.edges_from_tree(root),
+        "parent_url string, child_url string, kind string, sibling_idx int",
+    )
+    store = SnapshotStore(spark, str(tmp_path / "snap"))
+    cfg = CrawlConfig(max_waves=10)
+    # wave 1 (includes seeding) untracked
+    run_crawl(
+        spark, store, graph_expander(edges_df), seeds=[(root.url, 0)],
+        config=cfg, resume=False, stop_after_wave=1,
+    )
+
+    # patch the CONCRETE DataFrame class (pyspark 4 classic subclass
+    # shadows pyspark.sql.DataFrame's methods)
+    DataFrame = type(edges_df)
+    calls = {"count": 0, "collect": 0}
+    orig_count, orig_collect = DataFrame.count, DataFrame.collect
+
+    def counting_count(self):
+        calls["count"] += 1
+        return orig_count(self)
+
+    def counting_collect(self):
+        calls["collect"] += 1
+        return orig_collect(self)
+
+    monkeypatch.setattr(DataFrame, "count", counting_count)
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    run_crawl(
+        spark, store, graph_expander(edges_df),
+        config=cfg, resume=True, stop_after_wave=2,
+    )
+    assert calls["count"] == 1, f"extra count() actions in the wave: {calls}"
+    assert calls["collect"] == 1, f"extra collect() actions in the wave: {calls}"
