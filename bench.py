@@ -43,10 +43,16 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_spans",
+    "dedup_spans_sampled",
+    "text_winnowing",
     "text_lang_id",
     "text_token_counts",
     "chunk_text",
     "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "ann_topk_multiband",
+    "embedding_near_dup",
 ]
 
 PIPELINE_DOCS_PER_SF = 60_000  # sf0.1 -> 6,000 docs; sf1 would be 60k

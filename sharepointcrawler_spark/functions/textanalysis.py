@@ -136,22 +136,30 @@ def winnowing_fingerprints(
     100% JVM builtins (split -> gram array -> portable hash transform ->
     windowed array_min -> array_distinct -> explode): no shuffle at all
     until the caller aggregates, and byte-equal to a DuckDB list-ops
-    oracle. Returns (id, fp) rows."""
+    oracle. Returns (id, fp) rows.
+
+    Each stage is materialized as its OWN projection column before the
+    next lambda references it: an outer expression nested textually
+    inside a transform() lambda is re-evaluated per element (codegen CSE
+    does not reach lambda bodies), which turns the pipeline O(n^2) in
+    md5 calls per document — measured 27 s vs ~1 s at sf0.01. The
+    multi-reference projections also block CollapseProject from
+    re-inlining them."""
     from pyspark.sql import functions as F
 
     words = F.split(normalize_text(text_col), " ")
-    n_grams = F.greatest(F.size(words) - F.lit(k - 1), F.lit(1))
+    staged = docs.select(F.col(id_col), words.alias("_w"))
     gram_hashes = F.transform(
-        F.sequence(F.lit(1), n_grams),
+        F.sequence(F.lit(1), F.greatest(F.size("_w") - F.lit(k - 1), F.lit(1))),
         lambda i: F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.slice(words, i, k))), 1, 15), 16, 10
+            F.substring(F.md5(F.concat_ws(" ", F.slice("_w", i, k))), 1, 15), 16, 10
         ).cast("long"),
     )
-    n_windows = F.greatest(F.size(gram_hashes) - F.lit(w - 1), F.lit(1))
+    staged = staged.select(F.col(id_col), gram_hashes.alias("_gh"))
     mins = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda j: F.array_min(F.slice(gram_hashes, j, w)),
+        F.sequence(F.lit(1), F.greatest(F.size("_gh") - F.lit(w - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice("_gh", j, w)),
     )
-    return docs.select(
+    return staged.select(
         F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp")
     )

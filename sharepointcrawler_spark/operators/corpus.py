@@ -79,14 +79,19 @@ def dedup_keep_first(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 def word_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = SHINGLE_N) -> DataFrame:
     """(id, shingle) rows: n-word shingles over normalized text.
     Documents shorter than n words yield their full text as the single
-    shingle (so no document silently disappears from dedup)."""
+    shingle (so no document silently disappears from dedup).
+
+    The word array is materialized as its own projection column first:
+    nesting the split-normalize expression inside the transform() lambda
+    re-evaluates it PER SHINGLE POSITION (codegen CSE does not reach
+    lambda bodies) — O(words x text_length) per doc instead of O(text)."""
     words = F.split(normalize_text(text_col), " ")
-    n_sh = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    staged = docs.select(F.col(id_col), words.alias("_w"))
     shingles = F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        F.sequence(F.lit(1), F.greatest(F.size("_w") - F.lit(n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice("_w", i, n)),
     )
-    return docs.select(
+    return staged.select(
         F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
