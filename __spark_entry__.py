@@ -796,6 +796,48 @@ def q_text_extraction(spark, sf_dir):
     )
 
 
+def q_pdf_extraction(spark, sf_dir):
+    """Byte-identity through REAL PDF bytes (round-3 provider,
+    PdfToMarkdownConverter.cs:81-113): 24 deterministic documents are
+    laid out by the Courier layout engine, written as genuine PDFs
+    (page tree + FlateDecode content streams), and extracted through
+    the SAME pandas UDF as the html dialect (dispatch on the %PDF-
+    magic). The golden markdown is computed driver-side from the direct
+    word boxes, so one diverging byte anywhere in the PDF write/parse/
+    convert chain flips a row false — the oracle expects every row true."""
+    from sharepointcrawler_spark.extraction.converter import (
+        ConvertOptions,
+        build_lines,
+        convert_pages_to_markdown,
+    )
+    from sharepointcrawler_spark.extraction.pdfwords import layout_words, write_pdf
+    from sharepointcrawler_spark.extraction.udfs import extract_text_udf
+
+    opt = ConvertOptions()
+    rows = []
+    for i in range(24):
+        body = "\n".join(
+            f"Paragraph {j} of document {i} has deterministic filler words "
+            f"p{(i * 31 + j * 7) % 97}q and r{(i * 13 + j) % 89}s in it."
+            for j in range(4 + (i * 5) % 40)
+        )
+        text = f"{i % 9}.0 Section Heading {i}\n\n{body}\n\n{i % 9}.1 Scope\n{body[:200]}\n"
+        pages, heights = layout_words(text)
+        built = [
+            build_lines(ws, n + 1, heights[n], opt.line_y_tolerance)
+            for n, ws in enumerate(pages)
+        ]
+        golden = convert_pages_to_markdown(built, f"doc{i}", opt)
+        rows.append((i, bytearray(write_pdf(pages, heights)), f"doc{i}", golden))
+    df = spark.createDataFrame(rows, "doc_id long, pdf binary, name string, golden string")
+    return df.select(
+        F.col("doc_id"),
+        (extract_text_udf(F.col("pdf"), F.col("name")) == F.col("golden")).alias(
+            "byte_identical"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # crawl-engine operator inventory (SURVEY.md §2)
@@ -847,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "crawl_wave": q_crawl_wave,
         "text_extraction_identity": q_text_extraction,
+        "pdf_extraction_identity": q_pdf_extraction,
     }
 
 
@@ -1278,6 +1321,12 @@ cands AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
             SELECT 'https://site' || CAST(i % 3 AS VARCHAR) || '.example.com/docs/doc'
                      || CAST(i AS VARCHAR) AS url,
                    true AS byte_identical
+            FROM (SELECT unnest(generate_series(0, 23)) AS i)
+        """,
+        "pdf_extraction_identity": """
+            -- every generated REAL-PDF document must extract
+            -- byte-identically through the %PDF- dispatch path
+            SELECT i AS doc_id, true AS byte_identical
             FROM (SELECT unnest(generate_series(0, 23)) AS i)
         """,
         "dedup_spans": """
