@@ -354,6 +354,22 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING — the step between pair detection and corpus
+    filtering: connected components over the minhash-LSH pair graph via
+    min-label propagation (driver-bounded iterations, per-iteration work
+    fully partition-parallel). The oracle recomputes the same pairs and
+    takes the true transitive closure with a recursive CTE, so the
+    propagation must converge to exactly the min-reachable-id fixpoint."""
+    from sharepointcrawler_spark.operators.corpus import near_dup_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(docs, threshold=0.6)
+    return near_dup_components(docs, pairs).select(
+        F.col("doc_id").cast("long"), F.col("cluster_id").cast("long")
+    )
+
+
 def q_text_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy(lang_id("text").alias("lang_pred")).agg(
@@ -871,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
         "text_token_counts": q_text_token_counts,
@@ -960,6 +977,18 @@ norm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
 words AS (SELECT doc_id, regexp_split_to_array(t, ' ') AS w FROM norm),
 shing AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
           FROM words, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i))
+"""
+
+_MINHASH_CANDS = """
+hashed AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::UBIGINT % 1000000007 AS h FROM shing),
+params AS (SELECT i, (2*i + 1) * 2654435761 % 1000000007 AS a, (i * 40503 + 17) % 1000000007 AS b
+           FROM unnest(generate_series(0, 15)) AS t(i)),
+sigs AS (SELECT doc_id, i, min((a * h + b) % 1000000007) AS minhash FROM hashed, params GROUP BY doc_id, i),
+bands AS (SELECT doc_id, i // 4 AS band,
+                 md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS band_key
+          FROM sigs GROUP BY doc_id, i // 4),
+cands AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
 """
 
 _JACCARD_TAIL = """
@@ -1186,20 +1215,33 @@ def oracle_sql() -> dict[str, str]:
         + _JACCARD_TAIL.replace("{CANDS}", ""),
         "dedup_minhash_lsh": "WITH "
         + _SHINGLES
-        + """,
-hashed AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::UBIGINT % 1000000007 AS h FROM shing),
-params AS (SELECT i, (2*i + 1) * 2654435761 % 1000000007 AS a, (i * 40503 + 17) % 1000000007 AS b
-           FROM unnest(generate_series(0, 15)) AS t(i)),
-sigs AS (SELECT doc_id, i, min((a * h + b) % 1000000007) AS minhash FROM hashed, params GROUP BY doc_id, i),
-bands AS (SELECT doc_id, i // 4 AS band,
-                 md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS band_key
-          FROM sigs GROUP BY doc_id, i // 4),
-cands AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-          FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
-"""
+        + ","
+        + _MINHASH_CANDS
         + _JACCARD_TAIL.replace(
             "{CANDS}", "JOIN cands c ON c.id_a = s.id_a AND c.id_b = s.id_b"
         ),
+        "dedup_clusters": "WITH RECURSIVE pairs AS (WITH "
+        + _SHINGLES
+        + ","
+        + _MINHASH_CANDS
+        + _JACCARD_TAIL.replace(
+            "{CANDS}", "JOIN cands c ON c.id_a = s.id_a AND c.id_b = s.id_b"
+        )
+        + """
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+)
+-- cluster id = min doc id reachable over near-dup pairs (true
+-- transitive closure via the recursive CTE; the Spark side must
+-- converge its label propagation to exactly this fixpoint)
+SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+""",
         "text_lang_id": f"""
             SELECT {_lang_id_sql('text')} AS lang_pred, count(*) AS n
             FROM documents GROUP BY 1

@@ -374,6 +374,89 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
     )
 
 
+# --------------------------------------------- near-dup component merge
+
+
+def near_dup_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every document
+    gets ``cluster_id`` = the minimum doc id reachable through near-dup
+    pairs (its own id when it has none). The step a dedup pipeline needs
+    BETWEEN pair detection and filtering — near-dup relations are not
+    transitive-closed, so keeping `min(id_a, id_b)` per pair both
+    over-deletes and under-deletes on chains.
+
+    Plan: min-label propagation. Each iteration is one join of the
+    symmetrized edge list against the current labels + a min-aggregate
+    per node (both shuffles on the 64-bit id key, map-side partial agg),
+    iterated from the driver until a fixpoint — iterations are bounded
+    by the component diameter, which for near-dup clusters (cliques +
+    short chains) is tiny. This is the standard Spark CC shape (GraphX
+    uses the same loop; the alternating large-star/small-star variant is
+    the upgrade path for adversarial long-chain graphs). The loop is
+    driver CONTROL only — all data work stays partition-parallel, and
+    each iteration's labels are persisted so lineage stays O(1)-deep per
+    step."""
+    ids = docs.select(F.col(id_col)).distinct()
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = ids.select(F.col(id_col), F.col(id_col).alias("cluster_id")).persist()
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col(id_col).alias("src"), "cluster_id"), "src"
+            )
+            .groupBy(F.col("dst").alias(id_col))
+            .agg(F.min("cluster_id").alias("_nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.least(
+                    F.col("cluster_id"), F.coalesce("_nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.select(F.col(id_col), F.col("cluster_id").alias("_old")),
+                id_col,
+            )
+            .filter(F.col("cluster_id") < F.col("_old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"near_dup_components did not converge in {max_iters} iterations"
+        )
+    edges.unpersist()
+    return labels
+
+
+def dedup_keep_cluster_representatives(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The filtered corpus: one representative (min id) per near-dup
+    component — a semi-join of docs against the cluster keepers."""
+    comps = near_dup_components(docs, pairs, id_col)
+    keepers = comps.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return docs.join(keepers, id_col, "left_semi")
+
+
 # ------------------------------------------------- substring-span dedup
 
 def duplicated_window_stats(

@@ -328,3 +328,41 @@ def test_wave_stats_run_as_single_action(spark, tmp_path, monkeypatch):
     )
     assert calls["count"] == 1, f"extra count() actions in the wave: {calls}"
     assert calls["collect"] == 1, f"extra collect() actions in the wave: {calls}"
+
+
+# --------------------------------------- 6. near-dup component merge
+
+
+def test_near_dup_components_chain_and_triangle(spark):
+    """Chains require true transitive closure (pairwise min-keeping
+    over-deletes and under-deletes); triangles and isolated nodes must
+    resolve too; keeper filter retains exactly one doc per component."""
+    from sharepointcrawler_spark.operators.corpus import (
+        dedup_keep_cluster_representatives,
+        near_dup_components,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(7)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5), (5, 6), (4, 6)], "id_a long, id_b long"
+    )
+    comps = {r.doc_id: r.cluster_id for r in near_dup_components(docs, pairs).collect()}
+    assert comps == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 4}
+    kept = sorted(
+        r.doc_id for r in dedup_keep_cluster_representatives(docs, pairs).collect()
+    )
+    assert kept == [0, 3, 4]
+
+    # non-convergence guard: a long chain with max_iters too small raises
+    import pytest as _pytest
+
+    long_docs = spark.createDataFrame(
+        [(i, "t") for i in range(12)], "doc_id long, text string"
+    )
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_components(long_docs, chain, max_iters=2)
