@@ -354,6 +354,24 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_corpus_curate(spark, sf_dir):
+    """Composed C4-style curation: language gate + quality floor +
+    token bounds + exact-dedup keep-first in one pass (the filter a
+    training-data pipeline runs before tokenization). The oracle
+    recomputes all three heuristics and the min-id-per-fingerprint
+    dedup independently in SQL."""
+    from sharepointcrawler_spark.operators.corpus import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = curate_corpus(docs, lang="en", min_quality=0.6, min_tokens=5)
+    return kept.select(
+        F.col("doc_id").cast("long"),
+        "lang_pred",
+        F.round("quality", 6).alias("quality"),
+        "n_tokens",
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERING — the step between pair detection and corpus
     filtering: connected components over the minhash-LSH pair graph via
@@ -888,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "corpus_curate": q_corpus_curate,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
         "text_token_counts": q_text_token_counts,
@@ -1245,6 +1264,26 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
         "text_lang_id": f"""
             SELECT {_lang_id_sql('text')} AS lang_pred, count(*) AS n
             FROM documents GROUP BY 1
+        """,
+        "corpus_curate": f"""
+            WITH scored AS (
+              SELECT doc_id, text,
+                     {_lang_id_sql('text')} AS lang_pred,
+                     {_QUALITY} AS quality,
+                     {_TOKC} AS n_tokens
+              FROM documents
+            ), kept AS (
+              SELECT * FROM scored
+              WHERE lang_pred = 'en' AND quality >= 0.6
+                AND n_tokens >= 5 AND n_tokens <= 100000
+            ), keepers AS (
+              SELECT min(doc_id) AS doc_id
+              FROM (SELECT doc_id, md5({_NORM}) AS fp FROM kept)
+              GROUP BY fp
+            )
+            SELECT k.doc_id, k.lang_pred, round(k.quality, 6) AS quality,
+                   CAST(k.n_tokens AS BIGINT) AS n_tokens
+            FROM kept k JOIN keepers USING (doc_id)
         """,
         "text_quality": f"""
             SELECT source, round(avg({_QUALITY}), 6) AS avg_quality, count(*) AS n

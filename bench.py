@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_clusters",
     "dedup_spans",
     "dedup_spans_sampled",
     "text_winnowing",

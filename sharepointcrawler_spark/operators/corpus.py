@@ -73,6 +73,56 @@ def dedup_keep_first(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     return docs.join(keep, id_col, "left_semi")
 
 
+# -------------------------------------------------------- corpus curation
+
+
+def curate_corpus(
+    docs: DataFrame,
+    lang: str = "en",
+    min_quality: float = 0.6,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The composed C4-style curation pass a training-data pipeline runs
+    before dedup/tokenization: language gate + heuristic quality floor +
+    token-count bounds + exact-duplicate keep-first, in ONE pass.
+
+    Plan shape: the three text heuristics are pure JVM column
+    expressions fused into the same scan projection (one whole-stage
+    codegen span, no shuffle); the only shuffle is the exact-dedup
+    groupBy on the md5 fingerprint, computed over the ALREADY-filtered
+    survivors (cheapest-first predicate ordering — at 100 TB the
+    language/quality gates drop the bulk of the corpus before any
+    shuffle bytes move). Returns the kept rows with their scores."""
+    from sharepointcrawler_spark.functions.textanalysis import (
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    scored = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        lang_id(text_col).alias("lang_pred"),
+        quality_score(text_col).alias("quality"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    ).filter(
+        (F.col("lang_pred") == lang)
+        & (F.col("quality") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+    )
+    keepers = (
+        scored.withColumn("fingerprint", doc_fingerprint(text_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return scored.join(keepers, id_col, "left_semi").drop(text_col)
+
+
 # ------------------------------------------------------------- shingles
 
 
