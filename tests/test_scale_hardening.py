@@ -366,3 +366,30 @@ def test_near_dup_components_chain_and_triangle(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         near_dup_components(long_docs, chain, max_iters=2)
+
+
+# ------------------------------------------------ 7. corpus curation
+
+
+def test_curate_corpus_gates_and_keep_first(spark):
+    """Each gate drops the right docs; exact duplicates keep the min id;
+    survivors carry their scores."""
+    from sharepointcrawler_spark.operators.corpus import curate_corpus
+
+    good = ("The quick brown fox jumps over the lazy dog and runs to the "
+            "river with the other animals today")
+    rows = [
+        (0, good),                        # kept
+        (1, good),                        # exact dup of 0 -> dropped
+        (2, "Der schnelle braune Fuchs springt und der Hund ist nicht da und das ist gut"),  # lang gate
+        (3, "the and for"),               # token floor (3 < 5)
+        (4, ""),                          # empty: und + 0 tokens
+        (5, good + " tonight"),           # kept (distinct text)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id: r for r in curate_corpus(docs, min_tokens=5).collect()}
+    assert sorted(kept) == [0, 5]
+    assert kept[0].lang_pred == "en" and kept[0].n_tokens == 19
+    assert kept[0].quality >= 0.6
+    # token ceiling gate
+    assert curate_corpus(docs, min_tokens=5, max_tokens=10).count() == 0
