@@ -89,38 +89,43 @@ def curate_corpus(
     before dedup/tokenization: language gate + heuristic quality floor +
     token-count bounds + exact-duplicate keep-first, in ONE pass.
 
-    Plan shape: the three text heuristics are pure JVM column
-    expressions fused into the same scan projection (one whole-stage
-    codegen span, no shuffle); the only shuffle is the exact-dedup
-    groupBy on the md5 fingerprint, computed over the ALREADY-filtered
-    survivors (cheapest-first predicate ordering — at 100 TB the
-    language/quality gates drop the bulk of the corpus before any
-    shuffle bytes move). Returns the kept rows with their scores."""
+    Plan shape: the three text heuristics and the fingerprint are pure
+    JVM column expressions fused into the same scan projection (one
+    whole-stage codegen span); text is DROPPED before the only shuffle —
+    a row_number window over the md5 fingerprint carrying just
+    (id, scores, fp) skinny rows for the already-filtered survivors
+    (cheapest-first gate ordering: at 100 TB the language/quality gates
+    drop the bulk of the corpus before any shuffle bytes move). One
+    scan, one skinny shuffle, no join. Returns kept rows with scores."""
+    from pyspark.sql import Window
+
     from sharepointcrawler_spark.functions.textanalysis import (
         lang_id,
         quality_score,
         token_count,
     )
 
-    scored = docs.select(
-        F.col(id_col),
-        F.col(text_col),
-        lang_id(text_col).alias("lang_pred"),
-        quality_score(text_col).alias("quality"),
-        token_count(text_col).cast("long").alias("n_tokens"),
-    ).filter(
-        (F.col("lang_pred") == lang)
-        & (F.col("quality") >= min_quality)
-        & (F.col("n_tokens") >= min_tokens)
-        & (F.col("n_tokens") <= max_tokens)
+    scored = (
+        docs.select(
+            F.col(id_col),
+            lang_id(text_col).alias("lang_pred"),
+            quality_score(text_col).alias("quality"),
+            token_count(text_col).cast("long").alias("n_tokens"),
+            doc_fingerprint(text_col).alias("_fp"),
+        )
+        .filter(
+            (F.col("lang_pred") == lang)
+            & (F.col("quality") >= min_quality)
+            & (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens)
+        )
     )
-    keepers = (
-        scored.withColumn("fingerprint", doc_fingerprint(text_col))
-        .groupBy("fingerprint")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_fp")
     )
-    return scored.join(keepers, id_col, "left_semi").drop(text_col)
 
 
 # ------------------------------------------------------------- shingles
