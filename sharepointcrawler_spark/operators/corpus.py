@@ -453,17 +453,27 @@ def near_dup_components(
     short chains) is tiny. This is the standard Spark CC shape (GraphX
     uses the same loop; the alternating large-star/small-star variant is
     the upgrade path for adversarial long-chain graphs). The loop is
-    driver CONTROL only — all data work stays partition-parallel, and
-    each iteration's labels are persisted so lineage stays O(1)-deep per
-    step."""
+    driver CONTROL only — all data work stays partition-parallel.
+
+    Lineage: each iteration's labels are EAGERLY checkpointed, not just
+    persisted. Labels are referenced twice per step (neighbor join +
+    convergence diff), so with persist alone the logical plan doubles
+    per iteration — a lost cache block late in the run would trigger an
+    exponential recompute tree. Checkpointing severs the lineage at
+    every step (the executed plan of iteration k reads exactly two
+    materialized tables, never the k-1 chain); on a real cluster the
+    equivalent is a reliable checkpoint dir or per-iteration table
+    write, as the crawl loop does with its snapshots."""
     ids = docs.select(F.col(id_col)).distinct()
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels = ids.select(F.col(id_col), F.col(id_col).alias("cluster_id")).persist()
+    labels = ids.select(
+        F.col(id_col), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint(eager=True)
     for _ in range(max_iters):
         nbr_min = (
             edges.join(
@@ -480,7 +490,7 @@ def near_dup_components(
                     F.col("cluster_id"), F.coalesce("_nbr_min", F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(
@@ -490,7 +500,6 @@ def near_dup_components(
             .filter(F.col("cluster_id") < F.col("_old"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -498,7 +507,6 @@ def near_dup_components(
         raise RuntimeError(
             f"near_dup_components did not converge in {max_iters} iterations"
         )
-    edges.unpersist()
     return labels
 
 
