@@ -800,7 +800,10 @@ def q_crawl_wave(spark, sf_dir):
     wave = seeds
     for wave_id in (1, 2, 3):
         children = fr.expand_wave(wave, expander, wave_id=wave_id)
-        new_rows = dd.anti_join_unseen(children, seen).persist()
+        # eager checkpoint, not persist: new_rows feeds three consumers
+        # across iterations, so persist-only unrolling nests the plan
+        # (hundreds of repeated exchange/python nodes by wave 3)
+        new_rows = dd.anti_join_unseen(children, seen).localCheckpoint(eager=True)
         seen = seen.unionByName(new_rows.select("url_key", "url_canon"))
         discovered = new_rows if discovered is None else discovered.unionByName(new_rows)
         wave = new_rows
