@@ -102,3 +102,41 @@ def test_simhash_is_token_order_invariant(spark, words, rnd):
     )
     sims = {r.doc_id: r.sim for r in simhash_signature(df).collect()}
     assert sims[0] == sims[1]
+
+
+# word-ish tokens including the PDF-string escape characters and both
+# latin-1 printable ranges; no bare whitespace (the layout engine owns
+# word segmentation)
+_pdf_word = st.text(
+    alphabet="abcXYZ089()\\%/#<>[]&éü~",
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(_pdf_word, min_size=0, max_size=30).map(" ".join),
+        min_size=1,
+        max_size=60,
+    ).map("\n".join)
+)
+def test_pdf_round_trip_is_exact(text):
+    """parse(write(layout(text))) reproduces the layout's word boxes
+    EXACTLY — text (incl. parens/backslash escaping, latin-1 accents),
+    all four box floats, page heights, page breaks. Pure python: no
+    Spark job per example."""
+    from sharepointcrawler_spark.extraction.pdfwords import (
+        layout_words,
+        parse_pdf_word_pages,
+        write_pdf,
+    )
+
+    pages, heights = layout_words(text)
+    got_pages, got_heights = parse_pdf_word_pages(write_pdf(pages, heights))
+    assert got_heights == heights
+    assert [len(p) for p in got_pages] == [len(p) for p in pages]
+    for want, got in zip(pages, got_pages):
+        for a, b in zip(want, got):
+            assert a == b
