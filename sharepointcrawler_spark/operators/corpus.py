@@ -14,7 +14,14 @@ designed for the 100 TB shape:
                      a single long, pigeonhole chunk blocking.
 * n-gram jaccard   — shingle inverted index join; exact similarity on
                      LSH candidates (or small corpora).
+* span-level       — Lee et al. 2022 duplicated-window stats, exhaustive
+                     (stride=1, the oracle) or strided (the 100 TB mode).
 * embedding cosine — see operators/similarity.py.
+
+Plus the steps a curation pipeline runs around them: near-dup
+CLUSTERING (connected components over the pair graph, min-label
+propagation with per-iteration checkpoints) and the composed C4-style
+corpus curation filter (language/quality/token gates + keep-first).
 
 Hashes are the engine-portable md5-derived int64 (functions/
 textanalysis.portable_hash64) so every step has a byte-equal DuckDB
