@@ -395,6 +395,22 @@ def q_text_lang_id(spark, sf_dir):
     )
 
 
+def q_text_stopword_ratio(spark, sf_dir):
+    """Stopword-token ratio + C4-style fluency band (0.05..0.6): natural
+    prose carries a healthy fraction of function words. The oracle
+    recomputes the ratio with the identical token split and the
+    reference's own stopword list."""
+    from sharepointcrawler_spark.functions.textanalysis import stopword_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    r = stopword_ratio("text")
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        F.round(r, 6).alias("stop_ratio"),
+        ((r >= 0.05) & (r <= 0.6)).alias("fluent"),
+    )
+
+
 def q_text_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy("source").agg(
@@ -912,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curate": q_corpus_curate,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
+        "text_stopword_ratio": q_text_stopword_ratio,
         "text_token_counts": q_text_token_counts,
         "chunk_text": q_chunk_text,
         "text_winnowing": q_text_winnowing,
@@ -952,6 +969,9 @@ def _lang_id_sql(col: str) -> str:
       ELSE 'und' END"""
 
 
+from sharepointcrawler_spark.sources.odata import STOPWORDS_REFERENCE
+
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in STOPWORDS_REFERENCE)
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 _TOKC = "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
 _QUALITY = """(
@@ -1292,6 +1312,22 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
             SELECT source, round(avg({_QUALITY}), 6) AS avg_quality, count(*) AS n
             FROM documents GROUP BY source
         """,
+        "text_stopword_ratio": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)), '\\W+'),
+                                 x -> x <> '') AS words
+              FROM documents
+            ), ratios AS (
+              SELECT doc_id,
+                     len(list_filter(words, x -> x IN ({STOPS})))
+                       / CAST(greatest(len(words), 1) AS DOUBLE) AS r
+              FROM toks
+            )
+            SELECT doc_id, round(r, 6) AS stop_ratio,
+                   (r >= 0.05 AND r <= 0.6) AS fluent
+            FROM ratios
+        """.replace("{STOPS}", _STOPLIST_SQL),
         "text_token_counts": f"""
             SELECT doc_id, {_TOKC} AS n_tokens,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe

@@ -111,6 +111,23 @@ def quality_score(col: Column | str) -> Column:
     return ((s1 + s2 + s3) / F.lit(3.0)).alias("quality")
 
 
+def stopword_ratio(col: Column | str) -> Column:
+    """Stopword-token ratio in [0,1] — the classic fluency heuristic
+    (C4/Gopher-style: natural prose carries a healthy fraction of
+    function words; keyword-stuffed or boilerplate text does not).
+    Tokens are the lowercased \\W+ split; the stopword list is the
+    reference's own (SharePointClient.cs:61-64), multiplicity counted.
+    Empty documents score 0. Pure JVM builtins."""
+    from sharepointcrawler_spark.sources.odata import STOPWORDS_REFERENCE
+
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.filter(
+        F.split(F.lower(F.trim(c)), r"\W+"), lambda x: x != F.lit("")
+    )
+    stops = F.size(F.filter(words, lambda x: x.isin(*STOPWORDS_REFERENCE)))
+    return stops / F.greatest(F.size(words), F.lit(1)).cast("double")
+
+
 def portable_hash64(col: Column | str) -> Column:
     """Engine-portable 64-bit-ish hash: first 15 hex chars of md5 as a
     long (DuckDB: ('0x' || substr(md5(x),1,15))::UBIGINT). Used wherever
