@@ -356,19 +356,23 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 def q_corpus_curate(spark, sf_dir):
     """Composed C4-style curation: language gate + quality floor +
-    token bounds + exact-dedup keep-first in one pass (the filter a
-    training-data pipeline runs before tokenization). The oracle
-    recomputes all three heuristics and the min-id-per-fingerprint
-    dedup independently in SQL."""
+    token bounds + stopword-ratio fluency band + exact-dedup keep-first
+    in one pass (the filter a training-data pipeline runs before
+    tokenization). The oracle recomputes all four heuristics and the
+    min-id-per-fingerprint dedup independently in SQL."""
     from sharepointcrawler_spark.operators.corpus import curate_corpus
 
     docs = _t(spark, sf_dir, "documents")
-    kept = curate_corpus(docs, lang="en", min_quality=0.6, min_tokens=5)
+    kept = curate_corpus(
+        docs, lang="en", min_quality=0.6, min_tokens=5,
+        min_stop_ratio=0.02, max_stop_ratio=0.7,
+    )
     return kept.select(
         F.col("doc_id").cast("long"),
         "lang_pred",
         F.round("quality", 6).alias("quality"),
         "n_tokens",
+        F.round("stop_ratio", 6).alias("stop_ratio"),
     )
 
 
@@ -1293,19 +1297,28 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
               SELECT doc_id, text,
                      {_lang_id_sql('text')} AS lang_pred,
                      {_QUALITY} AS quality,
-                     {_TOKC} AS n_tokens
+                     {_TOKC} AS n_tokens,
+                     len(list_filter(
+                           list_filter(regexp_split_to_array(lower(trim(text)), '\\W+'),
+                                       x -> x <> ''),
+                           x -> x IN ({_STOPLIST_SQL})))
+                       / CAST(greatest(len(list_filter(
+                           regexp_split_to_array(lower(trim(text)), '\\W+'),
+                           x -> x <> '')), 1) AS DOUBLE) AS stop_ratio
               FROM documents
             ), kept AS (
               SELECT * FROM scored
               WHERE lang_pred = 'en' AND quality >= 0.6
                 AND n_tokens >= 5 AND n_tokens <= 100000
+                AND stop_ratio >= 0.02 AND stop_ratio <= 0.7
             ), keepers AS (
               SELECT min(doc_id) AS doc_id
               FROM (SELECT doc_id, md5({_NORM}) AS fp FROM kept)
               GROUP BY fp
             )
             SELECT k.doc_id, k.lang_pred, round(k.quality, 6) AS quality,
-                   CAST(k.n_tokens AS BIGINT) AS n_tokens
+                   CAST(k.n_tokens AS BIGINT) AS n_tokens,
+                   round(k.stop_ratio, 6) AS stop_ratio
             FROM kept k JOIN keepers USING (doc_id)
         """,
         "text_quality": f"""

@@ -89,12 +89,15 @@ def curate_corpus(
     min_quality: float = 0.6,
     min_tokens: int = 5,
     max_tokens: int = 100_000,
+    min_stop_ratio: float | None = None,
+    max_stop_ratio: float | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """The composed C4-style curation pass a training-data pipeline runs
     before dedup/tokenization: language gate + heuristic quality floor +
-    token-count bounds + exact-duplicate keep-first, in ONE pass.
+    token-count bounds + optional stopword-ratio fluency band +
+    exact-duplicate keep-first, in ONE pass.
 
     Plan shape: the three text heuristics and the fingerprint are pure
     JVM column expressions fused into the same scan projection (one
@@ -109,24 +112,27 @@ def curate_corpus(
     from sharepointcrawler_spark.functions.textanalysis import (
         lang_id,
         quality_score,
+        stopword_ratio,
         token_count,
     )
 
-    scored = (
-        docs.select(
-            F.col(id_col),
-            lang_id(text_col).alias("lang_pred"),
-            quality_score(text_col).alias("quality"),
-            token_count(text_col).cast("long").alias("n_tokens"),
-            doc_fingerprint(text_col).alias("_fp"),
-        )
-        .filter(
-            (F.col("lang_pred") == lang)
-            & (F.col("quality") >= min_quality)
-            & (F.col("n_tokens") >= min_tokens)
-            & (F.col("n_tokens") <= max_tokens)
-        )
+    scored = docs.select(
+        F.col(id_col),
+        lang_id(text_col).alias("lang_pred"),
+        quality_score(text_col).alias("quality"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+        stopword_ratio(text_col).alias("stop_ratio"),
+        doc_fingerprint(text_col).alias("_fp"),
+    ).filter(
+        (F.col("lang_pred") == lang)
+        & (F.col("quality") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
     )
+    if min_stop_ratio is not None:
+        scored = scored.filter(F.col("stop_ratio") >= min_stop_ratio)
+    if max_stop_ratio is not None:
+        scored = scored.filter(F.col("stop_ratio") <= max_stop_ratio)
     w = Window.partitionBy("_fp").orderBy(id_col)
     return (
         scored.withColumn("_rn", F.row_number().over(w))
