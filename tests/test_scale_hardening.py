@@ -393,3 +393,36 @@ def test_curate_corpus_gates_and_keep_first(spark):
     assert kept[0].quality >= 0.6
     # token ceiling gate
     assert curate_corpus(docs, min_tokens=5, max_tokens=10).count() == 0
+
+
+# ------------------------------------------- 8. spark-submit entry point
+
+
+def test_submit_crawl_main_runs_and_resumes(spark, tmp_path):
+    """The spark-submit entry (submit_crawl.main) crawls a synthetic
+    corpus end-to-end, writes crawl_order/seen parquet, and a second
+    invocation RESUMES from the snapshot dir instead of recrawling."""
+    import submit_crawl
+
+    snap, out = str(tmp_path / "snap"), str(tmp_path / "out")
+    rc = submit_crawl.main([
+        "--synthetic-docs", "64",
+        "--seeds-inline", "https://site0.example.com/docs/doc0",
+        "--snapshot-dir", snap, "--out", out,
+        "--max-waves", "10", "--local-cpus", "8",
+    ])
+    assert rc == 0
+    order = spark.read.parquet(f"{out}/crawl_order")
+    n_first = order.count()
+    assert n_first > 1
+    seq = [r.crawl_seq for r in order.orderBy("crawl_seq").collect()]
+    assert seq == list(range(1, n_first + 1))
+
+    # resume: no seeds needed, nothing re-fetched, same final state
+    rc2 = submit_crawl.main([
+        "--synthetic-docs", "64",
+        "--snapshot-dir", snap, "--out", out,
+        "--max-waves", "10", "--local-cpus", "8",
+    ])
+    assert rc2 == 0
+    assert spark.read.parquet(f"{out}/crawl_order").count() == n_first
