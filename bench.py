@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
+    "corpus_curate",
     "dedup_spans",
     "dedup_spans_sampled",
     "text_winnowing",
