@@ -72,17 +72,35 @@ _ALL_MARKERS = sorted({w for ws in LANG_MARKERS.values() for w in ws}, key=len, 
 _MARKER_PATTERN = r"\b(" + "|".join(_ALL_MARKERS) + r")\b"
 
 
-def lang_id(col: Column | str) -> Column:
-    """Argmax of marker scores; ties and zero-evidence rows -> 'und'.
-    Tie-break: language order en,de,fr,es (strictly-greater comparison).
-    Identical semantics to per-word counting (whole words match exactly
-    one alternative), but one regex pass over the text."""
-    c = F.col(col) if isinstance(col, str) else col
-    hits = F.regexp_extract_all(F.lower(c), F.lit(_MARKER_PATTERN), F.lit(1))
+def lang_id_from_tokens(toks: Column) -> Column:
+    """Argmax of marker scores over a PRE-TOKENIZED word array; ties and
+    zero-evidence rows -> 'und'. Tie-break: language order en,de,fr,es
+    (strictly-greater comparison).
+
+    Take the tokens as a staged ATTRIBUTE column where possible: codegen
+    subexpression elimination does not share lambda-containing subtrees,
+    so the four per-language score expressions re-run whatever
+    tokenization is nested inside them (the curate pipeline measured
+    3.9s -> 2.4s at sf0.01 from staging the split once)."""
     scores = {
-        lang: F.size(F.filter(hits, lambda x: x.isin(*LANG_MARKERS[lang])))
+        lang: F.size(F.filter(toks, lambda x: x.isin(*LANG_MARKERS[lang])))
         for lang in LANG_MARKERS
     }
+    return _lang_argmax(scores)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax of marker scores; ties and zero-evidence rows -> 'und'.
+    Identical semantics to per-word ``\\b``-regex counting: the ``\\W+``
+    split yields exactly the ``\\b``-delimited words, so token-in-set
+    counts equal whole-word match counts (multiplicity included). For
+    hot paths prefer staging the split as its own column and calling
+    :func:`lang_id_from_tokens` (see its note on lambda CSE)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return lang_id_from_tokens(F.split(F.lower(c), r"\W+"))
+
+
+def _lang_argmax(scores: dict) -> Column:
     best_lang = F.lit("und")
     best_score = F.lit(0)
     for lang in LANG_MARKERS:  # insertion order = tie-break order
@@ -118,12 +136,17 @@ def stopword_ratio(col: Column | str) -> Column:
     Tokens are the lowercased \\W+ split; the stopword list is the
     reference's own (SharePointClient.cs:61-64), multiplicity counted.
     Empty documents score 0. Pure JVM builtins."""
+    c = F.col(col) if isinstance(col, str) else col
+    return stopword_ratio_from_tokens(
+        F.filter(F.split(F.lower(F.trim(c)), r"\W+"), lambda x: x != F.lit(""))
+    )
+
+
+def stopword_ratio_from_tokens(words: Column) -> Column:
+    """Stopword ratio over a pre-tokenized (empty-free) word array — the
+    staged-column variant (see lang_id_from_tokens on lambda CSE)."""
     from sharepointcrawler_spark.sources.odata import STOPWORDS_REFERENCE
 
-    c = F.col(col) if isinstance(col, str) else col
-    words = F.filter(
-        F.split(F.lower(F.trim(c)), r"\W+"), lambda x: x != F.lit("")
-    )
     stops = F.size(F.filter(words, lambda x: x.isin(*STOPWORDS_REFERENCE)))
     return stops / F.greatest(F.size(words), F.lit(1)).cast("double")
 
