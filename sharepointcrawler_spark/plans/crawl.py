@@ -35,6 +35,7 @@ sequence, reproducing the reference's pre-order DFS yield order exactly.
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -270,13 +271,17 @@ def run_crawl(
             "url_canon", "host", F.lit(wave).alias("wave_id"), "fetch_slot"
         )
 
-        delta_path = store.write(delta, "frontier_delta", wave)
-        delta_paths = delta_paths + [delta_path]
-        tables = {
-            "frontier_delta": delta_path,
-            "seen": store.write(seen_delta, "seen", wave),
-            "bloom_shards": store.write(shards, "bloom_shards", wave),
-            "fetch_log": store.write(fetch_log, "fetch_log", wave),
+        # the 4-5 snapshot tables are independent and their inputs are
+        # persisted: write them CONCURRENTLY from driver threads (Spark
+        # schedules concurrent jobs fine; each write targets its own
+        # path). At toy scale each write job carries ~1-2s of fixed
+        # overhead — overlapping them is most of the wave wall time; on
+        # a real cluster it overlaps commit latencies instead.
+        to_write = {
+            "frontier_delta": (delta, "frontier_delta"),
+            "seen": (seen_delta, "seen"),
+            "bloom_shards": (shards, "bloom_shards"),
+            "fetch_log": (fetch_log, "fetch_log"),
         }
         if failed is not None:
             # errors table (S6 ErrorLogger analog): per-failure lineage
@@ -289,7 +294,15 @@ def run_crawl(
                     F.lit("fetch failed (attempt "), (F.col("attempt") + 1).cast("string"), F.lit(")")
                 ).alias("message"),
             )
-            tables["errors"] = store.write(errors, "errors", wave)
+            to_write["errors"] = (errors, "errors")
+        with ThreadPoolExecutor(max_workers=len(to_write)) as pool:
+            futures = {
+                key: pool.submit(store.write, df, name, wave)
+                for key, (df, name) in to_write.items()
+            }
+            tables = {key: f.result() for key, f in futures.items()}
+        delta_path = tables["frontier_delta"]
+        delta_paths = delta_paths + [delta_path]
 
         # ONE stats job for the whole wave: a tagged union of 1-column
         # projections over the still-persisted wave DataFrames (scheduled,
