@@ -140,3 +140,36 @@ def test_pdf_round_trip_is_exact(text):
     for want, got in zip(pages, got_pages):
         for a, b in zip(want, got):
             assert a == b
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcxyz THEANDundderleetla .',-\n", min_size=0, max_size=120),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_lang_id_staged_tokens_equivalent(spark, texts):
+    """lang_id(text) == lang_id_from_tokens(staged empty-free split):
+    the curation pipeline's staging must be a pure refactor — empty
+    tokens and outer trim never change marker counts."""
+    from pyspark.sql import functions as F
+
+    from sharepointcrawler_spark.functions.textanalysis import (
+        lang_id,
+        lang_id_from_tokens,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    staged = df.select(
+        lang_id("text").alias("direct"),
+        lang_id_from_tokens(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\W+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("staged"),
+    )
+    for r in staged.collect():
+        assert r.direct == r.staged
