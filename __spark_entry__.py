@@ -485,7 +485,7 @@ def q_ann_topk_bruteforce(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return brute_force_topk(emb, queries, k=5).select(
+    return brute_force_topk(emb, queries, k=5, n_queries=3).select(
         F.col("query_id").cast("long"),
         F.col("rank").cast("long"),
         F.col("vec_id").cast("long"),
@@ -661,7 +661,7 @@ def q_ann_topk_lsh(spark, sf_dir):
     queries = _scaled_twins(emb, 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    top = lsh_topk(emb, queries, k=5, dim=64, n_planes=6)
+    top = lsh_topk(emb, queries, k=5, dim=64, n_planes=6, n_queries=10)
     return top.filter(F.col("rank") == 1).select(
         F.col("query_id").cast("long"),
         F.col("rank").cast("long"),
@@ -685,7 +685,7 @@ def q_ann_topk_ivf(spark, sf_dir):
     queries = _scaled_twins(emb, 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    top = ivf_topk(emb, queries, centroids, k=5, n_probe=2)
+    top = ivf_topk(emb, queries, centroids, k=5, n_probe=2, n_queries=10)
     return top.filter(F.col("rank") == 1).select(
         F.col("query_id").cast("long"),
         F.col("rank").cast("long"),
@@ -706,7 +706,7 @@ def q_ann_topk_multiband(spark, sf_dir):
     queries = _scaled_twins(emb, 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    top = lsh_topk_multiband(emb, queries, k=5, dim=64, n_planes=8, n_bands=4)
+    top = lsh_topk_multiband(emb, queries, k=5, dim=64, n_planes=8, n_bands=4, n_queries=10)
     return top.filter(F.col("rank") == 1).select(
         F.col("query_id").cast("long"),
         F.col("rank").cast("long"),
@@ -754,9 +754,9 @@ def q_ann_recall_floor(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = _perturbed_twins(emb, 20)
-    lsh = lsh_topk_multiband(emb, queries, k=1, dim=64, n_planes=8, n_bands=8)
+    lsh = lsh_topk_multiband(emb, queries, k=1, dim=64, n_planes=8, n_bands=8, n_queries=20)
     centroids = train_ivf_centroids(emb, n_centroids=16, seed=7)
-    ivf = ivf_topk(emb, queries, centroids, k=1, n_probe=3)
+    ivf = ivf_topk(emb, queries, centroids, k=1, n_probe=3, n_queries=20)
 
     def shape(df, method):
         return df.filter(F.col("rank") == 1).select(

@@ -278,9 +278,11 @@ def jaccard_pairs(
     when a count probe says they are actually small
     (``<= broadcast_candidate_limit`` pairs). The probe is free in
     amortized terms — ``candidates`` is persisted and consumed by three
-    joins anyway. Above the limit (or with ``limit=None`` semantics
-    disabled by passing 0) no hint is emitted and AQE picks the join
-    strategy; the pre-shuffle semi-join pruning is kept either way.
+    joins anyway. Passing ``broadcast_candidate_limit=None`` or ``<= 0``
+    disables the hint entirely AND skips the count probe (an eager
+    driver action whose result could not change the plan); above the
+    limit no hint is emitted and AQE picks the join strategy. The
+    pre-shuffle semi-join pruning is kept in every mode.
     """
     sh = shingled if shingled is not None else word_shingles(docs, text_col, id_col, n).persist()
     # the shingle expansion feeds three consumers (both join sides +
@@ -296,11 +298,8 @@ def jaccard_pairs(
         # broadcast hint is gated on a count probe of the persisted
         # candidate set, never assumed.
         candidates = candidates.persist()
-        n_cand = candidates.count()
-        small = (
-            broadcast_candidate_limit is not None
-            and n_cand <= broadcast_candidate_limit
-        )
+        gate_on = broadcast_candidate_limit is not None and broadcast_candidate_limit > 0
+        small = gate_on and candidates.count() <= broadcast_candidate_limit
         hint = F.broadcast if small else (lambda df: df)
         a = a.join(
             hint(candidates.select(F.col("id_a")).distinct()), "id_a", "left_semi"
@@ -458,11 +457,24 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
 # --------------------------------------------- near-dup component merge
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release the executor storage behind a ``localCheckpoint(eager=True)``
+    DataFrame. ``DataFrame.unpersist()`` only touches Dataset cache blocks;
+    a local checkpoint's blocks belong to the internal RDD wrapped by the
+    plan's LogicalRDD node, reachable via py4j. Best-effort: a plan shape
+    we don't recognize just leaves the blocks to the ContextCleaner."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def near_dup_components(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: every document
     gets ``cluster_id`` = the minimum doc id reachable through near-dup
@@ -487,9 +499,23 @@ def near_dup_components(
     per iteration — a lost cache block late in the run would trigger an
     exponential recompute tree. Checkpointing severs the lineage at
     every step (the executed plan of iteration k reads exactly two
-    materialized tables, never the k-1 chain); on a real cluster the
-    equivalent is a reliable checkpoint dir or per-iteration table
-    write, as the crawl loop does with its snapshots."""
+    materialized tables, never the k-1 chain), and the superseded
+    iteration's blocks are explicitly freed once the convergence diff
+    has consumed them, so executor storage holds at most two label RDDs
+    at any moment (plus edges, freed on return).
+
+    Durability: ``localCheckpoint`` dies with a lost executor — fine in
+    local mode, not at cluster scale. Pass ``checkpoint_dir`` to run the
+    SAME loop over per-iteration parquet label tables with an atomic
+    JSON state manifest (the SnapshotStore commit pattern the crawl wave
+    loop uses, plans/snapshot.py): every iteration is published by an
+    atomic rename AFTER its table lands, so a killed job re-enters at
+    the last completed iteration with no recomputation and an identical
+    fixpoint (tested in tests/test_corpus_ops.py kill/resume)."""
+    if checkpoint_dir is not None:
+        return _near_dup_components_durable(
+            docs, pairs, id_col, max_iters, checkpoint_dir
+        )
     ids = docs.select(F.col(id_col)).distinct()
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -500,15 +526,123 @@ def near_dup_components(
     labels = ids.select(
         F.col(id_col), F.col(id_col).alias("cluster_id")
     ).localCheckpoint(eager=True)
-    for _ in range(max_iters):
-        nbr_min = (
-            edges.join(
-                labels.select(F.col(id_col).alias("src"), "cluster_id"), "src"
+    try:
+        for _ in range(max_iters):
+            nbr_min = (
+                edges.join(
+                    labels.select(F.col(id_col).alias("src"), "cluster_id"), "src"
+                )
+                .groupBy(F.col("dst").alias(id_col))
+                .agg(F.min("cluster_id").alias("_nbr_min"))
             )
+            new_labels = (
+                labels.join(nbr_min, id_col, "left")
+                .select(
+                    F.col(id_col),
+                    F.least(
+                        F.col("cluster_id"), F.coalesce("_nbr_min", F.col("cluster_id"))
+                    ).alias("cluster_id"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.join(
+                    labels.select(F.col(id_col), F.col("cluster_id").alias("_old")),
+                    id_col,
+                )
+                .filter(F.col("cluster_id") < F.col("_old"))
+                .count()
+            )
+            # the diff was the old labels' last consumer — free its blocks
+            _free_local_checkpoint(labels)
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"near_dup_components did not converge in {max_iters} iterations"
+            )
+    finally:
+        _free_local_checkpoint(edges)
+    return labels
+
+
+def _cc_state_path(checkpoint_dir: str) -> str:
+    import os
+
+    return os.path.join(checkpoint_dir, "_cc_state.json")
+
+
+def _cc_write_state(checkpoint_dir: str, state: dict) -> None:
+    """Atomic publish: tmp + rename, same commit semantics as
+    SnapshotStore manifests — the state file IS the iteration commit."""
+    import json
+    import os
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=checkpoint_dir, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, _cc_state_path(checkpoint_dir))
+
+
+def _near_dup_components_durable(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iters: int,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Cluster-durable label propagation: per-iteration parquet label
+    tables + an atomically renamed state manifest. The parquet boundary
+    severs lineage exactly like localCheckpoint but survives executor
+    (and whole-job) loss: resume re-reads ``labels-<k>`` for the last
+    COMMITTED k and continues; a crash between the table write and the
+    state rename just rewrites that iteration (overwrite mode — writes
+    are idempotent, the propagation step is deterministic). Superseded
+    label tables two iterations back are deleted to bound storage."""
+    import json
+    import os
+    import shutil
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    spark = docs.sparkSession
+
+    def ldir(i: int) -> str:
+        return os.path.join(checkpoint_dir, f"labels-{i:04d}")
+
+    edges_path = os.path.join(checkpoint_dir, "edges")
+    sp = _cc_state_path(checkpoint_dir)
+    if os.path.exists(sp):
+        with open(sp) as f:
+            state = json.load(f)
+        start = state["iter"]
+        if state.get("converged"):
+            return spark.read.parquet(ldir(start))
+    else:
+        (
+            pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+            .unionAll(
+                pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+            )
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(edges_path)
+        )
+        docs.select(F.col(id_col)).distinct().select(
+            F.col(id_col), F.col(id_col).alias("cluster_id")
+        ).write.mode("overwrite").parquet(ldir(0))
+        start = 0
+        _cc_write_state(checkpoint_dir, {"iter": 0, "converged": False})
+    edges = spark.read.parquet(edges_path)
+    for i in range(start + 1, start + 1 + max_iters):
+        labels = spark.read.parquet(ldir(i - 1))
+        nbr_min = (
+            edges.join(labels.select(F.col(id_col).alias("src"), "cluster_id"), "src")
             .groupBy(F.col("dst").alias(id_col))
             .agg(F.min("cluster_id").alias("_nbr_min"))
         )
-        new_labels = (
+        (
             labels.join(nbr_min, id_col, "left")
             .select(
                 F.col(id_col),
@@ -516,24 +650,29 @@ def near_dup_components(
                     F.col("cluster_id"), F.coalesce("_nbr_min", F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
+            .write.mode("overwrite")
+            .parquet(ldir(i))
         )
         changed = (
-            new_labels.join(
-                labels.select(F.col(id_col), F.col("cluster_id").alias("_old")),
+            spark.read.parquet(ldir(i))
+            .join(
+                spark.read.parquet(ldir(i - 1)).select(
+                    F.col(id_col), F.col("cluster_id").alias("_old")
+                ),
                 id_col,
             )
             .filter(F.col("cluster_id") < F.col("_old"))
             .count()
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"near_dup_components did not converge in {max_iters} iterations"
-        )
-    return labels
+        converged = changed == 0
+        _cc_write_state(checkpoint_dir, {"iter": i, "converged": converged})
+        if i >= 2:
+            shutil.rmtree(ldir(i - 2), ignore_errors=True)
+        if converged:
+            return spark.read.parquet(ldir(i))
+    raise RuntimeError(
+        f"near_dup_components did not converge in {max_iters} iterations"
+    )
 
 
 def dedup_keep_cluster_representatives(
@@ -562,10 +701,13 @@ def duplicated_window_stats(
     duplicated. Returns per-doc (n_windows, n_dup_windows).
 
     Plan: windows are a JVM array transform over a position sequence
-    (one md5 per position — no Python), exploded to skinny (id, h) rows;
-    one global groupBy(h) counts occurrences; a second groupBy(id)
-    aggregates the dup flags. Two shuffles on high-entropy keys, no pair
-    stage. Docs shorter than the window contribute one whole-text
+    (one md5 per position — no Python), exploded ONCE to skinny (id, h)
+    rows; corpus-wide occurrence counts come from a ``count(*) over
+    (partition by h)`` window (one exchange on h, no self-join — the
+    former groupBy(h)+join shape re-ran the explode and shuffled the
+    full exploded volume twice); a final groupBy(id) aggregates the dup
+    flags. Two shuffles total on high-entropy keys, one Generate, no
+    pair stage. Docs shorter than the window contribute one whole-text
     window, so nothing silently disappears.
 
     ``stride`` is the 100 TB knob: stride=1 is the exhaustive Lee et al.
@@ -592,8 +734,11 @@ def duplicated_window_stats(
             ).cast("array<long>")
         ).alias("h"),
     )
-    counts = wins.groupBy("h").agg(F.count("*").alias("_cnt"))
-    flagged = wins.join(counts, "h")
+    from pyspark.sql import Window
+
+    flagged = wins.withColumn(
+        "_cnt", F.count("*").over(Window.partitionBy("h"))
+    )
     return flagged.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_windows"),
         F.sum(F.when(F.col("_cnt") > 1, 1).otherwise(0)).cast("long").alias("n_dup_windows"),

@@ -30,6 +30,30 @@ def cosine_sim(a, b):
     return dot / (na * nb)
 
 
+# Broadcast gate for the QUERY side of every ANN join. A query batch is
+# usually tiny (the whole point of broadcasting it), but it is caller
+# data — a 10^8-row "query" batch force-broadcast hits the 8 GB hard cap
+# / driver OOM exactly like the LSH candidate table did before round 3's
+# probe gate (operators/corpus.py BROADCAST_CANDIDATE_LIMIT). Same
+# policy here: hint only when a count probe (or the caller's own count)
+# says the batch is actually small; above the limit, no hint — AQE picks
+# the join strategy and the bucket/cell equi-join still avoids the cross
+# product. 1M skinny query rows is well inside every broadcast limit.
+BROADCAST_QUERY_LIMIT = 1_000_000
+
+
+def _query_hint(queries: DataFrame, limit: int | None, n_queries: int | None = None):
+    """Probe-gated broadcast hint for the query side: returns
+    ``F.broadcast`` when the batch is known (or probed) small, identity
+    otherwise. ``limit=None`` or ``<= 0`` disables the hint AND the
+    probe (no eager action whose result could not change the plan)."""
+    if limit is None or limit <= 0:
+        return lambda df: df
+    if n_queries is None:
+        n_queries = queries.count()
+    return F.broadcast if n_queries <= limit else (lambda df: df)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -38,14 +62,18 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    broadcast_query_limit: int | None = BROADCAST_QUERY_LIMIT,
+    n_queries: int | None = None,
 ) -> DataFrame:
-    """Exact top-k neighbors per query. Queries broadcast; one corpus
-    scan; rank ties broken by neighbor id for determinism."""
+    """Exact top-k neighbors per query. Queries broadcast when the probe
+    gate says they are small (pass ``n_queries`` to skip the probe); one
+    corpus scan; rank ties broken by neighbor id for determinism."""
+    hint = _query_hint(queries, broadcast_query_limit, n_queries)
     q = queries.select(
         F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_qv")
     )
     c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
-    scored = c.join(F.broadcast(q)).withColumn("score", cosine_sim(F.col("_cv"), F.col("_qv")))
+    scored = c.join(hint(q)).withColumn("score", cosine_sim(F.col("_cv"), F.col("_qv")))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -95,11 +123,14 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    broadcast_query_limit: int | None = BROADCAST_QUERY_LIMIT,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """ANN top-k: corpus and queries bucketed by the same hyperplanes;
     exact cosine within the shared bucket only. Approximate: recall
     depends on n_planes (fewer planes => bigger buckets => higher
-    recall, more compute)."""
+    recall, more compute). Query-side broadcast is probe-gated."""
+    hint = _query_hint(queries, broadcast_query_limit, n_queries)
     bucket = lsh_bucket_udf(dim, n_planes)
     c = corpus.select(
         F.col(id_col),
@@ -111,7 +142,7 @@ def lsh_topk(
         F.col(query_vec_col).cast("array<double>").alias("_qv"),
         bucket(F.col(query_vec_col)).alias("bucket"),
     )
-    scored = c.join(F.broadcast(q), "bucket").withColumn(
+    scored = c.join(hint(q), "bucket").withColumn(
         "score", cosine_sim(F.col("_cv"), F.col("_qv"))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
@@ -269,13 +300,16 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    broadcast_query_limit: int | None = BROADCAST_QUERY_LIMIT,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: corpus rows live in their argmax-cosine cell; each
     query probes its ``n_probe`` nearest cells and scores exact cosine
     within them only. The join key is the cell id, so the shuffle is
     |corpus| + n_probe x |queries| — never the cross product. A query's
     own cell is always probed (argmax is probe #1), so an exact-duplicate
-    vector is always found."""
+    vector is always found. Query-side broadcast is probe-gated."""
+    hint = _query_hint(queries, broadcast_query_limit, n_queries)
     assign1 = ivf_assign_udf(centroids, n_probe=1)
     assignp = ivf_assign_udf(centroids, n_probe=n_probe)
     c = corpus.select(
@@ -288,7 +322,7 @@ def ivf_topk(
         F.col(query_vec_col).cast("array<double>").alias("_qv"),
         F.explode(assignp(F.col(query_vec_col))).alias("cell"),
     )
-    scored = c.join(F.broadcast(q), "cell").withColumn(
+    scored = c.join(hint(q), "cell").withColumn(
         "score", cosine_sim(F.col("_cv"), F.col("_qv"))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
@@ -311,6 +345,8 @@ def lsh_topk_multiband(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    broadcast_query_limit: int | None = BROADCAST_QUERY_LIMIT,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """OR-amplified LSH ANN: ``n_bands`` independent hyperplane tables
     (seeds seed..seed+n_bands-1); a (query, vector) pair is a candidate
@@ -321,7 +357,10 @@ def lsh_topk_multiband(
     do NOT ride through the n_bands-way explode; candidates are deduped
     as bare id pairs, then the (tiny) pair set joins the vectors back for
     one exact-cosine pass. Shuffles: |corpus| x n_bands skinny rows +
-    |candidates|, never the cross product."""
+    |candidates|, never the cross product. Query-side broadcast (both
+    the bucket table and the final vector join) is probe-gated."""
+    hint = _query_hint(queries, broadcast_query_limit, n_queries)
+
     def banded(df, idc, vecc):
         parts = [
             F.struct(
@@ -337,7 +376,7 @@ def lsh_topk_multiband(
     c_buckets = banded(corpus, id_col, vec_col)
     q_buckets = banded(queries, query_id_col, query_vec_col)
     cands = (
-        c_buckets.join(F.broadcast(q_buckets), ["band", "bucket"])
+        c_buckets.join(hint(q_buckets), ["band", "bucket"])
         .select(query_id_col, id_col)
         .distinct()
     )
@@ -347,7 +386,7 @@ def lsh_topk_multiband(
     c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
     scored = (
         cands.join(c, id_col)
-        .join(F.broadcast(q), query_id_col)
+        .join(hint(q), query_id_col)
         .withColumn("score", cosine_sim(F.col("_cv"), F.col("_qv")))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))

@@ -145,6 +145,10 @@ def run_crawl(
         manifest = store.manifest(last)
         base_path = manifest["tables"]["frontier_base"]
         delta_paths = list(manifest["tables"].get("frontier_deltas", []))
+        seen_base_path = manifest["tables"].get(
+            "seen_base", store.table_dir("seen", 0)
+        )
+        seen_delta_paths = list(manifest["tables"].get("seen_deltas", []))
         shards = store.read("bloom_shards", last)
         wave = last
     else:
@@ -160,14 +164,17 @@ def run_crawl(
         base_path = store.write_partitioned(frontier0, "frontier_base", 0)
         delta_paths = []
         store.write(shards, "bloom_shards", 0)
-        store.write(seed_seen, "seen", 0)
+        seen_base_path = store.write(seed_seen, "seen", 0)
+        seen_delta_paths = []
         store.commit(
             0,
             {
                 "frontier_base": base_path,
                 "frontier_deltas": [],
                 "bloom_shards": store.table_dir("bloom_shards", 0),
-                "seen": store.table_dir("seen", 0),
+                "seen": seen_base_path,
+                "seen_base": seen_base_path,
+                "seen_deltas": [],
             },
             {"seeded": len(seeds)},
         )
@@ -222,8 +229,13 @@ def run_crawl(
         t_expand = time.monotonic()  # lazy plans built; writes trigger the work
 
         # 5. dedup vs seen: bloom prefilter + exact confirm (scale path)
-        #    or plain anti-join (oracle path)
-        seen_df = store.read_appended("seen", wave - 1)
+        #    or plain anti-join (oracle path). The seen set is merge-on-
+        #    read like the frontier: ONE multi-path parquet scan over the
+        #    base + the deltas since the last compaction (deltas are
+        #    disjoint by construction — anti-joined before writing — so
+        #    a plain union, no window merge), never one directory per
+        #    wave for the crawl's whole history.
+        seen_df = spark.read.parquet(seen_base_path, *seen_delta_paths)
         if cfg.use_bloom:
             new_rows = dd.bloom_filtered_unseen(
                 children, shards, seen_df, n_shards=cfg.n_bloom_shards
@@ -303,6 +315,7 @@ def run_crawl(
             tables = {key: f.result() for key, f in futures.items()}
         delta_path = tables["frontier_delta"]
         delta_paths = delta_paths + [delta_path]
+        seen_delta_paths = seen_delta_paths + [tables["seen"]]
 
         # ONE stats job for the whole wave: a tagged union of 1-column
         # projections over the still-persisted wave DataFrames (scheduled,
@@ -337,6 +350,15 @@ def run_crawl(
             merged_full = _merged_frontier(spark, base_path, delta_paths)
             base_path = store.write_partitioned(merged_full, "frontier_base", wave)
             delta_paths = []
+            # seen-set compaction on the same cadence: rewrite the union
+            # as one base so per-wave reads stop unioning one directory
+            # per wave (the multi-path scan is O(waves since compaction))
+            seen_base_path = store.write(
+                spark.read.parquet(seen_base_path, *seen_delta_paths),
+                "seen_base",
+                wave,
+            )
+            seen_delta_paths = []
             compacted = True
 
         # bloom shards re-read from the written snapshot: truncates
@@ -357,6 +379,8 @@ def run_crawl(
         }
         tables["frontier_base"] = base_path
         tables["frontier_deltas"] = delta_paths
+        tables["seen_base"] = seen_base_path
+        tables["seen_deltas"] = seen_delta_paths
         # metrics row written driver-side via pyarrow (one tiny row does
         # not warrant a Spark job per wave)
         tables["metrics"] = store.write_rows([stats], "metrics", wave)
@@ -367,7 +391,7 @@ def run_crawl(
             break
 
     frontier_final = _merged_frontier(spark, base_path, delta_paths)
-    seen_final = store.read_appended("seen", wave)
+    seen_final = spark.read.parquet(seen_base_path, *seen_delta_paths)
     fetch_log_final = store.read_appended("fetch_log", wave)
     if fetch_log_final is None:
         fetch_log_final = spark.createDataFrame(
