@@ -9,12 +9,20 @@ PDFs. This module closes that gap with a pluggable provider:
 
 * ``parse_pdf_word_pages(pdf_bytes)`` — a minimal pure-python PDF text
   extractor (the sandbox has no PdfPig analog / pdfminer): walks the
-  page tree, FlateDecode-inflates content streams, interprets the text
-  ops (BT/ET, Tf, Tm, Td, TD, TL, T*, Tj, TJ, ') with a text-matrix
-  cursor, and emits per-word boxes. Word widths use the Courier metric
-  (fixed 0.6 em advance) — exact for Courier-family fonts, approximate
-  otherwise; per-glyph /Widths tables are the PdfPig-scale concern and
-  the documented upgrade path.
+  page tree, FlateDecode-inflates content streams (payloads delimited
+  by the dict's /Length — literal or indirect — so binary bytes that
+  happen to spell ``endobj`` cannot truncate an object), interprets
+  the text ops (BT/ET, Tf, Tm, Td, TD, TL, T*, Tj, TJ, ') including
+  hex string literals, with a text-matrix cursor, and emits per-word
+  boxes. Word advances honor per-glyph ``/Widths`` + ``/FirstChar``
+  tables from the page's font resources; fonts without a width table
+  fall back to the Adobe core-14 Helvetica AFM advances when the
+  /BaseFont says Helvetica/Arial, else the Courier 0.6-em metric.
+  Constructs the interpreter genuinely cannot handle (object streams,
+  xref streams, composite Type0 fonts, text ops yielding zero words)
+  are COLLECTED AS ISSUES and raised as ``UnsupportedPdfError`` in
+  strict mode — never silent empty output (the production UDF path
+  uses strict mode and surfaces the error as a null-markdown flag).
 * ``layout_words`` / ``write_pdf`` — a deterministic Courier layout
   engine + writer producing valid PDFs (xref table, page tree,
   FlateDecode streams). Fixture generator for the golden tests AND the
@@ -40,13 +48,82 @@ CHAR_W = 0.6
 CAP_H = 0.7
 
 
-def word_box(x: float, y: float, size: float, text: str) -> RawWord:
+class UnsupportedPdfError(ValueError):
+    """A real-PDF construct the minimal interpreter cannot extract
+    faithfully (object streams, xref streams, Type0 fonts, or text ops
+    that produced zero words). Raised in strict mode so silent data
+    loss is impossible; ``.issues`` lists every detected construct."""
+
+    def __init__(self, issues: list[str]):
+        super().__init__("; ".join(issues))
+        self.issues = issues
+
+
+# Adobe core-14 Helvetica advance widths (thousandths of an em) for the
+# printable ASCII range, from the published Helvetica AFM — the
+# PdfPig-style fallback when a Helvetica/Arial font omits /Widths.
+_HELVETICA_ASCII = [
+    278, 278, 355, 556, 556, 889, 667, 191, 333, 333, 389, 584, 278, 333,
+    278, 278, 556, 556, 556, 556, 556, 556, 556, 556, 556, 556, 278, 278,
+    584, 584, 584, 556, 1015, 667, 667, 722, 722, 667, 611, 778, 722, 278,
+    500, 667, 556, 833, 722, 778, 667, 778, 722, 667, 611, 722, 667, 944,
+    667, 667, 611, 278, 278, 278, 469, 556, 333, 556, 556, 500, 556, 556,
+    278, 556, 556, 222, 222, 500, 222, 833, 556, 556, 556, 556, 333, 500,
+    278, 556, 500, 722, 500, 500, 500, 334, 260, 334, 584,
+]
+HELVETICA_WIDTHS = {32 + i: w for i, w in enumerate(_HELVETICA_ASCII)}
+
+
+class FontMetrics:
+    """Per-glyph advance widths in thousandths of an em.
+
+    ``widths=None`` means the fixed Courier metric — and then every box
+    uses the LEGACY float expression ``CHAR_W * size * len(text)``
+    verbatim, keeping the Courier round-trip bit-identical to round 3.
+    With a width table, a word's advance is the integer sum of its
+    glyph widths divided by 1000 once (deterministic, order-free), so
+    the layout engine and the parser land on identical floats."""
+
+    def __init__(
+        self,
+        name: str = "Courier",
+        widths: dict[int, int] | None = None,
+        default_width: int = 600,
+    ):
+        self.name = name
+        self.widths = widths
+        self.default_width = default_width
+
+    def text_em(self, text: str) -> float:
+        """Advance of ``text`` in em units (multiply by font size)."""
+        assert self.widths is not None
+        w = self.widths
+        d = self.default_width
+        return sum(w.get(ord(c), d) for c in text) / 1000.0
+
+    def space_em(self) -> float:
+        assert self.widths is not None
+        return self.widths.get(32, self.default_width) / 1000.0
+
+
+COURIER = FontMetrics("Courier")
+HELVETICA = FontMetrics("Helvetica", widths=HELVETICA_WIDTHS, default_width=556)
+
+
+def word_box(
+    x: float, y: float, size: float, text: str, font: FontMetrics | None = None
+) -> RawWord:
     """The (baseline-x, baseline-y, font size) -> box mapping shared by
-    writer and parser."""
+    writer and parser. Proportional fonts pass their metrics; the
+    default keeps the exact legacy Courier expression."""
+    if font is not None and font.widths is not None:
+        right = x + font.text_em(text) * size
+    else:
+        right = x + CHAR_W * size * len(text)
     return RawWord(
         text=text,
         left=x,
-        right=x + CHAR_W * size * len(text),
+        right=right,
         top=y + CAP_H * size,
         bottom=y,
     )
@@ -62,13 +139,18 @@ def layout_words(
     margin: float = 72.0,
     size: float = 12.0,
     leading: float = 14.4,
+    font: FontMetrics | None = None,
 ) -> tuple[list[list[RawWord]], list[float]]:
-    """Deterministic Courier word wrap: the fixture generator's geometry.
-    Blank input lines force line breaks (paragraph gaps)."""
+    """Deterministic word wrap: the fixture generator's geometry.
+    Blank input lines force line breaks (paragraph gaps). ``font=None``
+    is the legacy Courier layout; a proportional ``FontMetrics`` uses
+    its per-glyph advances (the same expressions the parser computes,
+    so the round trip stays float-exact)."""
     pages: list[list[RawWord]] = [[]]
     heights: list[float] = [page_height]
     x, y = margin, page_height - margin
     max_x = page_width - margin
+    proportional = font is not None and font.widths is not None
 
     def newline(n: int = 1):
         nonlocal x, y
@@ -84,11 +166,16 @@ def layout_words(
             newline()
             continue
         for w in line.split():
-            width = CHAR_W * size * len(w)
+            if proportional:
+                width = font.text_em(w) * size
+                space = font.space_em() * size
+            else:
+                width = CHAR_W * size * len(w)
+                space = CHAR_W * size
             if x > margin and x + width > max_x:
                 newline()
-            pages[-1].append(word_box(x, y, size, w))
-            x += width + CHAR_W * size  # glyphs + one space advance
+            pages[-1].append(word_box(x, y, size, w, font))
+            x += width + space  # glyphs + one space advance
         newline()
     if not pages[-1] and len(pages) > 1:
         pages.pop()
@@ -115,18 +202,45 @@ def _escape(text: str) -> bytes:
 
 
 def write_pdf(
-    pages: list[list[RawWord]], heights: list[float], page_width: float = 612.0
+    pages: list[list[RawWord]],
+    heights: list[float],
+    page_width: float = 612.0,
+    font_metrics: FontMetrics | None = None,
+    embed_widths: bool = True,
 ) -> bytes:
-    """Word boxes -> valid PDF bytes: page tree + Courier font +
-    FlateDecode content streams, one absolute ``Tm`` + ``Tj`` per word
-    (size recovered from the box height via the shared CAP_H metric)."""
+    """Word boxes -> valid PDF bytes: page tree + font + FlateDecode
+    content streams, one absolute ``Tm`` + ``Tj`` per word (size
+    recovered from the box height via the shared CAP_H metric).
+    ``font_metrics`` with a width table writes a proportional font; with
+    ``embed_widths`` the /FirstChar+/Widths arrays are embedded (so a
+    parser must READ them), without it only /BaseFont is named (so a
+    parser must fall back to its built-in AFM table)."""
     objs: list[bytes] = []  # 1-indexed by position+1
 
     def add(body: bytes) -> int:
         objs.append(body)
         return len(objs)
 
-    font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>")
+    if font_metrics is not None and font_metrics.widths is not None and embed_widths:
+        codes = sorted(font_metrics.widths)
+        fc, lc = codes[0], codes[-1]
+        warr = b" ".join(
+            str(font_metrics.widths.get(c, font_metrics.default_width)).encode()
+            for c in range(fc, lc + 1)
+        )
+        font_body = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /"
+            + font_metrics.name.encode()
+            + b" /FirstChar " + str(fc).encode()
+            + b" /LastChar " + str(lc).encode()
+            + b" /Widths [" + warr + b"] >>"
+        )
+    else:
+        base = font_metrics.name if font_metrics is not None else "Courier"
+        font_body = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /" + base.encode() + b" >>"
+        )
+    font = add(font_body)
     page_ids: list[int] = []
     kids_slot = add(b"PLACEHOLDER")  # /Pages node patched after kids exist
     for words, h in zip(pages, heights):
@@ -187,15 +301,29 @@ def write_pdf(
 # ------------------------------------------------------------- parser
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
-_STREAM_RE = re.compile(rb"^(.*?)stream\r?\n(.*)\nendstream\s*$", re.S)
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_STREAM_KW_RE = re.compile(rb"stream\r?\n")
+_LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
+_LENGTH_LIT_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+_ENDSTREAM_RE = re.compile(rb"\r?\n?endstream")
 _MEDIABOX_RE = re.compile(
     rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
 )
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
 _KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
+_FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
+_FONT_ENTRY_RE = re.compile(rb"(/[^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
+_BASEFONT_RE = re.compile(rb"/BaseFont\s*/([^\s/<>\[\]()]+)")
+_FIRSTCHAR_RE = re.compile(rb"/FirstChar\s+(\d+)")
+_WIDTHS_INLINE_RE = re.compile(rb"/Widths\s*\[(.*?)\]", re.S)
+_WIDTHS_REF_RE = re.compile(rb"/Widths\s+(\d+)\s+\d+\s+R")
+_SHOW_OP_RE = re.compile(rb"\bTj\b|\bTJ\b|'")
 _TOKEN_RE = re.compile(
     rb"\((?:\\.|[^\\()])*\)"  # string literal
+    rb"|<[0-9A-Fa-f\s]*>"  # hex string literal
     rb"|/[^\s\[\]()<>/]+"  # name
     rb"|[-+]?[0-9]*\.?[0-9]+"  # number
     rb"|\[|\]"
@@ -225,23 +353,49 @@ class _TextState:
         self.scale = 1.0
         self.x = self.y = self.line_x = 0.0
         self.leading = 0.0
+        self.font: FontMetrics = COURIER
 
     def eff_size(self) -> float:
         return self.size * self.scale
 
 
+def _hex_string(tok: bytes) -> str:
+    """PDF hex string literal <...> -> text (odd digit counts pad with
+    '0' per the spec)."""
+    digits = re.sub(rb"\s+", b"", tok[1:-1])
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii")).decode("latin-1")
+
+
 def _emit_words(st: _TextState, text: str, out: list[RawWord]) -> None:
-    """Split a shown string on spaces, advancing the Courier cursor —
-    handles whole-line Tj strings, not just one-word-per-Tj writers."""
+    """Split a shown string on spaces, advancing the cursor by the
+    current font's metrics — handles whole-line Tj strings, not just
+    one-word-per-Tj writers."""
     size = st.eff_size()
-    for seg in text.split(" "):
+    font = st.font
+    proportional = font.widths is not None
+    segs = text.split(" ")
+    for i, seg in enumerate(segs):
         if seg:
-            out.append(word_box(st.x, st.y, size, seg))
-        st.x += CHAR_W * size * (len(seg) + 1)
-    st.x -= CHAR_W * size  # the split added one trailing space advance
+            out.append(word_box(st.x, st.y, size, seg, font))
+        if proportional:
+            st.x += font.text_em(seg) * size
+            if i < len(segs) - 1:
+                st.x += font.space_em() * size
+        else:
+            # the legacy Courier expression, verbatim, so round-3 boxes
+            # stay bit-identical (the split adds one trailing space
+            # advance, removed after the loop)
+            st.x += CHAR_W * size * (len(seg) + 1)
+    if not proportional:
+        st.x -= CHAR_W * size
 
 
-def _interpret(content: bytes, out: list[RawWord]) -> None:
+def _interpret(
+    content: bytes, out: list[RawWord], fonts: dict[bytes, FontMetrics] | None = None
+) -> None:
+    fonts = fonts or {}
     st = _TextState()
     stack: list = []
     in_array: list | None = None
@@ -257,6 +411,9 @@ def _interpret(content: bytes, out: list[RawWord]) -> None:
         if tok.startswith(b"("):
             (in_array if in_array is not None else stack).append(_unescape(tok))
             continue
+        if tok.startswith(b"<"):
+            (in_array if in_array is not None else stack).append(_hex_string(tok))
+            continue
         if tok.startswith(b"/"):
             stack.append(tok)
             continue
@@ -269,6 +426,8 @@ def _interpret(content: bytes, out: list[RawWord]) -> None:
             st.scale = 1.0
         elif op == b"Tf" and len(stack) >= 1:
             st.size = float(stack[-1])
+            if len(stack) >= 2 and isinstance(stack[-2], bytes):
+                st.font = fonts.get(stack[-2], COURIER)
         elif op == b"Tm" and len(stack) >= 6:
             a, _b, _c, d, e, f = (float(v) for v in stack[-6:])
             st.scale = d if d else 1.0
@@ -301,22 +460,156 @@ def _interpret(content: bytes, out: list[RawWord]) -> None:
         stack.clear()
 
 
-def parse_pdf_word_pages(pdf: bytes) -> tuple[list[list[RawWord]], list[float]]:
-    """PDF bytes -> (per-page word boxes, page heights) — the PdfPig
-    ``page.GetWords()`` analog (PdfToMarkdownConverter.cs:285)."""
+def _scan_objects(
+    pdf: bytes,
+) -> tuple[dict[int, bytes], dict[int, bytes], list[str]]:
+    """Linear object scan with /Length-delimited stream payloads.
+
+    The round-3 scanner regex-matched ``(.*?)endobj`` over the whole
+    object, so a compressed payload containing the literal bytes
+    ``endobj`` truncated the object and broke the inflate. Here the
+    payload is sliced by the stream dict's /Length (resolving indirect
+    ``N 0 R`` refs against a pre-pass over integer objects, the common
+    real-PDF shape) and the cursor jumps PAST it, so payload bytes are
+    never scanned for markers; the marker scan survives only as the
+    fallback for a missing/unresolvable /Length."""
+    issues: list[str] = []
+    # pre-pass: integer-valued objects (indirect /Length targets). The
+    # naive regex is safe here — int objects never contain streams.
+    int_objs: dict[int, int] = {}
+    for m in _OBJ_RE.finditer(pdf):
+        body = m.group(2).strip()
+        if re.fullmatch(rb"\d+", body):
+            int_objs.setdefault(int(m.group(1)), int(body))
+
     bodies: dict[int, bytes] = {}
     streams: dict[int, bytes] = {}
-    for m in _OBJ_RE.finditer(pdf or b""):
-        num, body = int(m.group(1)), m.group(2)
-        sm = _STREAM_RE.match(body)
-        if sm:
-            head, payload = sm.group(1), sm.group(2)
-            if b"/FlateDecode" in head:
-                payload = zlib.decompress(payload)
-            bodies[num] = head
-            streams[num] = payload
+    pos = 0
+    while True:
+        m = _OBJ_HEAD_RE.search(pdf, pos)
+        if m is None:
+            break
+        num, body_start = int(m.group(1)), m.end()
+        em = pdf.find(b"endobj", body_start)
+        sm = _STREAM_KW_RE.search(pdf, body_start, em if em != -1 else len(pdf))
+        if sm is None:
+            body = pdf[body_start:em] if em != -1 else pdf[body_start:]
+            bodies.setdefault(num, body)
+            pos = em + 6 if em != -1 else len(pdf)
+            continue
+        head, data_start = pdf[body_start : sm.start()], sm.end()
+        length: int | None = None
+        lr = _LENGTH_REF_RE.search(head)
+        if lr is not None:
+            length = int_objs.get(int(lr.group(1)))
+            if length is None:
+                issues.append(
+                    f"object {num}: indirect /Length {int(lr.group(1))} unresolved"
+                )
         else:
-            bodies[num] = body
+            ll = _LENGTH_LIT_RE.search(head)
+            if ll is not None:
+                length = int(ll.group(1))
+        if length is not None:
+            tail = pdf[data_start + length : data_start + length + 16]
+            if not tail.lstrip(b"\r\n ").startswith(b"endstream"):
+                issues.append(f"object {num}: /Length does not reach endstream")
+                length = None
+        if length is not None:
+            payload = pdf[data_start : data_start + length]
+            after = pdf.find(b"endobj", data_start + length)
+            pos = after + 6 if after != -1 else data_start + length
+        else:  # fallback: marker scan (legacy behavior)
+            endm = _ENDSTREAM_RE.search(pdf, data_start)
+            if endm is None:
+                payload = pdf[data_start:]
+                pos = len(pdf)
+            else:
+                payload = pdf[data_start : endm.start()]
+                after = pdf.find(b"endobj", endm.end())
+                pos = after + 6 if after != -1 else endm.end()
+        if b"/FlateDecode" in head:
+            try:
+                payload = zlib.decompress(payload)
+            except zlib.error as e:
+                issues.append(f"object {num}: FlateDecode failed ({e})")
+                payload = b""
+        if b"/ObjStm" in head:
+            issues.append("object streams (/ObjStm) unsupported")
+        if b"/XRef" in head:
+            issues.append("cross-reference streams (/Type /XRef) unsupported")
+        bodies.setdefault(num, head)
+        streams.setdefault(num, payload)
+    return bodies, streams, issues
+
+
+def _page_fonts(
+    page_body: bytes,
+    bodies: dict[int, bytes],
+    issues: list[str],
+) -> dict[bytes, FontMetrics]:
+    """Resolve the page's /Resources /Font dict to FontMetrics per font
+    name: explicit /Widths (+/FirstChar) win; a widths-less
+    Helvetica/Arial uses the built-in AFM table; anything else falls
+    back to the Courier metric (flagged, since proportional text would
+    get wrong advances)."""
+    res = page_body
+    rr = _RESOURCES_REF_RE.search(page_body)
+    if rr is not None:
+        res = bodies.get(int(rr.group(1)), b"")
+    fd = _FONT_DICT_RE.search(res)
+    if fd is None:
+        return {}
+    fonts: dict[bytes, FontMetrics] = {}
+    for fe in _FONT_ENTRY_RE.finditer(fd.group(1)):
+        fname, fnum = fe.group(1), int(fe.group(2))
+        fbody = bodies.get(fnum, b"")
+        bm = _BASEFONT_RE.search(fbody)
+        base = bm.group(1).decode("latin-1") if bm else "Courier"
+        if b"/Type0" in fbody:
+            issues.append(f"composite Type0 font {base} unsupported")
+        widths: dict[int, int] | None = None
+        wtext: bytes | None = None
+        wm = _WIDTHS_INLINE_RE.search(fbody)
+        if wm is not None:
+            wtext = wm.group(1)
+        else:
+            wr = _WIDTHS_REF_RE.search(fbody)
+            if wr is not None:  # /Widths as an indirect array object
+                wtext = bodies.get(int(wr.group(1)), b"").strip().strip(b"[]")
+        if wtext:
+            vals = [int(float(v)) for v in re.findall(rb"[-+]?[\d.]+", wtext)]
+            if vals:
+                fm = _FIRSTCHAR_RE.search(fbody)
+                fc = int(fm.group(1)) if fm else 0
+                widths = {fc + i: v for i, v in enumerate(vals)}
+        stem = base.split("-")[0].split("+")[-1].lower()
+        if widths is not None:
+            fonts[fname] = FontMetrics(base, widths=widths)
+        elif stem in ("helvetica", "arial", "arialmt"):
+            fonts[fname] = FontMetrics(base, widths=HELVETICA_WIDTHS, default_width=556)
+        else:
+            if stem not in ("courier", "couriernew"):
+                issues.append(
+                    f"font {base} has no /Widths; Courier metrics assumed"
+                )
+            fonts[fname] = COURIER
+    return fonts
+
+
+def parse_pdf_word_pages(
+    pdf: bytes, strict: bool = False
+) -> tuple[list[list[RawWord]], list[float]]:
+    """PDF bytes -> (per-page word boxes, page heights) — the PdfPig
+    ``page.GetWords()`` analog (PdfToMarkdownConverter.cs:285).
+
+    ``strict=True`` raises :class:`UnsupportedPdfError` when the file
+    uses constructs this interpreter cannot extract faithfully (object
+    streams, xref streams, Type0 fonts, widths-less proportional fonts)
+    or when text-show operators were present but produced zero words —
+    the production UDF path uses strict mode so a real crawled PDF can
+    never silently become empty markdown (ADVICE r3 medium)."""
+    bodies, streams, issues = _scan_objects(pdf or b"")
 
     # page order from the /Pages node's /Kids; fall back to object order
     kid_order: list[int] = []
@@ -332,15 +625,32 @@ def parse_pdf_word_pages(pdf: bytes) -> tuple[list[list[RawWord]], list[float]]:
 
     pages: list[list[RawWord]] = []
     heights: list[float] = []
+    saw_show_ops = False
     for n in page_nums:
         body = bodies.get(n, b"")
         mb = _MEDIABOX_RE.search(body)
         heights.append(float(mb.group(4)) if mb else 792.0)
-        cm = _CONTENTS_RE.search(body)
+        content_nums: list[int] = []
+        ca = _CONTENTS_ARR_RE.search(body)
+        if ca is not None:  # /Contents [a 0 R b 0 R]: concatenated parts
+            content_nums = [int(r.group(1)) for r in _REF_RE.finditer(ca.group(1))]
+        else:
+            cm = _CONTENTS_RE.search(body)
+            if cm is not None:
+                content_nums = [int(cm.group(1))]
+        fonts = _page_fonts(body, bodies, issues)
         words: list[RawWord] = []
-        if cm and int(cm.group(1)) in streams:
-            _interpret(streams[int(cm.group(1))], words)
+        content = b"\n".join(streams[c] for c in content_nums if c in streams)
+        if content:
+            if _SHOW_OP_RE.search(content):
+                saw_show_ops = True
+            _interpret(content, words, fonts)
         pages.append(words)
+
+    if saw_show_ops and not any(pages):
+        issues.append("text-show operators present but zero words extracted")
+    if strict and issues:
+        raise UnsupportedPdfError(sorted(set(issues)))
     return pages, heights
 
 

@@ -20,7 +20,11 @@ from sharepointcrawler_spark.extraction.converter import (
     convert_pages_to_markdown,
 )
 from sharepointcrawler_spark.extraction.htmlwords import extract_links, parse_word_pages
-from sharepointcrawler_spark.extraction.pdfwords import is_pdf, parse_pdf_word_pages
+from sharepointcrawler_spark.extraction.pdfwords import (
+    UnsupportedPdfError,
+    is_pdf,
+    parse_pdf_word_pages,
+)
 
 _OPT = ConvertOptions()
 
@@ -28,22 +32,38 @@ _OPT = ConvertOptions()
 def word_pages_of(blob: bytes) -> tuple[list, list[float]]:
     """Pluggable word-box provider dispatch (the PdfPig seam,
     PdfToMarkdownConverter.cs:81-113): real PDF bytes -> the mini PDF
-    text extractor; anything else -> the synthetic html dialect. Both
-    return the same (pages of RawWord, page heights) contract."""
+    text extractor IN STRICT MODE (a construct the interpreter cannot
+    extract faithfully raises :class:`UnsupportedPdfError` instead of
+    silently yielding empty/wrong text — ADVICE r3 medium); anything
+    else -> the synthetic html dialect. Both return the same (pages of
+    RawWord, page heights) contract."""
     if is_pdf(blob):
-        return parse_pdf_word_pages(blob)
+        return parse_pdf_word_pages(blob, strict=True)
     return parse_word_pages(blob)
 
 
-def _extract_one(html: bytes | None, name: str | None) -> str | None:
+def _extract_one_with_err(
+    html: bytes | None, name: str | None
+) -> tuple[str | None, str | None]:
+    """(markdown, error): markdown is None for a null input OR an input
+    flagged undecodable (error carries the issue list then) — a null in
+    the output column marks rows needing a real PDF renderer, never
+    conflated with legitimately empty documents (empty string)."""
     if html is None:
-        return None
-    page_words, heights = word_pages_of(html)
+        return None, None
+    try:
+        page_words, heights = word_pages_of(html)
+    except UnsupportedPdfError as e:
+        return None, str(e)
     pages = [
         build_lines(ws, n + 1, heights[n], _OPT.line_y_tolerance)
         for n, ws in enumerate(page_words)
     ]
-    return convert_pages_to_markdown(pages, name or "document", _OPT)
+    return convert_pages_to_markdown(pages, name or "document", _OPT), None
+
+
+def _extract_one(html: bytes | None, name: str | None) -> str | None:
+    return _extract_one_with_err(html, name)[0]
 
 
 @F.pandas_udf(T.StringType())
@@ -67,6 +87,7 @@ _EXTRACT_ALL_TYPE = T.StructType(
     [
         T.StructField("md", T.StringType(), True),
         T.StructField("links", T.ArrayType(T.StringType()), True),
+        T.StructField("err", T.StringType(), True),
     ]
 )
 
@@ -75,16 +96,22 @@ _EXTRACT_ALL_TYPE = T.StructType(
 def extract_all_udf(html: pd.Series, base_url: pd.Series) -> pd.DataFrame:  # pragma: no cover
     """Fused text+links extraction: the html column crosses the Arrow
     boundary ONCE and is parsed once — at 100 TB the binary column
-    transfer dominates, so fusing halves it vs separate UDF calls."""
-    mds, links = [], []
+    transfer dominates, so fusing halves it vs separate UDF calls.
+    ``err`` carries the UnsupportedPdfError issue list for inputs the
+    PDF interpreter flagged (md is null then) — the per-row error
+    lineage a curation pipeline routes to its errors table."""
+    mds, links, errs = [], [], []
     for h, b in zip(html, base_url):
         if h is None:
             mds.append(None)
             links.append([])
+            errs.append(None)
             continue
-        mds.append(_extract_one(h, b))
+        md, err = _extract_one_with_err(h, b)
+        mds.append(md)
+        errs.append(err)
         links.append(extract_links(h, b))
-    return pd.DataFrame({"md": mds, "links": links})
+    return pd.DataFrame({"md": mds, "links": links, "err": errs})
 
 
 def pages_fetch_probe(pages_df):
