@@ -399,6 +399,18 @@ def q_text_lang_id(spark, sf_dir):
     )
 
 
+def q_text_lang_id_ngram(spark, sf_dir):
+    """Cavnar–Trenkle char-trigram lang-ID (the quality backend; the
+    5-marker heuristic stays the cheap gate). The oracle re-runs the
+    ENTIRE method in DuckDB — trigram explode, per-doc top-k rank,
+    out-of-place distance against the same inlined profile table,
+    argmin — so every rank and distance must agree exactly."""
+    from sharepointcrawler_spark.functions.textanalysis import lang_id_ngram
+
+    docs = _t(spark, sf_dir, "documents")
+    return lang_id_ngram(docs).select(F.col("doc_id").cast("long"), "lang_pred")
+
+
 def q_text_stopword_ratio(spark, sf_dir):
     """Stopword-token ratio + C4-style fluency band (0.05..0.6): natural
     prose carries a healthy fraction of function words. The oracle
@@ -953,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "corpus_curate": q_corpus_curate,
         "text_lang_id": q_text_lang_id,
+        "text_lang_id_ngram": q_text_lang_id_ngram,
         "text_quality": q_text_quality,
         "text_stopword_ratio": q_text_stopword_ratio,
         "text_token_counts": q_text_token_counts,
@@ -999,6 +1012,23 @@ def _lang_id_sql(col: str) -> str:
 from sharepointcrawler_spark.sources.odata import STOPWORDS_REFERENCE
 
 _STOPLIST_SQL = ", ".join(f"'{w}'" for w in STOPWORDS_REFERENCE)
+
+# Cavnar–Trenkle profile table inlined for the ngram lang-ID oracle:
+# generated from the SAME deterministic builder the engine uses, so the
+# oracle re-runs the whole method on an identical profile (trigrams are
+# [a-z ] only — safe to single-quote).
+from sharepointcrawler_spark.functions.textanalysis import (  # noqa: E402
+    LANG_SEED_TEXTS,
+    NGRAM_PROFILE_K,
+    build_lang_profiles,
+)
+
+_NGRAM_PROF_VALUES = ", ".join(
+    f"('{lang}', '{tri}', {rank})" for lang, tri, rank in build_lang_profiles()
+)
+_NGRAM_LANG_VALUES = ", ".join(
+    f"('{lang}', {i})" for i, lang in enumerate(LANG_SEED_TEXTS)
+)
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 _TOKC = "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
 _QUALITY = """(
@@ -1314,6 +1344,44 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
         "text_lang_id": f"""
             SELECT {_lang_id_sql('text')} AS lang_pred, count(*) AS n
             FROM documents GROUP BY 1
+        """,
+        "text_lang_id_ngram": f"""
+            -- full Cavnar–Trenkle re-run: profiles inlined from the same
+            -- deterministic seed-corpus builder the engine uses
+            WITH prof(lang, tri, lang_rank) AS (VALUES {_NGRAM_PROF_VALUES}),
+            langs(lang, lang_ord) AS (VALUES {_NGRAM_LANG_VALUES}),
+            docs_n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS norm
+              FROM documents
+            ), padded AS (
+              SELECT doc_id, ' ' || norm || ' ' AS p FROM docs_n WHERE norm <> ''
+            ), idx AS (
+              SELECT doc_id, p,
+                     unnest(generate_series(1, CAST(length(p) AS BIGINT) - 2)) AS i
+              FROM padded
+            ), tris AS (
+              SELECT doc_id, substring(p, CAST(i AS INT), 3) AS tri FROM idx
+            ), doc_prof AS (
+              SELECT doc_id, tri,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY count(*) DESC, tri) AS doc_rank
+              FROM tris GROUP BY doc_id, tri
+              QUALIFY doc_rank <= {NGRAM_PROFILE_K}
+            ), dists AS (
+              SELECT d.doc_id, l.lang, l.lang_ord,
+                     SUM(COALESCE(ABS(d.doc_rank - p.lang_rank),
+                                  {NGRAM_PROFILE_K})) AS dist
+              FROM doc_prof d CROSS JOIN langs l
+              LEFT JOIN prof p ON p.lang = l.lang AND p.tri = d.tri
+              GROUP BY d.doc_id, l.lang, l.lang_ord
+            ), best AS (
+              SELECT doc_id, lang FROM dists
+              QUALIFY row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY dist, lang_ord) = 1
+            )
+            SELECT dd.doc_id, COALESCE(b.lang, 'und') AS lang_pred
+            FROM documents dd LEFT JOIN best b USING (doc_id)
         """,
         "corpus_curate": f"""
             WITH scored AS (

@@ -111,6 +111,156 @@ def _lang_argmax(scores: dict) -> Column:
     return best_lang
 
 
+# --------------------------- char-n-gram language ID (Cavnar–Trenkle)
+
+# Deterministic seed corpora the per-language trigram profiles are BUILT
+# FROM at import time (Cavnar & Trenkle 1994, "N-Gram-Based Text
+# Categorization": rank the most frequent character n-grams, classify by
+# out-of-place rank distance). Real deployments train profiles on large
+# corpora; these embedded seeds keep the profiles deterministic,
+# self-contained and inspectable, while the SCORING pipeline is the
+# genuine C-T method. The 5-marker-word heuristic (lang_id above) stays
+# the cheap single-pass gate; this is the quality backend.
+LANG_SEED_TEXTS: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and the people of the "
+        "world said that this is the time for all good men to come to the "
+        "aid of their country with the strength of their hands and the "
+        "wisdom that they have gathered over the years of their lives"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt ueber den faulen hund und die "
+        "menschen der welt sagten dass dies die zeit ist in der alle guten "
+        "maenner ihrem land mit der kraft ihrer haende und der weisheit "
+        "die sie ueber die jahre ihres lebens gesammelt haben helfen"
+    ),
+    "fr": (
+        "le renard brun rapide saute par dessus le chien paresseux et les "
+        "gens du monde ont dit que ce temps est venu pour tous les hommes "
+        "de bien de venir en aide a leur pays avec la force de leurs mains "
+        "et la sagesse quils ont acquise au cours des annees de leur vie"
+    ),
+    "es": (
+        "el rapido zorro marron salta sobre el perro perezoso y la gente "
+        "del mundo dijo que este es el tiempo para que todos los hombres "
+        "buenos vengan en ayuda de su pais con la fuerza de sus manos y la "
+        "sabiduria que han reunido durante los anos de sus vidas"
+    ),
+}
+
+NGRAM_PROFILE_K = 40
+
+
+def _ct_normalize_py(text: str) -> str:
+    """The shared normalization (python == Spark == DuckDB): lower,
+    every non-letter run -> single space, trimmed."""
+    import re
+
+    return re.sub(r"[^a-z]+", " ", text.lower()).strip()
+
+
+def build_lang_profiles(k: int = NGRAM_PROFILE_K) -> list[tuple[str, str, int]]:
+    """(lang, trigram, rank) rows: top-k space-padded char trigrams of
+    each seed corpus, ranked by (count desc, trigram asc) — fully
+    deterministic, recomputed identically by the DuckDB oracle's
+    inlined VALUES table (generated from this same function)."""
+    rows: list[tuple[str, str, int]] = []
+    for lang, seed in LANG_SEED_TEXTS.items():
+        padded = f" {_ct_normalize_py(seed)} "
+        counts: dict[str, int] = {}
+        for i in range(len(padded) - 2):
+            tri = padded[i : i + 3]
+            counts[tri] = counts.get(tri, 0) + 1
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        rows += [(lang, tri, r + 1) for r, (tri, _) in enumerate(ranked)]
+    return rows
+
+
+def lang_id_ngram(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = NGRAM_PROFILE_K,
+):
+    """Cavnar–Trenkle character-trigram language ID over a corpus:
+    returns (id, lang_pred) with 'und' for zero-evidence docs.
+
+    Method (the published one, not the marker shortcut): the document's
+    top-k trigrams by frequency form its profile; for each language,
+    distance = sum over the doc profile of |doc_rank - lang_rank|, with
+    a k penalty for trigrams absent from the language profile; argmin
+    wins (ties -> language order, zero trigrams -> 'und').
+
+    100 TB shape: ONE explode to (id, trigram) skinny rows; one
+    map-side-combined groupBy(id, trigram); one row_number window per
+    doc (same shuffle key); the 4x``k``-row profile table is a literal
+    broadcast; final per-(id, lang) aggregate + argmin window ride the
+    same id-keyed partitioning. No self-joins, no Python."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    c = F.col(text_col)
+    norm = F.trim(F.regexp_replace(F.lower(c), "[^a-z]+", " "))
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    # the padded text is staged as its OWN column before the lambda
+    # references it (lambda CSE hazard: an outer expression nested in a
+    # transform body re-evaluates per element — the O(n^2) bug class
+    # fixed in winnowing_fingerprints)
+    tris = docs.filter(norm != "").select(
+        F.col(id_col), padded.alias("_p")
+    ).select(
+        F.col(id_col),
+        F.explode(
+            F.expr("transform(sequence(1, length(_p) - 2), i -> substring(_p, i, 3))")
+        ).alias("tri"),
+    )
+    doc_prof = (
+        tris.groupBy(id_col, "tri")
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "doc_rank",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.desc("_n"), F.col("tri"))
+            ),
+        )
+        .filter(F.col("doc_rank") <= k)
+        .drop("_n")
+    )
+    prof = spark.createDataFrame(
+        build_lang_profiles(k), "lang string, tri string, lang_rank int"
+    )
+    langs = spark.createDataFrame(
+        [(lang, i) for i, lang in enumerate(LANG_SEED_TEXTS)], "lang string, lang_ord int"
+    )
+    dists = (
+        doc_prof.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(prof), ["lang", "tri"], "left")
+        .groupBy(id_col, "lang", "lang_ord")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("doc_rank") - F.col("lang_rank")), F.lit(k)
+                )
+            ).alias("dist")
+        )
+    )
+    best = (
+        dists.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("dist", "lang_ord")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("lang").alias("lang_pred"))
+    )
+    return (
+        docs.select(id_col)
+        .join(best, id_col, "left")
+        .select(F.col(id_col), F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"))
+    )
+
+
 def quality_score(col: Column | str) -> Column:
     """[0,1] heuristic quality: length band + punctuation ratio band +
     stopword presence (the classic pre-training quality gates, each a

@@ -322,3 +322,54 @@ def test_decode_images_dispatches_png_and_simg(spark):
     assert got[1].feature[3:] == [0.0, 0.0, 0.0]  # per-channel std
     assert (got[2].width, got[2].height, got[2].channels) == (10, 8, 3)
     assert got[3].width is None and got[3].feature is None
+
+
+# ------------------------------- char-trigram lang-ID (round 4)
+
+
+def test_lang_id_ngram_clear_sentences_and_disagreement(spark):
+    """On clearly-in-language sentences the Cavnar–Trenkle backend and
+    the 5-marker heuristic agree and are both correct; on the synthetic
+    documents fixture (shared database-jargon vocabulary — weak signal)
+    the two backends are measured for disagreement, which must be
+    bounded away from 'always disagree' and produce only valid labels."""
+    from pyspark.sql import functions as F
+
+    from sharepointcrawler_spark.functions.textanalysis import (
+        LANG_SEED_TEXTS,
+        lang_id,
+        lang_id_ngram,
+    )
+
+    clear = [
+        (0, "en", "The quick brown fox jumps over the lazy dog and the cat is here today"),
+        (1, "de", "Der schnelle braune Fuchs springt über den faulen Hund und die Katze ist nicht hier"),
+        (2, "fr", "Le renard brun saute par dessus le chien paresseux et les gens de la ville sont la"),
+        (3, "es", "El rapido zorro salta sobre el perro perezoso y la gente del mundo es una maravilla"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, _, t in clear], "doc_id long, text string"
+    )
+    ng = {r.doc_id: r.lang_pred for r in lang_id_ngram(docs).collect()}
+    mk = {
+        r.doc_id: r.m
+        for r in docs.select("doc_id", lang_id("text").alias("m")).collect()
+    }
+    for i, want, _ in clear:
+        assert ng[i] == want, f"ngram backend wrong on clear {want}"
+        assert mk[i] == want, f"marker backend wrong on clear {want}"
+
+    fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    both = (
+        lang_id_ngram(fixture)
+        .join(fixture.select("doc_id", lang_id("text").alias("marker_pred")), "doc_id")
+    )
+    rows = both.select(
+        F.avg((F.col("lang_pred") != F.col("marker_pred")).cast("double")).alias("dis"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert rows.n == 500
+    assert 0.0 <= rows.dis < 0.9, f"backends disagree on {rows.dis:.0%} of the fixture"
+    valid = set(LANG_SEED_TEXTS) | {"und"}
+    got_labels = {r.lang_pred for r in both.select("lang_pred").distinct().collect()}
+    assert got_labels <= valid
