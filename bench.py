@@ -195,6 +195,69 @@ def run_crawl_waves(spark, n_docs: int = 2000) -> dict:
     }
 
 
+# the 10x order-of-magnitude check (VERDICT r3 item 8): the dedup /
+# clustering headliners whose cost curves must stay linear in corpus
+# size if the partitioning story holds (a quadratic pair stage would
+# show up as ratio >> 10)
+SF1_SUBSET = ["dedup_minhash_lsh", "dedup_spans", "dedup_spans_sampled", "dedup_clusters"]
+
+
+def ensure_sf1_documents(spark, sf_dir: str, factor: int = 10) -> str:
+    """Deterministic 10x documents table: ``factor`` copies of the sf
+    table with disjoint ids and a per-copy suffix appended to EVERY word
+    (so copies share no shingles/windows — no cross-copy near-dup pairs,
+    and the corpus is ``factor`` independent sub-corpora: the workload a
+    linear scale-up actually presents). Written once, reused."""
+    from pyspark.sql import functions as F
+
+    out_dir = f"/tmp/spark_graft_bench/sf10x_{factor}"
+    path = os.path.join(out_dir, "documents.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        parts = []
+        for k in range(factor):
+            text = (
+                F.col("text")
+                if k == 0
+                else F.regexp_replace(F.col("text"), r"(\S+)", rf"$1x{k}")
+            )
+            parts.append(
+                base.select(
+                    (F.col("doc_id") + k * 100_000_000).alias("doc_id"),
+                    text.alias("text"),
+                    "lang",
+                )
+            )
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        big.repartition(CORPUS_PARTITIONS).write.mode("overwrite").parquet(path)
+    return out_dir
+
+
+def run_sf1_scale_check(spark, sf_dir: str, base_timings: dict[str, float]) -> dict:
+    """Run the dedup subset on the 10x corpus and report sec ratios vs
+    the same-process sf0.1 timings. linearity = ratio/10: ~1 means the
+    measured curve tracks the predicted linear shape (host noise is
+    1.5-3x on this box, so treat per-query values as indicative)."""
+    big_dir = ensure_sf1_documents(spark, sf_dir)
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    out: dict = {"factor": 10, "queries_sec": {}, "ratio_vs_sf": {}, "linearity": {}}
+    for name in SF1_SUBSET:
+        spark.catalog.clearCache()
+        t0 = time.monotonic()
+        queries[name](spark, big_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.monotonic() - t0, 3)
+        out["queries_sec"][name] = dt
+        base = base_timings.get(name)
+        if base and base > 0:
+            out["ratio_vs_sf"][name] = round(dt / base, 2)
+            out["linearity"][name] = round(dt / base / 10, 2)
+    return out
+
+
 def run_suite(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -216,6 +279,8 @@ def main() -> None:
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--n-docs", type=int, default=None)
+    ap.add_argument("--no-sf1", action="store_true",
+                    help="skip the 10x dedup scale check block")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -260,6 +325,8 @@ def main() -> None:
         out["queries"]["pages_pipeline"] = pipe["total_sec"]
         out["queries"]["crawl_loop"] = out["crawl_loop"]["total_sec"]
         out["vs_prev"] = _vs_prev(out["queries"])
+        if not args.no_sf1:
+            out["sf1_scale_check"] = run_sf1_scale_check(spark, sf_dir, out["queries"])
     print(json.dumps(out))
 
 
