@@ -834,6 +834,26 @@ def q_multimodal_decode_png(spark, sf_dir):
     )
 
 
+def q_multimodal_decode_wav(spark, sf_dir):
+    """REAL WAV decode: genuine RIFF/WAVE PCM-16 bytes synthesized per
+    doc_id from a closed-form sample formula, decoded by the pure-python
+    chunk walk (operators/multimodal.py decode_wav). The oracle
+    recomputes rate/channels/frame-count AND the exact integer sample
+    sum — a bit-level PCM decode witness."""
+    from sharepointcrawler_spark.operators.multimodal import (
+        decode_wav_stats,
+        synth_wav_udf,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 64)
+    audio = docs.select(
+        F.col("doc_id").cast("long"), synth_wav_udf()(F.col("doc_id")).alias("blob")
+    )
+    return decode_wav_stats(audio).select(
+        "doc_id", "sample_rate", "channels", "n_samples", "sample_sum"
+    )
+
+
 def q_crawl_wave(spark, sf_dir):
     """Three crawl waves end-to-end on the synthetic pages corpus: link
     extraction from html -> canonicalize -> seen-set anti-join dedup ->
@@ -983,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_decode_png": q_multimodal_decode_png,
+        "multimodal_decode_wav": q_multimodal_decode_wav,
         "crawl_wave": q_crawl_wave,
         "text_extraction_identity": q_text_extraction,
         "pdf_extraction_identity": q_pdf_extraction,
@@ -1537,6 +1558,23 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
                               // (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)) * 5
                            + (k % (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)) * 11) % 256
                    )) AS BIGINT) AS pixel_sum
+            FROM documents WHERE doc_id < 64
+        """,
+        "multimodal_decode_wav": """
+            -- closed-form expectation for the real WAV decode:
+            -- n = 64+id%32 frames, ch = 1+id%2, rate = 8000+(id%4)*4000,
+            -- sample[k,c] = (id*13 + k*7 + c*3) % 2048 - 1024,
+            -- linearized over j = k*ch + c
+            SELECT doc_id,
+                   CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+                   CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+                   CAST(64 + doc_id % 32 AS BIGINT) AS n_samples,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, (64 + doc_id % 32) * (1 + doc_id % 2) - 1),
+                     j -> (doc_id * 13
+                           + (j // (1 + doc_id % 2)) * 7
+                           + (j % (1 + doc_id % 2)) * 3) % 2048 - 1024
+                   )) AS BIGINT) AS sample_sum
             FROM documents WHERE doc_id < 64
         """,
         "crawl_wave": """

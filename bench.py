@@ -258,6 +258,52 @@ def run_sf1_scale_check(spark, sf_dir: str, base_timings: dict[str, float]) -> d
     return out
 
 
+def run_wave_flatness(spark, budget: int = 8, compact_every: int = 4) -> dict:
+    """Seen-compaction evidence (VERDICT r3 item 7): a per-host budget
+    forces a long crawl (20+ waves) over a fixed site graph; with both
+    the frontier AND the seen set merge-on-read + compacted every
+    ``compact_every`` waves, wave wall time must stay FLAT as crawl
+    history accumulates (the pre-compaction design read one seen
+    directory per historical wave, so late waves grew linearly)."""
+    import shutil
+    import tempfile
+
+    from sharepointcrawler_spark.operators.frontier import graph_expander
+    from sharepointcrawler_spark.plans.crawl import CrawlConfig, run_crawl
+    from sharepointcrawler_spark.plans.snapshot import SnapshotStore
+    from sharepointcrawler_spark.sources import sitegraph as sg
+
+    root = sg.balanced_tree(depth=4, files_per_folder=4, folders_per_folder=2)
+    edges_df = spark.createDataFrame(
+        sg.edges_from_tree(root),
+        "parent_url string, child_url string, kind string, sibling_idx int",
+    )
+    snapdir = tempfile.mkdtemp(prefix="bench_flat_")
+    res = run_crawl(
+        spark,
+        SnapshotStore(spark, snapdir),
+        graph_expander(edges_df),
+        seeds=[(root.url, 0)],
+        config=CrawlConfig(
+            max_waves=60, per_host_wave_budget=budget, compact_every=compact_every
+        ),
+        resume=False,
+    )
+    shutil.rmtree(snapdir, ignore_errors=True)
+    waves = [m["elapsed_s"] for m in res.metrics]
+    head = waves[1:6]  # wave 0 pays JIT/session warm-up
+    tail = waves[-5:]
+    return {
+        "waves": res.waves,
+        "budget": budget,
+        "compact_every": compact_every,
+        "wave_elapsed_s": waves,
+        "head_mean_s": round(sum(head) / len(head), 2),
+        "tail_mean_s": round(sum(tail) / len(tail), 2),
+        "tail_over_head": round((sum(tail) / len(tail)) / (sum(head) / len(head)), 2),
+    }
+
+
 def run_suite(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -281,12 +327,19 @@ def main() -> None:
     ap.add_argument("--n-docs", type=int, default=None)
     ap.add_argument("--no-sf1", action="store_true",
                     help="skip the 10x dedup scale check block")
+    ap.add_argument("--wave-flatness", action="store_true",
+                    help="20+-wave seen-compaction flatness evidence only")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
     cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = args.n_docs or max(int(PIPELINE_DOCS_PER_SF * sf), 500)
+
+    if args.wave_flatness:
+        spark = _spark(cpus)
+        print(json.dumps({"metric": "wave_flatness", **run_wave_flatness(spark)}))
+        return
 
     if args.scaling:
         # scaling needs a compute-dominated job: 16x the corpus (~500

@@ -493,6 +493,14 @@ def near_dup_components(
     the upgrade path for adversarial long-chain graphs). The loop is
     driver CONTROL only — all data work stays partition-parallel.
 
+    Convergence is decided from a ``_changed`` flag computed IN the
+    label projection itself (the new label is strictly smaller than the
+    old one), so each iteration runs exactly one label join + one
+    aggregate over the checkpointed result — no separate old-vs-new
+    diff join (round 4: that second join was ~a third of the
+    per-iteration cost at toy scale and a full extra shuffle at any
+    scale).
+
     Lineage: each iteration's labels are EAGERLY checkpointed, not just
     persisted. Labels are referenced twice per step (neighbor join +
     convergence diff), so with persist alone the logical plan doubles
@@ -511,7 +519,7 @@ def near_dup_components(
     loop uses, plans/snapshot.py): every iteration is published by an
     atomic rename AFTER its table lands, so a killed job re-enters at
     the last completed iteration with no recomputation and an identical
-    fixpoint (tested in tests/test_corpus_ops.py kill/resume)."""
+    fixpoint (tested in tests/test_round4_hardening.py kill/resume)."""
     if checkpoint_dir is not None:
         return _near_dup_components_durable(
             docs, pairs, id_col, max_iters, checkpoint_dir
@@ -542,18 +550,14 @@ def near_dup_components(
                     F.least(
                         F.col("cluster_id"), F.coalesce("_nbr_min", F.col("cluster_id"))
                     ).alias("cluster_id"),
+                    (F.coalesce("_nbr_min", F.col("cluster_id")) < F.col("cluster_id"))
+                    .cast("int")
+                    .alias("_changed"),
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.join(
-                    labels.select(F.col(id_col), F.col("cluster_id").alias("_old")),
-                    id_col,
-                )
-                .filter(F.col("cluster_id") < F.col("_old"))
-                .count()
-            )
-            # the diff was the old labels' last consumer — free its blocks
+            changed = new_labels.agg(F.sum("_changed")).collect()[0][0]
+            # the join was the old labels' last consumer — free its blocks
             _free_local_checkpoint(labels)
             labels = new_labels
             if changed == 0:
@@ -564,7 +568,7 @@ def near_dup_components(
             )
     finally:
         _free_local_checkpoint(edges)
-    return labels
+    return labels.drop("_changed")
 
 
 def _cc_state_path(checkpoint_dir: str) -> str:
@@ -618,7 +622,7 @@ def _near_dup_components_durable(
             state = json.load(f)
         start = state["iter"]
         if state.get("converged"):
-            return spark.read.parquet(ldir(start))
+            return spark.read.parquet(ldir(start)).drop("_changed")
     else:
         (
             pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -649,27 +653,24 @@ def _near_dup_components_durable(
                 F.least(
                     F.col("cluster_id"), F.coalesce("_nbr_min", F.col("cluster_id"))
                 ).alias("cluster_id"),
+                # convergence flag computed in the projection (see the
+                # in-memory loop): the committed table IS the diff
+                (F.coalesce("_nbr_min", F.col("cluster_id")) < F.col("cluster_id"))
+                .cast("int")
+                .alias("_changed"),
             )
             .write.mode("overwrite")
             .parquet(ldir(i))
         )
         changed = (
-            spark.read.parquet(ldir(i))
-            .join(
-                spark.read.parquet(ldir(i - 1)).select(
-                    F.col(id_col), F.col("cluster_id").alias("_old")
-                ),
-                id_col,
-            )
-            .filter(F.col("cluster_id") < F.col("_old"))
-            .count()
+            spark.read.parquet(ldir(i)).agg(F.sum("_changed")).collect()[0][0]
         )
         converged = changed == 0
         _cc_write_state(checkpoint_dir, {"iter": i, "converged": converged})
         if i >= 2:
             shutil.rmtree(ldir(i - 2), ignore_errors=True)
         if converged:
-            return spark.read.parquet(ldir(i))
+            return spark.read.parquet(ldir(i)).drop("_changed")
     raise RuntimeError(
         f"near_dup_components did not converge in {max_iters} iterations"
     )

@@ -259,6 +259,126 @@ def decode_images(images: DataFrame, blob_col: str = "blob", id_col: str = "doc_
     )
 
 
+# ------------------------------------------------------------ WAV codec
+
+WAV_SIG = b"RIFF"
+
+
+def write_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 PCM samples (n,) or (n, channels) -> RIFF/WAVE bytes
+    (canonical 44-byte header, interleaved frames)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body) - 4) + body
+
+
+def is_wav(blob: bytes | None) -> bool:
+    return bool(blob) and len(blob) >= 12 and blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """WAV bytes -> (sample_rate, channels, int16 samples (n, channels)).
+    Pure python/numpy RIFF chunk walk; PCM-16 only — compressed or
+    other-depth formats raise ValueError (flag, never garbage)."""
+    if not is_wav(blob):
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(blob):
+        tag = blob[pos : pos + 4]
+        (length,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        payload = blob[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt = payload
+        elif tag == b"data":
+            data = payload
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_fmt != 1:
+        raise ValueError(f"unsupported WAV audio format {audio_fmt} (non-PCM)")
+    if bits != 16:
+        raise ValueError(f"unsupported WAV bit depth {bits}")
+    frames = len(data) // (ch * 2)
+    samples = np.frombuffer(data, dtype="<i2", count=frames * ch).reshape(frames, ch)
+    return rate, ch, samples
+
+
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("channels", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sample_sum", T.LongType(), True),
+    ]
+)
+
+
+def decode_wav_stats(
+    audio: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas: WAV blobs -> (sample_rate, channels, n_samples,
+    sample_sum). The exact integer sample sum witnesses bit-faithful
+    PCM decode; undecodable blobs yield NULL stats rows."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    rate, ch, samples = decode_wav(blob)
+                    rows.append(
+                        (did, rate, ch, samples.shape[0], int(samples.astype(np.int64).sum()))
+                    )
+                except ValueError:
+                    rows.append((did, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "channels", "n_samples", "sample_sum"],
+            )
+
+    return audio.select(F.col(id_col).alias("doc_id"), F.col(blob_col)).mapInPandas(
+        decode, WAV_STATS_SCHEMA
+    )
+
+
+def synth_wav_samples(doc_id: int) -> tuple[np.ndarray, int]:
+    """Deterministic PCM with a CLOSED FORM the DuckDB oracle recomputes:
+    n = 64 + id%32 frames, ch = 1 + id%2, rate = 8000 + (id%4)*4000,
+    sample[k, c] = (id*13 + k*7 + c*3) % 2048 - 1024."""
+    n, ch = 64 + doc_id % 32, 1 + doc_id % 2
+    rate = 8000 + (doc_id % 4) * 4000
+    k = np.arange(n)[:, None]
+    c = np.arange(ch)[None, :]
+    return ((doc_id * 13 + k * 7 + c * 3) % 2048 - 1024).astype(np.int16), rate
+
+
+def synth_wav_udf():
+    """Pandas UDF: doc_id -> real WAV bytes of the closed-form PCM."""
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:  # pragma: no cover
+        def one(d):
+            samples, rate = synth_wav_samples(int(d))
+            return write_wav(samples, rate)
+
+        return ids.map(one)
+
+    return synth
+
+
 def synth_png_pattern(doc_id: int) -> np.ndarray:
     """Deterministic pixel pattern with a CLOSED FORM the DuckDB oracle
     recomputes independently: shape (3 + id%4, 4 + id%5, 3 if id even
