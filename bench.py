@@ -273,7 +273,7 @@ def run_wave_flatness(spark, budget: int = 8, compact_every: int = 4) -> dict:
     from sharepointcrawler_spark.plans.snapshot import SnapshotStore
     from sharepointcrawler_spark.sources import sitegraph as sg
 
-    root = sg.balanced_tree(depth=4, files_per_folder=4, folders_per_folder=2)
+    root = sg.balanced_tree(depth=4, files_per_folder=10, folders_per_folder=2)
     edges_df = spark.createDataFrame(
         sg.edges_from_tree(root),
         "parent_url string, child_url string, kind string, sibling_idx int",

@@ -323,20 +323,34 @@ def run_crawl(
         # read-back — which doubles as the evidence of rows physically
         # written this wave. Replaces the former 4 separate count()
         # actions per wave (each a full Spark job: the bulk of the
-        # fixed per-wave overhead at toy scale).
+        # fixed per-wave overhead at toy scale). The delta read-back tag
+        # embeds spark_partition_id, so the SAME job also yields the
+        # per-partition lineage rows (north_rule "per-partition lineage
+        # + metrics") at zero extra actions.
         def _tag(df: DataFrame, key: str) -> DataFrame:
             return df.select(F.lit(key).alias("_k"))
 
+        delta_readback = spark.read.parquet(delta_path).select(
+            F.concat(
+                F.lit("delta_pid_"), F.spark_partition_id().cast("string")
+            ).alias("_k")
+        )
         counts = {
             r["_k"]: r["n"]
             for r in _tag(scheduled, "scheduled")
             .unionAll(_tag(denied, "denied"))
             .unionAll(_tag(seen_delta, "discovered_new"))
-            .unionAll(_tag(spark.read.parquet(delta_path), "delta_rows"))
+            .unionAll(delta_readback)
             .groupBy("_k")
             .agg(F.count("*").alias("n"))
             .collect()
         }
+        lineage_rows = [
+            {"wave": wave, "partition_id": int(k[len("delta_pid_"):]), "rows": n}
+            for k, n in sorted(counts.items())
+            if k.startswith("delta_pid_")
+        ]
+        counts["delta_rows"] = sum(r["rows"] for r in lineage_rows)
         scheduled.unpersist()
         new_rows.unpersist()
         seen_delta.unpersist()
@@ -381,9 +395,12 @@ def run_crawl(
         tables["frontier_deltas"] = delta_paths
         tables["seen_base"] = seen_base_path
         tables["seen_deltas"] = seen_delta_paths
-        # metrics row written driver-side via pyarrow (one tiny row does
-        # not warrant a Spark job per wave)
+        # metrics + per-partition lineage rows written driver-side via
+        # pyarrow (a handful of tiny rows does not warrant a Spark job
+        # per wave; the counts came from the one stats job above)
         tables["metrics"] = store.write_rows([stats], "metrics", wave)
+        if lineage_rows:
+            tables["lineage"] = store.write_rows(lineage_rows, "lineage", wave)
         store.commit(wave, tables, stats)
         metrics_all.append(stats)
 

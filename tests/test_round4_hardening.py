@@ -274,3 +274,41 @@ def test_seen_set_compacts_with_frontier(spark, tmp_path):
     merged = {r.url_key for r in res.seen.collect()}
     appended = {r.url_key for r in store.read_appended("seen", last).collect()}
     assert merged == appended
+
+
+# --------------------------------------- 6. per-partition lineage
+
+
+def test_per_partition_lineage_recorded(spark, tmp_path):
+    """Every wave's snapshot carries a lineage table of per-PARTITION
+    delta row counts (north_rule 'per-partition lineage + metrics'),
+    derived from the same single stats job — and the lineage sums must
+    equal the per-wave delta_rows metrics exactly."""
+    from sharepointcrawler_spark.operators.frontier import graph_expander
+    from sharepointcrawler_spark.plans.crawl import CrawlConfig, run_crawl
+    from sharepointcrawler_spark.plans.snapshot import SnapshotStore
+    from sharepointcrawler_spark.sources import sitegraph as sg
+
+    root = sg.balanced_tree(depth=3, files_per_folder=3, folders_per_folder=2)
+    edges = spark.createDataFrame(
+        sg.edges_from_tree(root),
+        "parent_url string, child_url string, kind string, sibling_idx int",
+    )
+    store = SnapshotStore(spark, str(tmp_path / "snap"))
+    res = run_crawl(
+        spark, store, graph_expander(edges), seeds=[(root.url, 0)],
+        config=CrawlConfig(), resume=False,
+    )
+    lineage = store.read_appended("lineage", res.waves)
+    assert lineage is not None
+    per_wave = {
+        r.wave: r.total
+        for r in lineage.groupBy("wave").agg(
+            __import__("pyspark").sql.functions.sum("rows").alias("total")
+        ).collect()
+    }
+    for m in res.metrics:
+        if m["delta_rows"]:
+            assert per_wave[m["wave"]] == m["delta_rows"]
+    # partition ids are genuine (>= 1 partition, non-negative ids)
+    assert lineage.filter("partition_id < 0").count() == 0
