@@ -210,7 +210,10 @@ def ensure_sf1_documents(spark, sf_dir: str, factor: int = 10) -> str:
     linear scale-up actually presents). Written once, reused."""
     from pyspark.sql import functions as F
 
-    out_dir = f"/tmp/spark_graft_bench/sf10x_{factor}"
+    # cache key must include the BASE scale: a 10x corpus built from
+    # sf0.01 silently reused for an sf0.1 run voids the measurement
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = f"/tmp/spark_graft_bench/sf10x_{factor}_{sf_tag}"
     path = os.path.join(out_dir, "documents.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -520,8 +523,18 @@ at 8->32 processes is {spin_eff:.2f} (spin test: {spin[8]}M/s at 8 ->
 Reproduce: `python bench.py --scaling`
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve evidence sections appended by other modes (e.g. the
+    # seen-compaction wave-flatness note) across scaling rewrites
+    suffix = ""
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            old = f.read()
+        marker = "\n## Seen-set compaction"
+        if marker in old:
+            suffix = old[old.index(marker):]
+    with open(out_path, "w") as f:
+        f.write(md + suffix)
     print(json.dumps({
         "metric": "scaling_efficiency", "value": round(eff_primary, 3), "unit": "ratio",
         "pair_primary": {"n": 2, "4n": 8, "tp_n": tp2, "tp_4n": tp8p},

@@ -310,6 +310,19 @@ def portable_hash64(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def hash64(col: Column | str, portable: bool = True) -> Column:
+    """The dedup-key hash with a production fast path: ``portable=True``
+    (default) is the md5-derived int64 every DuckDB oracle recomputes;
+    ``portable=False`` is Spark's native ``xxhash64`` — same 64-bit key
+    semantics, no Python, substantially cheaper per byte, but not
+    reproducible outside Spark. Dedup RESULTS are hash-choice-invariant
+    (tested in test_corpus_ops): only the opaque key values differ."""
+    if portable:
+        return portable_hash64(col)
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(c)
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Whole-document fingerprint over normalized text (exact-dedup key)."""
     return F.md5(normalize_text(col))

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from sharepointcrawler_spark.functions.textanalysis import (
     doc_fingerprint,
+    hash64,
     normalize_text,
     portable_hash64,
 )
@@ -180,7 +181,9 @@ def word_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 # ----------------------------------------------------------- minhash LSH
 
 
-def minhash_signatures_wide(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def minhash_signatures_wide(
+    shingled: DataFrame, id_col: str = "doc_id", portable: bool = True
+) -> DataFrame:
     """(id, m0..m{k-1}) — the k minhash lanes as COLUMNS of one row.
 
     One groupBy(id) with k min-aggregates over the single portable
@@ -189,7 +192,7 @@ def minhash_signatures_wide(shingled: DataFrame, id_col: str = "doc_id") -> Data
     before the shuffle. The affine params are inlined literals (the
     exact formula the DuckDB oracle recomputes independently)."""
     hashed = shingled.withColumn(
-        "h", F.pmod(portable_hash64("shingle"), F.lit(MINHASH_P))
+        "h", F.pmod(hash64("shingle", portable), F.lit(MINHASH_P))
     )
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"m{i}")
@@ -210,7 +213,9 @@ def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame
     )
 
 
-def lsh_bucket_pairs(signatures_wide: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_bucket_pairs(
+    signatures_wide: DataFrame, id_col: str = "doc_id", portable: bool = True
+) -> DataFrame:
     """Candidate pairs: docs agreeing on ALL lanes of any band.
 
     band key = md5 of the comma-joined lane values of the band, lanes
@@ -222,19 +227,20 @@ def lsh_bucket_pairs(signatures_wide: DataFrame, id_col: str = "doc_id") -> Data
     skew-split handles it.
     """
     rows_per_band = MINHASH_K // MINHASH_BANDS
+
+    def band_key(b):
+        joined = F.concat_ws(",", *[
+            F.col(f"m{b * rows_per_band + j}").cast("string")
+            for j in range(rows_per_band)
+        ])
+        # fast path: xxhash64 band key (same equi-join semantics, no md5)
+        return F.md5(joined) if portable else F.xxhash64(joined).cast("string")
+
     banded = signatures_wide.select(
         id_col,
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(
-                        F.concat_ws(",", *[
-                            F.col(f"m{b * rows_per_band + j}").cast("string")
-                            for j in range(rows_per_band)
-                        ])
-                    ).alias("band_key"),
-                )
+                F.struct(F.lit(b).alias("band"), band_key(b).alias("band_key"))
                 for b in range(MINHASH_BANDS)
             ])
         ).alias("bk"),
@@ -348,12 +354,15 @@ def minhash_lsh_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_candidate_limit: int | None = BROADCAST_CANDIDATE_LIMIT,
+    portable: bool = True,
 ) -> DataFrame:
     """The scale path end-to-end: shingle -> minhash -> LSH buckets ->
-    exact-jaccard verification of candidates only."""
+    exact-jaccard verification of candidates only. ``portable=False``
+    swaps every md5-derived key for native xxhash64 (the production
+    fast path; identical RESULTS, tested, no DuckDB parity)."""
     sh = word_shingles(docs, text_col, id_col).persist()
-    sigs = minhash_signatures_wide(sh, id_col)
-    cands = lsh_bucket_pairs(sigs, id_col)
+    sigs = minhash_signatures_wide(sh, id_col, portable)
+    cands = lsh_bucket_pairs(sigs, id_col, portable)
     return jaccard_pairs(
         docs, threshold, text_col, id_col, candidates=cands, shingled=sh,
         broadcast_candidate_limit=broadcast_candidate_limit,
@@ -367,7 +376,10 @@ def minhash_lsh_dedup(
 SIMHASH_BITS = 60
 
 
-def simhash_signature(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_signature(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    portable: bool = True,
+) -> DataFrame:
     """(id, sim) — 60-bit simhash, 100% JVM builtins (no Python).
 
     explode whitespace tokens -> portable md5-int64 token hash -> one
@@ -383,7 +395,7 @@ def simhash_signature(docs: DataFrame, text_col: str = "text", id_col: str = "do
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    hashed = toks.withColumn("h", portable_hash64("tok"))
+    hashed = toks.withColumn("h", hash64("tok", portable))
     sums = hashed.groupBy(id_col).agg(
         *[
             F.sum(
@@ -410,7 +422,10 @@ def _simhash_chunks(max_hamming: int) -> tuple[int, int]:
     raise ValueError(f"max_hamming={max_hamming} too large for {SIMHASH_BITS}-bit simhash")
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
+    id_col: str = "doc_id", portable: bool = True,
+) -> DataFrame:
     """Near-dup pairs by simhash hamming distance — exhaustive under
     pigeonhole blocking, never an O(n^2) pair stage.
 
@@ -423,7 +438,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
     """
     n_chunks, chunk_bits = _simhash_chunks(max_hamming)
     mask = (1 << chunk_bits) - 1
-    sh = simhash_signature(docs, text_col, id_col)
+    sh = simhash_signature(docs, text_col, id_col, portable)
     chunks = sh.select(
         id_col,
         "sim",
@@ -694,6 +709,7 @@ def duplicated_window_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     stride: int = 1,
+    portable: bool = True,
 ) -> DataFrame:
     """Exact substring-duplication detection (span-level dedup a la
     'Deduplicating Training Data Makes Language Models Better', Lee et
@@ -726,12 +742,16 @@ def duplicated_window_stats(
     norm = normalize_text(text_col)
     n_win = F.greatest(F.length(norm) - F.lit(window_chars - 1), F.lit(1))
     docs_n = docs.select(F.col(id_col), norm.alias("_t"), n_win.alias("_n"))
+    hash_expr = (
+        f"conv(substr(md5(substring(_t, i, {window_chars})), 1, 15), 16, 10)"
+        if portable
+        else f"xxhash64(substring(_t, i, {window_chars}))"
+    )
     wins = docs_n.select(
         id_col,
         F.explode(
             F.expr(
-                f"transform(sequence(1, _n, {stride}), i -> "
-                f"conv(substr(md5(substring(_t, i, {window_chars})), 1, 15), 16, 10))"
+                f"transform(sequence(1, _n, {stride}), i -> {hash_expr})"
             ).cast("array<long>")
         ).alias("h"),
     )

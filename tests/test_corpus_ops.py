@@ -373,3 +373,56 @@ def test_lang_id_ngram_clear_sentences_and_disagreement(spark):
     valid = set(LANG_SEED_TEXTS) | {"und"}
     got_labels = {r.lang_pred for r in both.select("lang_pred").distinct().collect()}
     assert got_labels <= valid
+
+
+# ---------------------------- production hash fast path (round 4)
+
+
+def test_dedup_results_under_hash_backend(spark):
+    """portable=False swaps every md5-derived key for native xxhash64
+    (the production fast path). What is EXACTLY hash-invariant must stay
+    identical: span duplication stats (the hash only keys equality
+    counting) and verified jaccard scores of shared candidate pairs;
+    exact duplicates must be found under either backend (identical text
+    collides in every band / has hamming 0 under ANY hash). Candidate
+    RECALL for near (non-exact) pairs is probabilistic in the hash by
+    construction (minhash band collisions, simhash bit votes) — that is
+    the documented semantics, not a backend bug."""
+    from sharepointcrawler_spark.operators.corpus import (
+        duplicated_window_stats,
+        minhash_lsh_dedup,
+        simhash_pairs,
+    )
+
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "the quick  brown fox Jumps over the lazy dog near the river bank today"),
+        (2, "The quick brown fox jumps over the lazy dog near the river bank tonight"),
+        (3, "Completely different content about spark clusters and shuffle partitions"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact_dupes = {(0, 1), (0, 4), (1, 4)}  # identical after normalization
+
+    mh = {
+        p: {(r.id_a, r.id_b): r.jaccard
+            for r in minhash_lsh_dedup(docs, threshold=0.6, portable=p).collect()}
+        for p in (True, False)
+    }
+    for p in (True, False):
+        assert exact_dupes <= set(mh[p]), f"exact dupes missed (portable={p})"
+        assert all(mh[p][e] == 1.0 for e in exact_dupes)
+    shared = set(mh[True]) & set(mh[False])
+    assert all(mh[True][k] == mh[False][k] for k in shared)  # scores invariant
+
+    for p in (True, False):
+        sh = {(r.id_a, r.id_b): r.hamming
+              for r in simhash_pairs(docs, max_hamming=3, portable=p).collect()}
+        assert exact_dupes <= set(sh)
+        assert all(sh[e] == 0 for e in exact_dupes)
+
+    sp = lambda p: sorted(
+        (r.doc_id, r.n_windows, r.n_dup_windows)
+        for r in duplicated_window_stats(docs, 30, portable=p).collect()
+    )
+    assert sp(True) == sp(False)
