@@ -173,3 +173,74 @@ def test_lang_id_staged_tokens_equivalent(spark, texts):
     )
     for r in staged.collect():
         assert r.direct == r.staged
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_png_codec_lossless_round_trip(data):
+    """Pure-python property: decode(write_png(px)) == px exactly for any
+    uint8 array, both channel layouts, both filter modes (the five PNG
+    filters are mod-256 reversible by construction)."""
+    import numpy as np
+
+    from sharepointcrawler_spark.operators.multimodal import decode_png, write_png
+
+    h = data.draw(st.integers(1, 16))
+    w = data.draw(st.integers(1, 16))
+    ch = data.draw(st.sampled_from([1, 3]))
+    seed = data.draw(st.integers(0, 2**31 - 1))
+    mode = data.draw(st.sampled_from(["cycle", "none"]))
+    px = np.random.default_rng(seed).integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    W, H, C, got = decode_png(write_png(px, filter_mode=mode))
+    assert (W, H, C) == (w, h, ch)
+    assert np.array_equal(got, px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_wav_codec_lossless_round_trip(data):
+    """decode(write_wav(samples)) == samples exactly for any int16 PCM."""
+    import numpy as np
+
+    from sharepointcrawler_spark.operators.multimodal import decode_wav, write_wav
+
+    n = data.draw(st.integers(1, 300))
+    ch = data.draw(st.sampled_from([1, 2]))
+    rate = data.draw(st.sampled_from([8000, 16000, 44100]))
+    seed = data.draw(st.integers(0, 2**31 - 1))
+    s = (
+        np.random.default_rng(seed)
+        .integers(-32768, 32768, size=(n, ch))
+        .astype(np.int16)
+    )
+    got_rate, got_ch, got = decode_wav(write_wav(s, rate))
+    assert (got_rate, got_ch) == (rate, ch)
+    assert np.array_equal(got, s)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdefghij ", min_size=1, max_size=60),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_pdf_proportional_round_trip_property(lines):
+    """Helvetica-metrics layout -> PDF bytes -> parse reproduces every
+    word box EXACTLY (per-glyph width sums are integer-then-one-divide,
+    so writer and parser land on identical floats)."""
+    from sharepointcrawler_spark.extraction.pdfwords import (
+        HELVETICA,
+        layout_words,
+        parse_pdf_word_pages,
+        write_pdf,
+    )
+
+    text = "\n".join(lines)
+    pages, heights = layout_words(text, font=HELVETICA)
+    got_pages, got_heights = parse_pdf_word_pages(
+        write_pdf(pages, heights, font_metrics=HELVETICA), strict=False
+    )
+    assert got_heights == heights
+    assert [w for p in got_pages for w in p] == [w for p in pages for w in p]
