@@ -834,6 +834,28 @@ def q_multimodal_decode_png(spark, sf_dir):
     )
 
 
+def q_multimodal_decode_jpeg(spark, sf_dir):
+    """REAL baseline JPEG decode: genuine JFIF bytes (Annex-K huffman +
+    quantization, byte stuffing) synthesized per doc_id as flat
+    grayscale — the one JPEG shape with an EXACT closed form: at
+    quality 75 the DC quantizer is 8, so 8*(c-128) quantizes exactly
+    and the decoded block equals c. The oracle recomputes
+    width/height/channels and pixel_sum = w*h*c; any huffman/DCT/
+    dequantize bug shifts the sum."""
+    from sharepointcrawler_spark.operators.multimodal import (
+        decode_jpeg_stats,
+        synth_jpeg_udf,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 64)
+    imgs = docs.select(
+        F.col("doc_id").cast("long"), synth_jpeg_udf()(F.col("doc_id")).alias("blob")
+    )
+    return decode_jpeg_stats(imgs).select(
+        "doc_id", "width", "height", "channels", "pixel_sum"
+    )
+
+
 def q_multimodal_decode_wav(spark, sf_dir):
     """REAL WAV decode: genuine RIFF/WAVE PCM-16 bytes synthesized per
     doc_id from a closed-form sample formula, decoded by the pure-python
@@ -1004,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_decode_png": q_multimodal_decode_png,
         "multimodal_decode_wav": q_multimodal_decode_wav,
+        "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
         "crawl_wave": q_crawl_wave,
         "text_extraction_identity": q_text_extraction,
         "pdf_extraction_identity": q_pdf_extraction,
@@ -1558,6 +1581,18 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
                               // (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)) * 5
                            + (k % (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)) * 11) % 256
                    )) AS BIGINT) AS pixel_sum
+            FROM documents WHERE doc_id < 64
+        """,
+        "multimodal_decode_jpeg": """
+            -- flat grayscale JPEG closed form: w = 8+id%9, h = 8+id%7,
+            -- c = (id*37)%256; at quality 75 the flat block decodes to
+            -- exactly c, so pixel_sum = w*h*c
+            SELECT doc_id,
+                   CAST(8 + doc_id % 9 AS BIGINT) AS width,
+                   CAST(8 + doc_id % 7 AS BIGINT) AS height,
+                   CAST(1 AS BIGINT) AS channels,
+                   CAST((8 + doc_id % 9) * (8 + doc_id % 7)
+                        * ((doc_id * 37) % 256) AS BIGINT) AS pixel_sum
             FROM documents WHERE doc_id < 64
         """,
         "multimodal_decode_wav": """

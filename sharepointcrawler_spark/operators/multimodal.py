@@ -220,20 +220,22 @@ def decode_images(images: DataFrame, blob_col: str = "blob", id_col: str = "doc_
     decode loop is per-blob python (unavoidable for codecs) but the
     surrounding dataflow is columnar.
     """
-    # Dispatch: real PNG bytes -> the pure-python decoder (feature =
-    # per-channel pixel mean/std, a genuine image statistic); SIMG fake
-    # header -> the stub path with the md5 pseudo-feature. When PIL is
-    # available, other real formats (JPEG, ...) plug in here the same
-    # way. Unknown formats yield NULL metadata rather than raising
-    # (errors-as-rows, like S6).
+    # Dispatch: real PNG/JPEG bytes -> the pure-python decoders (feature
+    # = per-channel pixel mean/std, a genuine image statistic); SIMG
+    # fake header -> the stub path with the md5 pseudo-feature. Unknown
+    # formats yield NULL metadata rather than raising (errors-as-rows,
+    # like S6).
+    from sharepointcrawler_spark.operators.jpeg import decode_jpeg, is_jpeg
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for did, blob in zip(pdf[id_col], pdf[blob_col]):
-                if is_png(blob):
+                if is_png(blob) or is_jpeg(blob):
                     try:
-                        w, h, c, px = decode_png(blob)
+                        w, h, c, px = (
+                            decode_png(blob) if is_png(blob) else decode_jpeg(blob)
+                        )
                     except ValueError:
                         rows.append((did, None, None, None, len(blob), None))
                         continue
@@ -377,6 +379,61 @@ def synth_wav_udf():
         return ids.map(one)
 
     return synth
+
+
+# ------------------------------------------------------ JPEG stats path
+
+
+def synth_jpeg_flat(doc_id: int) -> tuple[np.ndarray, int]:
+    """(flat grayscale pixels, quality): at quality 75 the Annex-K DC
+    quantizer is 8, so the DC coefficient 8*(c-128) quantizes exactly
+    for ANY c and a flat block decodes to exactly c — the closed-form
+    anchor the DuckDB oracle uses (pixel_sum = w*h*c)."""
+    w, h = 8 + doc_id % 9, 8 + doc_id % 7
+    c = (doc_id * 37) % 256
+    return np.full((h, w), c, dtype=np.uint8), 75
+
+
+def synth_jpeg_udf():
+    """Pandas UDF: doc_id -> real baseline JPEG bytes of the flat
+    pattern (full marker stream: DQT/SOF0/DHT/SOS + entropy data)."""
+    from sharepointcrawler_spark.operators.jpeg import write_jpeg
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:  # pragma: no cover
+        def one(d):
+            px, q = synth_jpeg_flat(int(d))
+            return write_jpeg(px, q)
+
+        return ids.map(one)
+
+    return synth
+
+
+def decode_jpeg_stats(
+    images: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas: JPEG blobs -> (width, height, channels, pixel_sum)
+    through the full baseline decode (huffman + dequantize + IDCT).
+    Same schema as the PNG stats path; undecodable blobs -> NULL rows."""
+    from sharepointcrawler_spark.operators.jpeg import decode_jpeg
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    w, h, c, px = decode_jpeg(blob)
+                    rows.append((did, w, h, c, int(px.astype(np.int64).sum())))
+                except ValueError:
+                    rows.append((did, None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "channels", "pixel_sum"]
+            )
+
+    return images.select(F.col(id_col).alias("doc_id"), F.col(blob_col)).mapInPandas(
+        decode, PNG_STATS_SCHEMA
+    )
 
 
 def synth_png_pattern(doc_id: int) -> np.ndarray:

@@ -426,3 +426,84 @@ def test_dedup_results_under_hash_backend(spark):
         for r in duplicated_window_stats(docs, 30, portable=p).collect()
     )
     assert sp(True) == sp(False)
+
+
+# -------------------------------------- real JPEG decode (round 4)
+
+
+def test_jpeg_round_trip_quality_and_determinism():
+    """Baseline JPEG: decode(encode(x)) is deterministic; flat blocks
+    at q75 survive EXACTLY (DC quantizer 8 divides 8*(c-128)); smooth
+    content reconstructs above a PSNR floor for 1- and 3-channel."""
+    import numpy as np
+
+    from sharepointcrawler_spark.operators.jpeg import decode_jpeg, is_jpeg, write_jpeg
+
+    for c in (0, 37, 136, 255):
+        px = np.full((11, 19), c, dtype=np.uint8)
+        blob = write_jpeg(px, 75)
+        assert is_jpeg(blob)
+        w, h, ch, got = decode_jpeg(blob)
+        assert (w, h, ch) == (19, 11, 1)
+        assert np.array_equal(got[:, :, 0], px)
+
+    x = np.linspace(0, 255, 64)
+    grad = (x[None, :] * np.ones((48, 1))).astype(np.uint8)
+    _, _, _, got = decode_jpeg(write_jpeg(grad, 90))
+    mse = float(np.mean((got[:, :, 0].astype(float) - grad.astype(float)) ** 2))
+    assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 35
+
+    rng = np.random.default_rng(1)
+    rgb = np.kron(
+        rng.integers(0, 256, size=(4, 5, 3)), np.ones((8, 8, 1))
+    ).astype(np.uint8)
+    _, _, ch, got = decode_jpeg(write_jpeg(rgb, 90))
+    assert ch == 3
+    mse = float(np.mean((got.astype(float) - rgb.astype(float)) ** 2))
+    assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 30
+    # decode is a pure function of the bytes
+    assert (
+        decode_jpeg(write_jpeg(rgb, 60))[3].tobytes()
+        == decode_jpeg(write_jpeg(rgb, 60))[3].tobytes()
+    )
+
+
+def test_jpeg_unsupported_constructs_flagged():
+    """Progressive scans / restart intervals / subsampling are flagged
+    (ValueError), never silently mis-decoded."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sharepointcrawler_spark.operators.jpeg import decode_jpeg, write_jpeg
+
+    good = bytearray(write_jpeg(np.zeros((8, 8), dtype=np.uint8), 75))
+    # flip SOF0 -> SOF2 (progressive)
+    sof = good.find(b"\xff\xc0")
+    prog = bytes(good[:sof + 1]) + b"\xc2" + bytes(good[sof + 2:])
+    with _pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(prog)
+    # inject a DRI segment after SOI
+    dri = bytes(good[:2]) + b"\xff\xdd" + struct.pack(">HH", 4, 16) + bytes(good[2:])
+    with _pytest.raises(ValueError, match="restart"):
+        decode_jpeg(dri)
+    with _pytest.raises(ValueError, match="signature"):
+        decode_jpeg(b"NOTAJPEG")
+    # sanity: the unmodified stream still decodes
+    assert decode_jpeg(bytes(good))[3].shape == (8, 8, 1)
+
+
+def test_decode_images_dispatches_jpeg(spark):
+    import numpy as np
+
+    from sharepointcrawler_spark.operators.jpeg import write_jpeg
+    from sharepointcrawler_spark.operators.multimodal import decode_images
+
+    px = np.full((8, 16), 136, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(write_jpeg(px, 75)))], "doc_id long, blob binary"
+    )
+    r = decode_images(df).collect()[0]
+    assert (r.width, r.height, r.channels) == (16, 8, 1)
+    assert r.feature[0] == 136.0 and r.feature[1] == 0.0  # mean/std of flat
