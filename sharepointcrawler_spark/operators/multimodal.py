@@ -513,10 +513,31 @@ def resize_stub(images: DataFrame, target_w: int, target_h: int, blob_col: str =
     return images.withColumn(blob_col, resize(F.col(blob_col)))
 
 
+def split_mjpeg_frames(blob: bytes) -> list[bytes]:
+    """MJPEG container (concatenated baseline JPEGs) -> per-frame bytes.
+    Frame boundaries are SOI markers at the top level; inside entropy
+    data a 0xFF byte is always stuffed (0xFF00) or a real marker, so an
+    EOI+SOI seam never occurs mid-frame."""
+    starts = []
+    pos = 0
+    while True:
+        i = blob.find(b"\xff\xd8\xff", pos)
+        if i < 0:
+            break
+        starts.append(i)
+        pos = i + 3
+    return [
+        blob[s : starts[k + 1] if k + 1 < len(starts) else len(blob)]
+        for k, s in enumerate(starts)
+    ]
+
+
 def frame_sample_stub(videos: DataFrame, every_n: int, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
-    """Deterministic 'frame sampling': the fake video blob is a
-    concatenation of fake images; emit every n-th. Real impl: ffmpeg
-    keyframe extraction per partition."""
+    """Frame sampling over two containers: MJPEG (concatenated REAL
+    JPEGs — each emitted frame is a decodable image, so the sampled
+    output feeds decode_images directly) and the SIMG fake container
+    (frames split on the magic marker — the stub dialect). Motion
+    formats (H.264 etc.) need ffmpeg and stay out of sandbox scope."""
     frame_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -531,9 +552,11 @@ def frame_sample_stub(videos: DataFrame, every_n: int, blob_col: str = "blob", i
             for did, blob in zip(pdf[id_col], pdf[blob_col]):
                 if not blob:
                     continue
-                # fake container: frames separated by the magic marker
-                parts = blob.split(MAGIC)
-                frames = [MAGIC + p for p in parts[1:]]
+                if blob[:3] == b"\xff\xd8\xff":
+                    frames = split_mjpeg_frames(blob)
+                else:
+                    parts = blob.split(MAGIC)
+                    frames = [MAGIC + p for p in parts[1:]]
                 for idx in range(0, len(frames), every_n):
                     rows.append((did, idx, frames[idx]))
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])

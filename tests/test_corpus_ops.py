@@ -507,3 +507,34 @@ def test_decode_images_dispatches_jpeg(spark):
     r = decode_images(df).collect()[0]
     assert (r.width, r.height, r.channels) == (16, 8, 1)
     assert r.feature[0] == 136.0 and r.feature[1] == 0.0  # mean/std of flat
+
+
+def test_mjpeg_frame_sampling_yields_decodable_frames(spark):
+    """A video blob of concatenated REAL JPEGs: every sampled frame is
+    itself a decodable image — frame sampling feeds decode_images
+    end-to-end with genuine bytes, not stub markers."""
+    import numpy as np
+
+    from sharepointcrawler_spark.operators.jpeg import write_jpeg
+    from sharepointcrawler_spark.operators.multimodal import (
+        decode_images,
+        frame_sample_stub,
+    )
+
+    frames = [
+        write_jpeg(np.full((8, 8), 128 + 8 * k, dtype=np.uint8), 75)
+        for k in range(6)
+    ]
+    video = spark.createDataFrame(
+        [(9, bytearray(b"".join(frames)))], "doc_id long, blob binary"
+    )
+    sampled = frame_sample_stub(video, every_n=2).collect()
+    assert [f.frame_idx for f in sampled] == [0, 2, 4]
+    assert [bytes(f.frame) for f in sampled] == [frames[0], frames[2], frames[4]]
+    fdf = spark.createDataFrame(
+        [(f.frame_idx, f.frame) for f in sampled], "doc_id long, blob binary"
+    )
+    meta = {r.doc_id: r for r in decode_images(fdf).collect()}
+    for k in (0, 2, 4):
+        assert (meta[k].width, meta[k].height, meta[k].channels) == (8, 8, 1)
+        assert meta[k].feature[0] == float(128 + 8 * k)  # flat mean exact
