@@ -392,6 +392,21 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_dedup_clusters_twophase(spark, sf_dir):
+    """Same clustering contract through the ALTERNATING large-star /
+    small-star algorithm (Kiveris et al. 2014) — O(log n) rounds on any
+    graph vs O(diameter) for propagation. Shares dedup_clusters'
+    recursive-CTE transitive-closure oracle: both algorithms must land
+    on the identical min-reachable-id fixpoint."""
+    from sharepointcrawler_spark.operators.corpus import near_dup_components_twophase
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(docs, threshold=0.6)
+    return near_dup_components_twophase(docs, pairs).select(
+        F.col("doc_id").cast("long"), F.col("cluster_id").cast("long")
+    )
+
+
 def q_text_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy(lang_id("text").alias("lang_pred")).agg(
@@ -1005,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_twophase": q_dedup_clusters_twophase,
         "corpus_curate": q_corpus_curate,
         "text_lang_id": q_text_lang_id,
         "text_lang_id_ngram": q_text_lang_id_ngram,
@@ -1150,6 +1166,14 @@ WHERE s.shared / CAST(sa.n_sh + sb.n_sh - s.shared AS DOUBLE) >= 0.6
 
 
 def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_base()
+    # the two CC algorithms must converge to the SAME transitive-closure
+    # fixpoint: identical oracle, independent implementations
+    out["dedup_clusters_twophase"] = out["dedup_clusters"]
+    return out
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "p2_semi_join_filter": """
             SELECT event_type, count(*) AS n FROM events

@@ -691,6 +691,112 @@ def _near_dup_components_durable(
     )
 
 
+def near_dup_components_twophase(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — the documented upgrade path over min-label propagation
+    for ADVERSARIAL graphs: propagation needs O(diameter) rounds (a
+    10^6-node chain = 10^6 joins), two-phase converges in O(log n)
+    rounds on any graph.
+
+    Per round, each phase is one symmetrize + one min-aggregate + one
+    join — all shuffles on the id key with map-side partial agg, same
+    cost shape as a propagation step. large-star(u) connects every
+    strictly-larger neighbor to ``m = min(N(u) ∪ {u})``; small-star(u)
+    connects every ``<=``-neighbor and u itself to m. At the fixpoint
+    the edges form stars whose centers are the component minima.
+    Convergence is detected by an order-insensitive edge-set checksum
+    (count + sum of pair hashes — a collision would only DELAY
+    convergence detection by one identical-checksum round, and the
+    fixpoint itself is stable under extra rounds). Each round's edge
+    set is eagerly checkpointed and the superseded one freed, exactly
+    like the propagation loop."""
+    sym0 = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def star(edges: DataFrame, large: bool) -> DataFrame:
+        nbr = (
+            edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+        )
+        mins = nbr.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        joined = nbr.join(mins, "u")
+        if large:
+            out = joined.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            out = joined.filter(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            ).unionAll(mins.select(F.col("u"), F.col("m").alias("v")))
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    def checksum(edges: DataFrame):
+        # decimal(38) sum: a plain long sum of 64-bit hashes overflows
+        # under ANSI arithmetic
+        row = edges.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return row["n"], str(row["h"])
+
+    edges = sym0.localCheckpoint(eager=True)
+    prev_sum = checksum(edges)
+    try:
+        for _ in range(max_iters):
+            new_edges = star(star(edges, large=True), large=False).localCheckpoint(
+                eager=True
+            )
+            new_sum = checksum(new_edges)
+            _free_local_checkpoint(edges)
+            edges = new_edges
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        else:
+            raise RuntimeError(
+                f"near_dup_components_twophase did not converge in {max_iters} rounds"
+            )
+    except Exception:
+        _free_local_checkpoint(edges)
+        raise
+    # star edges: every non-center node u carries (u, center). The label
+    # table is MATERIALIZED (eager checkpoint) before the final edge set
+    # is freed — the returned frame must not depend on freed blocks.
+    roots = (
+        edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("cluster_id"))
+        .select(F.col("u").alias(id_col), "cluster_id")
+    )
+    labels = (
+        docs.select(F.col(id_col))
+        .distinct()
+        .join(roots, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _free_local_checkpoint(edges)
+    return labels
+
+
 def dedup_keep_cluster_representatives(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -312,3 +312,59 @@ def test_per_partition_lineage_recorded(spark, tmp_path):
             assert per_wave[m["wave"]] == m["delta_rows"]
     # partition ids are genuine (>= 1 partition, non-negative ids)
     assert lineage.filter("partition_id < 0").count() == 0
+
+
+# ----------------------------- 7. two-phase connected components
+
+
+def test_twophase_components_matches_propagation(spark):
+    """large-star/small-star must reach the identical fixpoint as
+    min-label propagation on chains, triangles, isolated nodes, and a
+    64-node chain — where two-phase converges in O(log n) rounds while
+    propagation needs O(n) (the chain is the adversarial case the
+    two-phase algorithm exists for)."""
+    from sharepointcrawler_spark.operators.corpus import (
+        near_dup_components,
+        near_dup_components_twophase,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(7)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5), (5, 6), (4, 6)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in near_dup_components_twophase(docs, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 4}
+
+    # 64-chain: propagation with max_iters=8 CANNOT converge (needs ~63
+    # rounds); two-phase with the same budget must (O(log n))
+    n = 64
+    chain_docs = spark.createDataFrame(
+        [(i, "t") for i in range(n)], "doc_id long, text string"
+    )
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_components(chain_docs, chain, max_iters=8)
+    tp = {
+        r.doc_id: r.cluster_id
+        for r in near_dup_components_twophase(chain_docs, chain, max_iters=8).collect()
+    }
+    assert tp == {i: 0 for i in range(n)}
+
+    # random graphs: fixpoints agree with propagation
+    import random as _random
+
+    rng = _random.Random(7)
+    nodes = list(range(30))
+    edges = [(a, b) for a in nodes for b in nodes if a < b and rng.random() < 0.06]
+    rdocs = spark.createDataFrame([(i, "t") for i in nodes], "doc_id long, text string")
+    rpairs = spark.createDataFrame(edges or [(0, 1)], "id_a long, id_b long")
+    prop = {r.doc_id: r.cluster_id for r in near_dup_components(rdocs, rpairs).collect()}
+    two = {
+        r.doc_id: r.cluster_id
+        for r in near_dup_components_twophase(rdocs, rpairs).collect()
+    }
+    assert prop == two
