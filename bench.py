@@ -44,13 +44,16 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_clusters_twophase",
     "corpus_curate",
     "dedup_spans",
     "dedup_spans_sampled",
     "text_winnowing",
     "text_lang_id",
+    "text_lang_id_ngram",
     "text_token_counts",
     "chunk_text",
+    "multimodal_decode_png",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "ann_topk_multiband",
