@@ -110,6 +110,69 @@ COURIER = FontMetrics("Courier")
 HELVETICA = FontMetrics("Helvetica", widths=HELVETICA_WIDTHS, default_width=556)
 
 
+class CIDFontMetrics:
+    """Type0 / Identity-H composite font: show strings are 2-BYTE CIDs,
+    advances come from the descendant CIDFont's ``/W`` array (+ ``/DW``
+    default), and the extracted TEXT comes from the ``/ToUnicode`` CMap
+    (cid -> unicode). The common real-PDF shape for embedded/subset
+    fonts, which round 3 only flagged."""
+
+    cid = True
+    widths = None  # FontMetrics-compat: the non-CID paths never engage
+
+    def __init__(
+        self,
+        name: str,
+        w: dict[int, int],
+        dw: int = 1000,
+        to_unicode: dict[int, str] | None = None,
+    ):
+        self.name = name
+        self.w = w
+        self.dw = dw
+        self.to_unicode = to_unicode or {}
+
+
+def _emit_cid_string(st: "_TextState", raw: str, out: list[RawWord]) -> None:
+    """Show a CID string: pair the latin-1 bytes into 2-byte CIDs, map
+    each to (unicode, width); words split on mapped spaces. Widths are
+    summed as INTEGER thousandths and divided once, mirroring
+    FontMetrics.text_em so a layout round trip is float-exact."""
+    f = st.font
+    size = st.eff_size()
+    decoded = []
+    for i in range(0, len(raw) - 1, 2):
+        cid = (ord(raw[i]) << 8) | ord(raw[i + 1])
+        decoded.append((f.to_unicode.get(cid, "�"), f.w.get(cid, f.dw)))
+    acc_u: list[str] = []
+    acc_w = 0
+
+    def flush():
+        nonlocal acc_u, acc_w
+        if acc_u:
+            em = acc_w / 1000.0
+            out.append(
+                RawWord(
+                    text="".join(acc_u),
+                    left=st.x,
+                    right=st.x + em * size,
+                    top=st.y + CAP_H * size,
+                    bottom=st.y,
+                )
+            )
+            st.x += em * size
+            acc_u, acc_w = [], 0
+
+    for u, wd in decoded:
+        if u == " ":
+            flush()
+            st.x += wd / 1000.0 * size
+        else:
+            acc_u.append(u)
+            acc_w += wd
+    flush()
+
+
 def word_box(
     x: float, y: float, size: float, text: str, font: FontMetrics | None = None
 ) -> RawWord:
@@ -298,6 +361,118 @@ def write_pdf(
     return bytes(out)
 
 
+def write_pdf_type0(
+    pages: list[list[RawWord]],
+    heights: list[float],
+    char_metrics: FontMetrics,
+    page_width: float = 612.0,
+    cid_shift: int = 3,
+) -> bytes:
+    """Word boxes -> PDF bytes through a Type0 / Identity-H composite
+    font: every show string is 2-byte CIDs (``cid = ord(char) +
+    cid_shift`` — a NONTRIVIAL mapping, so a parser that ignores the
+    ToUnicode CMap extracts garbage), the descendant CIDFontType2
+    carries per-CID ``/W`` widths copied from ``char_metrics``, and a
+    ToUnicode CMap stream maps CIDs back to text. The fixture generator
+    for the parser's composite-font path."""
+    charset = sorted({c for ws in pages for w in ws for c in w.text} | {" "})
+    cid_of = {c: ord(c) + cid_shift for c in charset}
+    widths = char_metrics.widths or {}
+    dw = char_metrics.default_width
+
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    w_entries = b" ".join(
+        b"%d [%d]" % (cid_of[c], widths.get(ord(c), dw)) for c in charset
+    )
+    desc = add(
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /"
+        + char_metrics.name.encode()
+        + b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >>"
+        + b" /DW " + str(dw).encode()
+        + b" /W [" + w_entries + b"] >>"
+    )
+    bf_lines = []
+    for c in charset:
+        dst = c.encode("utf-16-be").hex().upper()
+        bf_lines.append(b"<%04X> <%s>" % (cid_of[c], dst.encode()))
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        + str(len(bf_lines)).encode() + b" beginbfchar\n"
+        + b"\n".join(bf_lines)
+        + b"\nendbfchar\nendcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n"
+    )
+    tounicode = add(
+        b"<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n" + cmap + b"\nendstream"
+    )
+    font = add(
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /"
+        + char_metrics.name.encode()
+        + b" /Encoding /Identity-H /DescendantFonts ["
+        + str(desc).encode() + b" 0 R] /ToUnicode "
+        + str(tounicode).encode() + b" 0 R >>"
+    )
+    page_ids: list[int] = []
+    kids_slot = add(b"PLACEHOLDER")
+    for words, h in zip(pages, heights):
+        parts = [b"BT"]
+        last_size = None
+        for w in words:
+            size = round((w.top - w.bottom) / CAP_H, 6)
+            if size != last_size:
+                parts.append(b"/F1 " + _num(size).encode() + b" Tf")
+                last_size = size
+            hexcids = "".join(f"{cid_of[c]:04X}" for c in w.text)
+            parts.append(
+                b"1 0 0 1 " + _num(w.left).encode() + b" " + _num(w.bottom).encode()
+                + b" Tm <" + hexcids.encode() + b"> Tj"
+            )
+        parts.append(b"ET")
+        raw = b"\n".join(parts)
+        flate = zlib.compress(raw)
+        content = add(
+            b"<< /Length " + str(len(flate)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + flate + b"\nendstream"
+        )
+        page_ids.append(
+            add(
+                b"<< /Type /Page /Parent " + str(kids_slot).encode() + b" 0 R"
+                + b" /MediaBox [0 0 " + _num(page_width).encode() + b" "
+                + _num(h).encode() + b"]"
+                + b" /Resources << /Font << /F1 " + str(font).encode() + b" 0 R >> >>"
+                + b" /Contents " + str(content).encode() + b" 0 R >>"
+            )
+        )
+    kids = b" ".join(str(p).encode() + b" 0 R" for p in page_ids)
+    objs[kids_slot - 1] = (
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count " + str(len(page_ids)).encode() + b" >>"
+    )
+    catalog = add(b"<< /Type /Catalog /Pages " + str(kids_slot).encode() + b" 0 R >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root " + str(catalog).encode() + b" 0 R >>\n"
+        + b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
 # ------------------------------------------------------------- parser
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
@@ -317,6 +492,11 @@ _RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
 _FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
 _FONT_ENTRY_RE = re.compile(rb"(/[^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
 _BASEFONT_RE = re.compile(rb"/BaseFont\s*/([^\s/<>\[\]()]+)")
+_DESC_FONTS_INLINE_RE = re.compile(rb"/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R")
+_DESC_FONTS_REF_RE = re.compile(rb"/DescendantFonts\s+(\d+)\s+\d+\s+R")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_DW_RE = re.compile(rb"/DW\s+(\d+)")
+_W_REF_RE = re.compile(rb"/W(?![A-Za-z])\s+(\d+)\s+\d+\s+R")
 _FIRSTCHAR_RE = re.compile(rb"/FirstChar\s+(\d+)")
 _WIDTHS_INLINE_RE = re.compile(rb"/Widths\s*\[(.*?)\]", re.S)
 _WIDTHS_REF_RE = re.compile(rb"/Widths\s+(\d+)\s+\d+\s+R")
@@ -371,7 +551,11 @@ def _hex_string(tok: bytes) -> str:
 def _emit_words(st: _TextState, text: str, out: list[RawWord]) -> None:
     """Split a shown string on spaces, advancing the cursor by the
     current font's metrics — handles whole-line Tj strings, not just
-    one-word-per-Tj writers."""
+    one-word-per-Tj writers. CID (Type0) fonts route to the 2-byte
+    decode path."""
+    if getattr(st.font, "cid", False):
+        _emit_cid_string(st, text, out)
+        return
     size = st.eff_size()
     font = st.font
     proportional = font.widths is not None
@@ -543,9 +727,113 @@ def _scan_objects(
     return bodies, streams, issues
 
 
+def _find_array(body: bytes, key_re: bytes) -> bytes | None:
+    """Inner text of the (possibly nested) ``key [ ... ]`` array —
+    bracket-matched, because /W arrays nest: ``[3 [500 600] 9 11 400]``."""
+    m = re.search(key_re + rb"\s*\[", body)
+    if m is None:
+        return None
+    depth, i = 1, m.end()
+    start = i
+    while i < len(body) and depth:
+        ch = body[i : i + 1]
+        if ch == b"[":
+            depth += 1
+        elif ch == b"]":
+            depth -= 1
+        i += 1
+    return body[start : i - 1]
+
+
+def _parse_w_array(txt: bytes) -> dict[int, int]:
+    """CID /W array -> {cid: width}: both forms, ``c [w1 w2 ...]``
+    (consecutive CIDs from c) and ``cfirst clast w`` (range)."""
+    toks = re.findall(rb"\[|\]|[-+]?[\d.]+", txt)
+    w: dict[int, int] = {}
+    i = 0
+    while i < len(toks):
+        if toks[i] in (b"[", b"]"):
+            i += 1
+            continue
+        a = int(float(toks[i]))
+        if i + 1 < len(toks) and toks[i + 1] == b"[":
+            j, k = i + 2, 0
+            while j < len(toks) and toks[j] != b"]":
+                w[a + k] = int(float(toks[j]))
+                k += 1
+                j += 1
+            i = j + 1
+        elif i + 2 < len(toks):
+            b_, ww = int(float(toks[i + 1])), int(float(toks[i + 2]))
+            for cid in range(a, b_ + 1):
+                w[cid] = ww
+            i += 3
+        else:
+            break
+    return w
+
+
+def _parse_tounicode(cmap: bytes) -> dict[int, str]:
+    """ToUnicode CMap -> {cid: text}: bfchar pairs and both bfrange
+    forms (incrementing scalar destination / explicit array)."""
+    out: dict[int, str] = {}
+    for block in re.findall(rb"beginbfrange(.*?)endbfrange", cmap, re.S):
+        for lo, hi, arr in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]", block, re.S
+        ):
+            for k, d in enumerate(re.findall(rb"<([0-9A-Fa-f]+)>", arr)):
+                out[int(lo, 16) + k] = bytes.fromhex(d.decode()).decode("utf-16-be")
+        for lo, hi, dst in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", block
+        ):
+            base = int(dst, 16)
+            for k in range(int(hi, 16) - int(lo, 16) + 1):
+                out[int(lo, 16) + k] = chr(base + k)
+    for block in re.findall(rb"beginbfchar(.*?)endbfchar", cmap, re.S):
+        for src, dst in re.findall(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", block):
+            out[int(src, 16)] = bytes.fromhex(dst.decode()).decode("utf-16-be")
+    return out
+
+
+def _cid_font_metrics(
+    base: str,
+    fbody: bytes,
+    bodies: dict[int, bytes],
+    streams: dict[int, bytes],
+    issues: list[str],
+) -> CIDFontMetrics | None:
+    """Resolve a Type0 font to CIDFontMetrics, or None when a required
+    part (DescendantFonts / ToUnicode stream) is genuinely missing."""
+    dm = _DESC_FONTS_INLINE_RE.search(fbody)
+    if dm is None:
+        dr = _DESC_FONTS_REF_RE.search(fbody)
+        if dr is not None:
+            arr = bodies.get(int(dr.group(1)), b"")
+            dm = _REF_RE.search(arr)
+    tm = _TOUNICODE_RE.search(fbody)
+    if dm is None or tm is None:
+        return None
+    desc = bodies.get(int(dm.group(1)), b"")
+    cmap = streams.get(int(tm.group(1)))
+    if not desc or cmap is None:
+        return None
+    if b"/Identity-H" not in fbody:
+        issues.append(f"Type0 font {base}: non-Identity-H encoding approximated")
+    dwm = _DW_RE.search(desc)
+    dw = int(dwm.group(1)) if dwm else 1000
+    warr = _find_array(desc, rb"/W(?![A-Za-z])")
+    if warr is None:
+        wr = _W_REF_RE.search(desc)
+        if wr is not None:
+            warr = bodies.get(int(wr.group(1)), b"")
+    w = _parse_w_array(warr) if warr else {}
+    return CIDFontMetrics(base, w=w, dw=dw, to_unicode=_parse_tounicode(cmap))
+
+
 def _page_fonts(
     page_body: bytes,
     bodies: dict[int, bytes],
+    streams: dict[int, bytes],
     issues: list[str],
 ) -> dict[bytes, FontMetrics]:
     """Resolve the page's /Resources /Font dict to FontMetrics per font
@@ -567,7 +855,13 @@ def _page_fonts(
         bm = _BASEFONT_RE.search(fbody)
         base = bm.group(1).decode("latin-1") if bm else "Courier"
         if b"/Type0" in fbody:
-            issues.append(f"composite Type0 font {base} unsupported")
+            cfm = _cid_font_metrics(base, fbody, bodies, streams, issues)
+            if cfm is not None:
+                fonts[fname] = cfm
+                continue
+            issues.append(
+                f"composite Type0 font {base} missing DescendantFonts/ToUnicode"
+            )
         widths: dict[int, int] | None = None
         wtext: bytes | None = None
         wm = _WIDTHS_INLINE_RE.search(fbody)
@@ -638,7 +932,7 @@ def parse_pdf_word_pages(
             cm = _CONTENTS_RE.search(body)
             if cm is not None:
                 content_nums = [int(cm.group(1))]
-        fonts = _page_fonts(body, bodies, issues)
+        fonts = _page_fonts(body, bodies, streams, issues)
         words: list[RawWord] = []
         content = b"\n".join(streams[c] for c in content_nums if c in streams)
         if content:

@@ -300,3 +300,64 @@ def test_udf_surfaces_flagged_pdfs_as_null_md_with_err(spark):
     }
     assert rows[1].md is not None and rows[1].err is None
     assert rows[2].md is None and "ObjStm" in rows[2].err
+
+
+def test_type0_cid_font_round_trip_and_markdown_identity():
+    """Type0/Identity-H composite font: 2-byte CID show strings with a
+    NONTRIVIAL cid mapping (ord+3), per-CID /W widths, ToUnicode CMap.
+    Word boxes AND converter markdown must match the direct path
+    exactly — a parser ignoring ToUnicode would extract shifted
+    garbage, a parser ignoring /W would misplace every right edge."""
+    from sharepointcrawler_spark.extraction.pdfwords import (
+        HELVETICA,
+        write_pdf_type0,
+    )
+
+    pages, heights = layout_words(FIXTURE_TEXT, font=HELVETICA)
+    pdf = write_pdf_type0(pages, heights, HELVETICA)
+    assert b"/Type0" in pdf and b"<" in pdf
+    # the shown bytes are NOT the text (cid = ord+3): plain-text scrape fails
+    assert b"Introduction" not in pdf
+    got_pages, got_heights = parse_pdf_word_pages(pdf, strict=True)
+    assert got_heights == heights
+    for want, got in zip(pages, got_pages):
+        for a, b in zip(want, got):
+            assert a == b
+    assert _md(got_pages, got_heights) == _md(pages, heights)
+
+
+def test_type0_w_array_and_bfrange_forms():
+    """/W range form (cfirst clast w) and bfrange CMaps parse correctly."""
+    from sharepointcrawler_spark.extraction.pdfwords import (
+        _parse_tounicode,
+        _parse_w_array,
+    )
+
+    w = _parse_w_array(b" 3 [500 600] 10 12 700 20 [250] ")
+    assert w == {3: 500, 4: 600, 10: 700, 11: 700, 12: 700, 20: 250}
+    cmap = (
+        b"2 beginbfrange\n<0041> <0043> <0061>\n"
+        b"<0050> <0051> [<0058> <00590059>]\nendbfrange\n"
+        b"1 beginbfchar\n<0060> <0020>\nendbfchar\n"
+    )
+    u = _parse_tounicode(cmap)
+    assert u[0x41] == "a" and u[0x42] == "b" and u[0x43] == "c"
+    assert u[0x50] == "X" and u[0x51] == "YY"
+    assert u[0x60] == " "
+
+
+def test_type0_missing_tounicode_flagged():
+    """A Type0 font WITHOUT a ToUnicode CMap cannot be extracted
+    faithfully — strict mode must flag it, not emit garbage."""
+    from sharepointcrawler_spark.extraction.pdfwords import (
+        HELVETICA,
+        UnsupportedPdfError,
+        write_pdf_type0,
+    )
+
+    pages, heights = layout_words("some words here", font=HELVETICA)
+    pdf = write_pdf_type0(pages, heights, HELVETICA)
+    crippled = pdf.replace(b"/ToUnicode", b"/XXUnknown")
+    with pytest.raises(UnsupportedPdfError, match="Type0"):
+        parse_pdf_word_pages(crippled, strict=True)
+    parse_pdf_word_pages(crippled, strict=False)  # lenient path survives
