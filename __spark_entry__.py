@@ -986,6 +986,52 @@ def q_pdf_extraction(spark, sf_dir):
     )
 
 
+def q_pdf_type0_extraction(spark, sf_dir):
+    """Byte-identity through Type0/Identity-H COMPOSITE-font PDFs: 12
+    deterministic documents laid out with Helvetica metrics, written as
+    2-byte-CID show strings (nontrivially shifted mapping + /W widths +
+    ToUnicode CMap) and extracted through the same %PDF- UDF dispatch.
+    A parser ignoring ToUnicode or /W flips rows false; the oracle
+    expects every row true."""
+    from sharepointcrawler_spark.extraction.converter import (
+        ConvertOptions,
+        build_lines,
+        convert_pages_to_markdown,
+    )
+    from sharepointcrawler_spark.extraction.pdfwords import (
+        HELVETICA,
+        layout_words,
+        write_pdf_type0,
+    )
+    from sharepointcrawler_spark.extraction.udfs import extract_text_udf
+
+    opt = ConvertOptions()
+    rows = []
+    for i in range(12):
+        body = "\n".join(
+            f"Paragraph {j} of composite document {i} has deterministic words "
+            f"c{(i * 17 + j * 5) % 83}d and e{(i * 7 + j) % 71}f in it."
+            for j in range(4 + (i * 3) % 20)
+        )
+        text = f"{i % 9}.0 Composite Heading {i}\n\n{body}\n"
+        pages, heights = layout_words(text, font=HELVETICA)
+        built = [
+            build_lines(ws, n + 1, heights[n], opt.line_y_tolerance)
+            for n, ws in enumerate(pages)
+        ]
+        golden = convert_pages_to_markdown(built, f"doc{i}", opt)
+        rows.append(
+            (i, bytearray(write_pdf_type0(pages, heights, HELVETICA)), f"doc{i}", golden)
+        )
+    df = spark.createDataFrame(rows, "doc_id long, pdf binary, name string, golden string")
+    return df.select(
+        F.col("doc_id"),
+        (extract_text_udf(F.col("pdf"), F.col("name")) == F.col("golden")).alias(
+            "byte_identical"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # crawl-engine operator inventory (SURVEY.md §2)
@@ -1046,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_wave": q_crawl_wave,
         "text_extraction_identity": q_text_extraction,
         "pdf_extraction_identity": q_pdf_extraction,
+        "pdf_type0_extraction_identity": q_pdf_type0_extraction,
     }
 
 
@@ -1670,6 +1717,12 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
             -- byte-identically through the %PDF- dispatch path
             SELECT i AS doc_id, true AS byte_identical
             FROM (SELECT unnest(generate_series(0, 23)) AS i)
+        """,
+        "pdf_type0_extraction_identity": """
+            -- every composite-font (Type0/Identity-H) PDF must extract
+            -- byte-identically: CID decode + /W widths + ToUnicode
+            SELECT i AS doc_id, true AS byte_identical
+            FROM (SELECT unnest(generate_series(0, 11)) AS i)
         """,
         "dedup_spans": """
             WITH norm AS (
