@@ -252,10 +252,15 @@ def run_sf1_scale_check(spark, sf_dir: str, base_timings: dict[str, float]) -> d
     queries = entrymod.queries()
     out: dict = {"factor": 10, "queries_sec": {}, "ratio_vs_sf": {}, "linearity": {}}
     for name in SF1_SUBSET:
-        spark.catalog.clearCache()
-        t0 = time.monotonic()
-        queries[name](spark, big_dir).write.format("noop").mode("overwrite").save()
-        dt = round(time.monotonic() - t0, 3)
+        # best-of-2: the host's noisy neighbors can inflate a single
+        # shot 10-20x (observed); the min is the engine's cost
+        reps = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            queries[name](spark, big_dir).write.format("noop").mode("overwrite").save()
+            reps.append(round(time.monotonic() - t0, 3))
+        dt = min(reps)
         out["queries_sec"][name] = dt
         base = base_timings.get(name)
         if base and base > 0:
