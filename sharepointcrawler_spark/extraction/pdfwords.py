@@ -126,11 +126,19 @@ class CIDFontMetrics:
         w: dict[int, int],
         dw: int = 1000,
         to_unicode: dict[int, str] | None = None,
+        issues: list[str] | None = None,
     ):
         self.name = name
         self.w = w
         self.dw = dw
         self.to_unicode = to_unicode or {}
+        # shared reference to the document's issue list: a CID absent
+        # from the CMap is flagged HERE, at show time, so strict mode
+        # rejects partially-mapped fonts instead of silently emitting
+        # U+FFFD word text (ADVICE r4 low: the 'never silent wrong
+        # text' contract must cover the per-glyph fallback too)
+        self.issues = issues
+        self.missing_cids: set[int] = set()
 
 
 def _emit_cid_string(st: "_TextState", raw: str, out: list[RawWord]) -> None:
@@ -143,6 +151,12 @@ def _emit_cid_string(st: "_TextState", raw: str, out: list[RawWord]) -> None:
     decoded = []
     for i in range(0, len(raw) - 1, 2):
         cid = (ord(raw[i]) << 8) | ord(raw[i + 1])
+        if cid not in f.to_unicode:
+            if not f.missing_cids and f.issues is not None:
+                f.issues.append(
+                    f"Type0 font {f.name}: CIDs missing from ToUnicode CMap"
+                )
+            f.missing_cids.add(cid)
         decoded.append((f.to_unicode.get(cid, "�"), f.w.get(cid, f.dw)))
     acc_u: list[str] = []
     acc_w = 0
@@ -367,6 +381,7 @@ def write_pdf_type0(
     char_metrics: FontMetrics,
     page_width: float = 612.0,
     cid_shift: int = 3,
+    omit_cmap_chars: frozenset[str] = frozenset(),
 ) -> bytes:
     """Word boxes -> PDF bytes through a Type0 / Identity-H composite
     font: every show string is 2-byte CIDs (``cid = ord(char) +
@@ -374,7 +389,10 @@ def write_pdf_type0(
     ToUnicode CMap extracts garbage), the descendant CIDFontType2
     carries per-CID ``/W`` widths copied from ``char_metrics``, and a
     ToUnicode CMap stream maps CIDs back to text. The fixture generator
-    for the parser's composite-font path."""
+    for the parser's composite-font path. ``omit_cmap_chars`` drops
+    those characters' entries from the ToUnicode CMap (shown CIDs stay
+    unchanged) — the partially-mapped-font fixture that must trip
+    strict mode instead of silently extracting U+FFFD."""
     charset = sorted({c for ws in pages for w in ws for c in w.text} | {" "})
     cid_of = {c: ord(c) + cid_shift for c in charset}
     widths = char_metrics.widths or {}
@@ -398,6 +416,8 @@ def write_pdf_type0(
     )
     bf_lines = []
     for c in charset:
+        if c in omit_cmap_chars:
+            continue
         dst = c.encode("utf-16-be").hex().upper()
         bf_lines.append(b"<%04X> <%s>" % (cid_of[c], dst.encode()))
     cmap = (
@@ -827,7 +847,9 @@ def _cid_font_metrics(
         if wr is not None:
             warr = bodies.get(int(wr.group(1)), b"")
     w = _parse_w_array(warr) if warr else {}
-    return CIDFontMetrics(base, w=w, dw=dw, to_unicode=_parse_tounicode(cmap))
+    return CIDFontMetrics(
+        base, w=w, dw=dw, to_unicode=_parse_tounicode(cmap), issues=issues
+    )
 
 
 def _page_fonts(

@@ -31,7 +31,7 @@ oracle parity).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sharepointcrawler_spark.functions.textanalysis import (
@@ -710,12 +710,17 @@ def near_dup_components_twophase(
     strictly-larger neighbor to ``m = min(N(u) ∪ {u})``; small-star(u)
     connects every ``<=``-neighbor and u itself to m. At the fixpoint
     the edges form stars whose centers are the component minima.
-    Convergence is detected by an order-insensitive edge-set checksum
-    (count + sum of pair hashes — a collision would only DELAY
-    convergence detection by one identical-checksum round, and the
-    fixpoint itself is stable under extra rounds). Each round's edge
-    set is eagerly checkpointed and the superseded one freed, exactly
-    like the propagation loop."""
+    Convergence is detected by an order-insensitive edge-set checksum:
+    count plus TWO independent 64-bit pair-hash sums (different hash
+    seeds). The failure mode of a checksum equality is PREMATURE STOP —
+    two *different* consecutive edge sets colliding would end the loop
+    at a non-fixpoint and return wrong clusters — so the check is
+    doubled: a false stop needs both sums to collide simultaneously
+    (~2^-128 for the 64-bit pair). An exact set-diff per round would
+    cost an extra full shuffle of both edge sets; the double hash keeps
+    convergence detection at one tiny aggregate. Each round's edge set
+    is eagerly checkpointed and the superseded one freed, exactly like
+    the propagation loop."""
     sym0 = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
@@ -743,16 +748,22 @@ def near_dup_components_twophase(
         return out.filter(F.col("u") != F.col("v")).distinct()
 
     def checksum(edges: DataFrame):
-        # decimal(38) sum: a plain long sum of 64-bit hashes overflows
-        # under ANSI arithmetic
+        # decimal(38) sums: a plain long sum of 64-bit hashes overflows
+        # under ANSI arithmetic. Two hash sums with distinct salt
+        # columns (independent xxhash64 streams) so a premature-stop
+        # collision needs a simultaneous double collision (~2^-128).
+        def hsum(*cols) -> Column:
+            return F.coalesce(
+                F.sum(F.xxhash64(*cols).cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            )
+
         row = edges.agg(
             F.count("*").alias("n"),
-            F.coalesce(
-                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
-                F.lit(0).cast("decimal(38,0)"),
-            ).alias("h"),
+            hsum("u", "v").alias("h1"),
+            hsum("u", "v", F.lit(1)).alias("h2"),
         ).collect()[0]
-        return row["n"], str(row["h"])
+        return row["n"], str(row["h1"]), str(row["h2"])
 
     edges = sym0.localCheckpoint(eager=True)
     prev_sum = checksum(edges)

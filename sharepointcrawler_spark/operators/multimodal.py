@@ -2,16 +2,19 @@
 columns with typed metadata (training-data pipeline layer).
 
 The Spark side is real and tested: schemas, partition-aware batching,
-Arrow UDF signatures, mapInPandas iteration. PNG decode is REAL —
-a pure-python IHDR/IDAT parser with zlib inflate and full five-filter
-scanline unfiltering (the sandbox has zlib; the same closing-the-gap
-move pdfwords.py made for PDFs). Other codecs (JPEG, audio, video)
-remain STUBBED behind an import-try: with PIL/ffmpeg installed the
-decode upgrades transparently; without, deterministic pseudo-features
-keep the full dataflow shape exercised.
+Arrow UDF signatures, mapInPandas iteration. Three codecs are REAL,
+pure python/numpy: PNG (IHDR/IDAT chunk walk, zlib inflate, full
+five-filter scanline unfiltering), baseline JPEG (operators/jpeg.py:
+Annex-K Huffman/DCT, 4:4:4 and 4:2:0 chroma subsampling) and RIFF/WAVE
+PCM-16. Shapes a codec genuinely cannot handle (palette PNG,
+progressive JPEG, compressed WAV, motion video — the latter needs
+ffmpeg, out of sandbox scope) are FLAGGED per-row as NULL-stat rows,
+never silently mis-decoded.
 
 Synthetic SIMG blobs carry a tiny fake header (magic + width + height +
-channels) so the stub "decode" has real structure to parse.
+channels) so format-dispatch and container plumbing are exercised on a
+dialect with zero codec cost; only SIMG uses the md5 pseudo-feature —
+real PNG/JPEG bytes get genuine pixel statistics.
 """
 
 from __future__ import annotations
@@ -27,14 +30,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-try:  # pragma: no cover - not present in the sandbox image
-    from PIL import Image  # noqa: F401
-
-    _HAS_PIL = True
-except Exception:
-    _HAS_PIL = False
-
 MAGIC = b"SIMG"
+
+# A corrupt blob that passes the signature check can fail deep inside a
+# codec with more than ValueError: zlib.error (bad IDAT deflate),
+# struct.error (short fmt/SOF segment), KeyError (missing DQT/DHT id),
+# IndexError (truncated tables). All must yield the documented NULL-stat
+# row, not a task crash (ADVICE r4 medium).
+DECODE_ERRORS = (ValueError, zlib.error, struct.error, KeyError, IndexError)
 
 IMAGE_META_SCHEMA = T.StructType(
     [
@@ -236,7 +239,7 @@ def decode_images(images: DataFrame, blob_col: str = "blob", id_col: str = "doc_
                         w, h, c, px = (
                             decode_png(blob) if is_png(blob) else decode_jpeg(blob)
                         )
-                    except ValueError:
+                    except DECODE_ERRORS:
                         rows.append((did, None, None, None, len(blob), None))
                         continue
                     flat = px.reshape(-1, c).astype(np.float64)
@@ -344,7 +347,7 @@ def decode_wav_stats(
                     rows.append(
                         (did, rate, ch, samples.shape[0], int(samples.astype(np.int64).sum()))
                     )
-                except ValueError:
+                except DECODE_ERRORS:
                     rows.append((did, None, None, None, None))
             yield pd.DataFrame(
                 rows,
@@ -425,7 +428,7 @@ def decode_jpeg_stats(
                 try:
                     w, h, c, px = decode_jpeg(blob)
                     rows.append((did, w, h, c, int(px.astype(np.int64).sum())))
-                except ValueError:
+                except DECODE_ERRORS:
                     rows.append((did, None, None, None, None))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "channels", "pixel_sum"]
@@ -485,7 +488,7 @@ def decode_png_stats(
                 try:
                     w, h, c, px = decode_png(blob)
                     rows.append((did, w, h, c, int(px.astype(np.int64).sum())))
-                except ValueError:
+                except DECODE_ERRORS:
                     rows.append((did, None, None, None, None))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "channels", "pixel_sum"]

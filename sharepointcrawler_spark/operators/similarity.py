@@ -253,13 +253,20 @@ def train_ivf_centroids(
 
     Training a coarse quantizer is an offline/driver step even at scale
     (FAISS trains IVF on a sample too): ``sample_size`` rows come back to
-    the driver, numpy iterates. The sample is the lowest ``sample_size``
-    ids (ordered — a bare limit() is partition-order-dependent), so
-    training is fully deterministic under ``seed``. Assignment is argmax
-    cosine (vectors and centroids unit-normalized), so scaling a vector
-    never changes its cell. Empty cells keep their previous centroid."""
+    the driver, numpy iterates. The sample is the ``sample_size`` rows
+    with the lowest ``xxhash64(id)`` (hash-ordered — a bare limit() is
+    partition-order-dependent, and the round-4 lowest-id order trained
+    on a BIASED slice whenever ids correlate with content, e.g. a
+    time-ordered corpus): deterministic AND representative, a uniform
+    pseudo-random draw reproducible across runs and engines. Assignment
+    is argmax cosine (vectors and centroids unit-normalized), so scaling
+    a vector never changes its cell. Empty cells keep their previous
+    centroid."""
     sample = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_size)
+        .collect()
     )
     mat = _normalize_rows(np.array([r[1] for r in sample], dtype=np.float64))
     rng = np.random.default_rng(seed)

@@ -145,10 +145,23 @@ def run_crawl(
         manifest = store.manifest(last)
         base_path = manifest["tables"]["frontier_base"]
         delta_paths = list(manifest["tables"].get("frontier_deltas", []))
-        seen_base_path = manifest["tables"].get(
-            "seen_base", store.table_dir("seen", 0)
-        )
-        seen_delta_paths = list(manifest["tables"].get("seen_deltas", []))
+        if "seen_base" in manifest["tables"]:
+            seen_base_path = manifest["tables"]["seen_base"]
+            seen_delta_paths = list(manifest["tables"].get("seen_deltas", []))
+        else:
+            # legacy snapshot (pre seen-compaction manifests): the seen
+            # set lives as ONE table per wave under each wave's 'seen'
+            # key. Falling back to wave 0 alone would silently collapse
+            # the seen set to the seeds and re-schedule every URL
+            # discovered in waves 1..last (ADVICE r4 medium) — so
+            # reconstruct it as the union of all per-wave tables.
+            legacy = [
+                store.manifest(w)["tables"]["seen"]
+                for w in range(0, last + 1)
+                if "seen" in store.manifest(w)["tables"]
+            ]
+            seen_base_path = legacy[0] if legacy else store.table_dir("seen", 0)
+            seen_delta_paths = legacy[1:]
         shards = store.read("bloom_shards", last)
         wave = last
     else:
