@@ -1032,6 +1032,63 @@ def q_pdf_type0_extraction(spark, sf_dir):
     )
 
 
+def q_pdf_xref_stream_extraction(spark, sf_dir):
+    """Byte-identity through MODERN (PDF 1.5+) file structure: 12
+    deterministic documents are written with every dict object packed
+    in a /Type /ObjStm compressed object stream and a /Type /XRef
+    cross-reference stream (binary /W entries, PNG Up predictor, no
+    classic xref/trailer) — the file shape nearly every PDF written
+    since ~2010 uses (PdfPig reads these natively,
+    PdfToMarkdownConverter.cs:81-113). Extraction goes through the same
+    %PDF- UDF dispatch; odd docs use Helvetica metrics so the /Widths
+    table must be resolved from INSIDE the object stream. Any parse or
+    xref-validation divergence flips a row false; the oracle expects
+    every row true."""
+    from sharepointcrawler_spark.extraction.converter import (
+        ConvertOptions,
+        build_lines,
+        convert_pages_to_markdown,
+    )
+    from sharepointcrawler_spark.extraction.pdfwords import (
+        HELVETICA,
+        layout_words,
+        write_pdf_modern,
+    )
+    from sharepointcrawler_spark.extraction.udfs import extract_text_udf
+
+    opt = ConvertOptions()
+    rows = []
+    for i in range(12):
+        body = "\n".join(
+            f"Paragraph {j} of modern document {i} has deterministic words "
+            f"g{(i * 19 + j * 3) % 79}h and k{(i * 11 + j) % 73}m in it."
+            for j in range(4 + (i * 7) % 24)
+        )
+        text = f"{i % 9}.0 Modern Heading {i}\n\n{body}\n"
+        font = HELVETICA if i % 2 else None
+        pages, heights = layout_words(text, font=font) if font else layout_words(text)
+        built = [
+            build_lines(ws, n + 1, heights[n], opt.line_y_tolerance)
+            for n, ws in enumerate(pages)
+        ]
+        golden = convert_pages_to_markdown(built, f"doc{i}", opt)
+        rows.append(
+            (
+                i,
+                bytearray(write_pdf_modern(pages, heights, font_metrics=font)),
+                f"doc{i}",
+                golden,
+            )
+        )
+    df = spark.createDataFrame(rows, "doc_id long, pdf binary, name string, golden string")
+    return df.select(
+        F.col("doc_id"),
+        (extract_text_udf(F.col("pdf"), F.col("name")) == F.col("golden")).alias(
+            "byte_identical"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # crawl-engine operator inventory (SURVEY.md §2)
@@ -1093,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_extraction_identity": q_text_extraction,
         "pdf_extraction_identity": q_pdf_extraction,
         "pdf_type0_extraction_identity": q_pdf_type0_extraction,
+        "pdf_xref_stream_extraction_identity": q_pdf_xref_stream_extraction,
     }
 
 
@@ -1721,6 +1779,12 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
         "pdf_type0_extraction_identity": """
             -- every composite-font (Type0/Identity-H) PDF must extract
             -- byte-identically: CID decode + /W widths + ToUnicode
+            SELECT i AS doc_id, true AS byte_identical
+            FROM (SELECT unnest(generate_series(0, 11)) AS i)
+        """,
+        "pdf_xref_stream_extraction_identity": """
+            -- every modern-structure PDF (ObjStm + XRef stream + PNG
+            -- predictor) must extract byte-identically
             SELECT i AS doc_id, true AS byte_identical
             FROM (SELECT unnest(generate_series(0, 11)) AS i)
         """,

@@ -250,11 +250,13 @@ def test_hex_string_literals_decoded():
 
 
 def test_strict_mode_flags_unsupported_constructs():
-    """Object streams / zero-word text ops raise UnsupportedPdfError in
-    strict mode (never silent empty output); non-strict still returns."""
+    """MALFORMED object streams / zero-word text ops raise
+    UnsupportedPdfError in strict mode (never silent empty output);
+    non-strict still returns. Well-formed ObjStm/XRef streams are
+    supported since round 5 (test_pdf_modern.py)."""
     from sharepointcrawler_spark.extraction.pdfwords import UnsupportedPdfError
 
-    # /ObjStm object present
+    # /ObjStm whose header pairs are garbage (no integers before /First)
     objstm = zlib.compress(b"ignored")
     bad = bytearray(b"%PDF-1.5\n")
     bad += (
@@ -263,7 +265,7 @@ def test_strict_mode_flags_unsupported_constructs():
         + b" /Filter /FlateDecode >>\nstream\n" + objstm + b"\nendstream\nendobj\n"
     )
     bad += b"trailer\n<< /Size 2 >>\n%%EOF\n"
-    with pytest.raises(UnsupportedPdfError, match="ObjStm"):
+    with pytest.raises(UnsupportedPdfError, match="object stream header truncated"):
         parse_pdf_word_pages(bytes(bad), strict=True)
     parse_pdf_word_pages(bytes(bad), strict=False)  # lenient path survives
 
@@ -299,7 +301,7 @@ def test_udf_surfaces_flagged_pdfs_as_null_md_with_err(spark):
         ).select("id", "ex.md", "ex.err").collect()
     }
     assert rows[1].md is not None and rows[1].err is None
-    assert rows[2].md is None and "ObjStm" in rows[2].err
+    assert rows[2].md is None and "object stream missing /N or /First" in rows[2].err
 
 
 def test_type0_cid_font_round_trip_and_markdown_identity():
