@@ -851,12 +851,14 @@ def q_multimodal_decode_png(spark, sf_dir):
 
 def q_multimodal_decode_jpeg(spark, sf_dir):
     """REAL baseline JPEG decode: genuine JFIF bytes (Annex-K huffman +
-    quantization, byte stuffing) synthesized per doc_id as flat
-    grayscale — the one JPEG shape with an EXACT closed form: at
-    quality 75 the DC quantizer is 8, so 8*(c-128) quantizes exactly
-    and the decoded block equals c. The oracle recomputes
-    width/height/channels and pixel_sum = w*h*c; any huffman/DCT/
-    dequantize bug shifts the sum."""
+    quantization, byte stuffing) synthesized per doc_id as flat images
+    cycling grayscale / 4:4:4 / 4:2:2 / 4:2:0 color — the JPEG shapes
+    with an EXACT closed form: at quality 75 the DC quantizer is 8, so
+    8*(c-128) quantizes exactly, and flat gray color keeps Cb=Cr=128
+    (chroma DC=0) through box downsample + replication upsample. The
+    oracle recomputes width/height/channels and pixel_sum =
+    w*h*channels*c; any huffman/DCT/dequantize/MCU-interleave bug
+    shifts the sum."""
     from sharepointcrawler_spark.operators.multimodal import (
         decode_jpeg_stats,
         synth_jpeg_udf,
@@ -1713,14 +1715,18 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
             FROM documents WHERE doc_id < 64
         """,
         "multimodal_decode_jpeg": """
-            -- flat grayscale JPEG closed form: w = 8+id%9, h = 8+id%7,
-            -- c = (id*37)%256; at quality 75 the flat block decodes to
-            -- exactly c, so pixel_sum = w*h*c
+            -- flat JPEG closed form cycling doc_id%4 over grayscale /
+            -- 4:4:4 / 4:2:2 / 4:2:0: w = 8+id%9, h = 8+id%7,
+            -- c = (id*37)%256; flat gray decodes to exactly c in every
+            -- mode (Y=c, Cb=Cr=128 => chroma DC=0), so pixel_sum =
+            -- w*h*channels*c with channels = 1 for id%4=0 else 3
             SELECT doc_id,
                    CAST(8 + doc_id % 9 AS BIGINT) AS width,
                    CAST(8 + doc_id % 7 AS BIGINT) AS height,
-                   CAST(1 AS BIGINT) AS channels,
+                   CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END AS BIGINT)
+                       AS channels,
                    CAST((8 + doc_id % 9) * (8 + doc_id % 7)
+                        * (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END)
                         * ((doc_id * 37) % 256) AS BIGINT) AS pixel_sum
             FROM documents WHERE doc_id < 64
         """,

@@ -3,12 +3,13 @@
 The third real codec after PNG and WAV (operators/multimodal.py): a
 JFIF baseline sequential encoder/decoder pair implementing the actual
 format — standard Annex-K quantization + Huffman tables, zigzag, DC
-prediction, byte stuffing, 8x8 float DCT/IDCT — restricted to the
-shapes a fixture generator needs and a curation pipeline meets most:
-8-bit baseline, 1 (grayscale) or 3 (YCbCr, no subsampling) components.
-Progressive scans, chroma subsampling and restart intervals are
-detected and FLAGGED (ValueError), never silently mis-decoded, matching
-the PNG/PDF strict-mode policy.
+prediction, byte stuffing, 8x8 float DCT/IDCT — covering the shapes a
+curation pipeline meets most: 8-bit baseline, 1 (grayscale) or 3
+(YCbCr) components at 4:4:4, 4:2:2, or the dominant real-photo 4:2:0
+chroma subsampling (interleaved multi-block MCUs; box downsample on
+encode, replication upsample on decode). Progressive scans and restart
+intervals are detected and FLAGGED (ValueError), never silently
+mis-decoded, matching the PNG/PDF strict-mode policy.
 
 JPEG is lossy, so unlike PNG there is no bit-exact round trip in
 general. Two exactness anchors make it testable and oracle-checkable:
@@ -208,29 +209,53 @@ def _encode_block(bw, zz: np.ndarray, prev_dc: int, dc: _HuffEncoder, ac: _HuffE
     return int(zz[0])
 
 
-def _component_blocks(plane: np.ndarray, qtab: np.ndarray):
-    """Pad to 8-multiples (edge replicate) and yield quantized zigzag
-    blocks in raster MCU order."""
+def _block_grid(plane: np.ndarray, qtab: np.ndarray, bh: int, bw_: int) -> list:
+    """Pad to a (bh, bw_) grid of 8x8 blocks (edge replicate) and return
+    quantized zigzag blocks indexed ``grid[by][bx]``."""
     h, w = plane.shape
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64)
+    padded = np.pad(
+        plane, ((0, bh * 8 - h), (0, bw_ * 8 - w)), mode="edge"
+    ).astype(np.float64)
     padded -= 128.0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            block = padded[by : by + 8, bx : bx + 8]
+    grid = []
+    for by in range(bh):
+        row = []
+        for bx in range(bw_):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
             coef = _C @ block @ _C.T
-            q = np.round(coef / qtab).astype(np.int32)
-            yield q.flatten()[_ZZ]
+            row.append(np.round(coef / qtab).astype(np.int32).flatten()[_ZZ])
+        grid.append(row)
+    return grid
 
 
-def write_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
+# sampling-factor (h, v) per Y/Cb/Cr component for each supported mode
+_SAMPLING = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
+
+
+def write_jpeg(pixels: np.ndarray, quality: int = 75, subsampling: str = "444") -> bytes:
     """uint8 (h, w) grayscale or (h, w, 3) RGB -> baseline JFIF bytes
-    (no subsampling; standard tables)."""
+    with standard tables. ``subsampling``: "444" (no subsampling),
+    "422" (chroma halved horizontally), or "420" (halved both ways —
+    the dominant real-photo shape: 16x16-pixel MCUs of 4 Y blocks +
+    1 Cb + 1 Cr). Chroma is box-downsampled (block mean), so flat
+    chroma stays flat and the flat-block exactness anchor survives
+    every mode."""
     gray = pixels.ndim == 2 or pixels.shape[2] == 1
     if pixels.ndim == 3 and pixels.shape[2] == 1:
         pixels = pixels[:, :, 0]
     h, w = pixels.shape[:2]
     qlum, qchrom = _scaled_tables(quality)
+    if subsampling not in _SAMPLING:
+        raise ValueError(f"unsupported subsampling mode {subsampling!r}")
+    samp = (((1, 1),) if gray else _SAMPLING[subsampling])[: 1 if gray else 3]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
     if gray:
         planes = [(pixels.astype(np.float64), qlum, 0)]
     else:
@@ -239,7 +264,20 @@ def write_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        planes = [(y, qlum, 0), (cb, qchrom, 1), (cr, qchrom, 1)]
+        # pad to full-MCU size BEFORE downsampling so box means never
+        # straddle the replicated edge inconsistently across components
+        ph, pw = mcuy * vmax * 8, mcux * hmax * 8
+        full = [
+            np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in (y, cb, cr)
+        ]
+        planes = []
+        for p, (hi, vi), (q, cls) in zip(
+            full, samp, ((qlum, 0), (qchrom, 1), (qchrom, 1))
+        ):
+            fy, fx = vmax // vi, hmax // hi
+            if fy > 1 or fx > 1:  # box filter: mean over each fy x fx cell
+                p = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+            planes.append((p, q, cls))
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -249,8 +287,9 @@ def write_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
     ncomp = 1 if gray else 3
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
+        hi, vi = samp[cid - 1]
         qt = 0 if cid == 1 else 1
-        out += bytes([cid, 0x11, qt])  # 1x1 sampling
+        out += bytes([cid, (hi << 4) | vi, qt])
     specs = ((0x00, _DC_LUM), (0x10, _AC_LUM)) if gray else (
         (0x00, _DC_LUM), (0x10, _AC_LUM), (0x01, _DC_CHROM), (0x11, _AC_CHROM)
     )
@@ -266,17 +305,23 @@ def write_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
     dc_l, ac_l = _HuffEncoder(_DC_LUM), _HuffEncoder(_AC_LUM)
     dc_c, ac_c = _HuffEncoder(_DC_CHROM), _HuffEncoder(_AC_CHROM)
     bw = _BitWriter()
-    # no subsampling -> interleaved MCU = one block per component
-    iters = [iter(list(_component_blocks(p, q))) for p, q, _ in planes]
+    grids = [
+        _block_grid(p, q, mcuy * samp[ci][1], mcux * samp[ci][0])
+        for ci, (p, q, _) in enumerate(planes)
+    ]
     prev = [0] * len(planes)
-    n_blocks = (-(-h // 8)) * (-(-w // 8))
-    for _ in range(n_blocks):
-        for ci, it in enumerate(iters):
-            zz = next(it)
-            chrom = planes[ci][2] == 1
-            prev[ci] = _encode_block(
-                bw, zz, prev[ci], dc_c if chrom else dc_l, ac_c if chrom else ac_l
-            )
+    # interleaved MCU order: per component, vi x hi blocks raster-wise
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (_, _, cls) in enumerate(planes):
+                hi, vi = samp[ci]
+                for vy in range(vi):
+                    for hx in range(hi):
+                        zz = grids[ci][my * vi + vy][mx * hi + hx]
+                        prev[ci] = _encode_block(
+                            bw, zz, prev[ci],
+                            dc_c if cls else dc_l, ac_c if cls else ac_l,
+                        )
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
@@ -348,15 +393,18 @@ def is_jpeg(blob: bytes | None) -> bool:
 
 def decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     """JPEG bytes -> (width, height, channels, uint8 pixels (h, w, ch)).
-    Baseline sequential, 8-bit, 1 or 3 components, no subsampling, no
-    restart intervals — anything else raises ValueError (flag)."""
+    Baseline sequential, 8-bit, 1 or 3 components, any integer sampling
+    factors whose ratios divide the maximum (covers 4:4:4, 4:2:2 and
+    the dominant real-photo 4:2:0 shape; subsampled planes upsample by
+    sample replication). Progressive scans and restart intervals raise
+    ValueError (flag), never silently mis-decode."""
     if not is_jpeg(blob):
         raise ValueError("not a JPEG (bad signature)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[int, _HuffDecoder] = {}
     h = w = None
-    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    comps: list[tuple[int, int, int, int]] = []  # (id, quant table, hi, vi)
     scan_tabs: list[tuple[int, int]] = []
     entropy = None
     while pos + 4 <= len(blob):
@@ -384,9 +432,10 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
             _prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             for ci in range(ncomp):
                 cid, sampling, qt = seg[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
-                    raise ValueError("chroma subsampling unsupported")
-                comps.append((cid, qt))
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError("invalid JPEG sampling factors")
+                comps.append((cid, qt, hi, vi))
         elif marker == 0xC4:
             off = 0
             while off < len(seg):
@@ -410,40 +459,56 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
 
     br = _BitReader(entropy)
     ncomp = len(comps)
-    bh, bw_ = -(-h // 8), -(-w // 8)
-    planes = [np.zeros((bh * 8, bw_ * 8), dtype=np.float64) for _ in range(ncomp)]
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    for _, _, hi, vi in comps:
+        if hmax % hi or vmax % vi:
+            raise ValueError("non-integer JPEG sampling ratios unsupported")
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+        for _, _, hi, vi in comps
+    ]
     prev = [0] * ncomp
-    for by in range(bh):
-        for bx in range(bw_):
-            for ci in range(ncomp):
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (_, qt, hi, vi) in enumerate(comps):
                 dc_t, ac_t = scan_tabs[ci]
                 dc = huff[0x00 | dc_t]
                 ac = huff[0x10 | ac_t]
-                zz = np.zeros(64, dtype=np.int32)
-                size = dc.decode(br)
-                prev[ci] += _extend(br.receive(size), size)
-                zz[0] = prev[ci]
-                k = 1
-                while k < 64:
-                    rs = ac.decode(br)
-                    run, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if run == 15:
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG AC index overflow")
-                    zz[k] = _extend(br.receive(size), size)
-                    k += 1
-                coef = np.zeros(64, dtype=np.float64)
-                coef[_ZZ] = zz
-                block = coef.reshape(8, 8) * qtabs[comps[ci][1]]
-                pix = _C.T @ block @ _C + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+                for vy in range(vi):
+                    for hx in range(hi):
+                        zz = np.zeros(64, dtype=np.int32)
+                        size = dc.decode(br)
+                        prev[ci] += _extend(br.receive(size), size)
+                        zz[0] = prev[ci]
+                        k = 1
+                        while k < 64:
+                            rs = ac.decode(br)
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = _extend(br.receive(size), size)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_ZZ] = zz
+                        block = coef.reshape(8, 8) * qtabs[qt]
+                        pix = _C.T @ block @ _C + 128.0
+                        py = (my * vi + vy) * 8
+                        px = (mx * hi + hx) * 8
+                        planes[ci][py : py + 8, px : px + 8] = pix
 
-    planes = [p[:h, :w] for p in planes]
+    # upsample subsampled planes by replication, then crop to (h, w)
+    planes = [
+        np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)[:h, :w]
+        for p, (_, _, hi, vi) in zip(planes, comps)
+    ]
     if ncomp == 1:
         out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
         return w, h, 1, out

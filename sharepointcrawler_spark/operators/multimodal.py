@@ -387,26 +387,35 @@ def synth_wav_udf():
 # ------------------------------------------------------ JPEG stats path
 
 
-def synth_jpeg_flat(doc_id: int) -> tuple[np.ndarray, int]:
-    """(flat grayscale pixels, quality): at quality 75 the Annex-K DC
-    quantizer is 8, so the DC coefficient 8*(c-128) quantizes exactly
-    for ANY c and a flat block decodes to exactly c — the closed-form
-    anchor the DuckDB oracle uses (pixel_sum = w*h*c)."""
+def synth_jpeg_flat(doc_id: int) -> tuple[np.ndarray, int, str]:
+    """(flat pixels, quality, subsampling): at quality 75 the Annex-K
+    DC quantizer is 8, so the DC coefficient 8*(c-128) quantizes
+    exactly for ANY c and a flat block decodes to exactly c. Flat GRAY
+    RGB (r=g=b=c) extends the anchor to color AND subsampling: Y=c
+    exactly (the BT.601 weights sum to 1) and Cb=Cr=128 (chroma DC=0,
+    exact under any quantizer; box downsample and replication upsample
+    of flat are flat). Fixtures cycle doc_id%4 over grayscale / 4:4:4 /
+    4:2:2 / 4:2:0 — the closed-form DuckDB oracle: pixel_sum =
+    w*h*channels*c with channels = 1 if doc_id%4==0 else 3."""
     w, h = 8 + doc_id % 9, 8 + doc_id % 7
     c = (doc_id * 37) % 256
-    return np.full((h, w), c, dtype=np.uint8), 75
+    mode = ("444", "444", "422", "420")[doc_id % 4]
+    if doc_id % 4 == 0:
+        return np.full((h, w), c, dtype=np.uint8), 75, mode
+    return np.full((h, w, 3), c, dtype=np.uint8), 75, mode
 
 
 def synth_jpeg_udf():
     """Pandas UDF: doc_id -> real baseline JPEG bytes of the flat
-    pattern (full marker stream: DQT/SOF0/DHT/SOS + entropy data)."""
+    pattern (full marker stream: DQT/SOF0/DHT/SOS + entropy data),
+    cycling grayscale and 4:4:4 / 4:2:2 / 4:2:0 color shapes."""
     from sharepointcrawler_spark.operators.jpeg import write_jpeg
 
     @F.pandas_udf(T.BinaryType())
     def synth(ids: pd.Series) -> pd.Series:  # pragma: no cover
         def one(d):
-            px, q = synth_jpeg_flat(int(d))
-            return write_jpeg(px, q)
+            px, q, mode = synth_jpeg_flat(int(d))
+            return write_jpeg(px, q, subsampling=mode)
 
         return ids.map(one)
 

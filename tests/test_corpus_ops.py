@@ -468,9 +468,39 @@ def test_jpeg_round_trip_quality_and_determinism():
     )
 
 
+def test_jpeg_chroma_subsampling_round_trips():
+    """4:2:0 (2x2-luma MCUs) and 4:2:2 — the dominant real-photo
+    shapes: flat gray RGB survives EXACTLY in every mode (Y=c, Cb=Cr=
+    128 so chroma DC=0; box downsample / replication upsample of flat
+    are flat), and smooth color content reconstructs above a PSNR
+    floor at odd (non-MCU-aligned) sizes."""
+    import numpy as np
+
+    from sharepointcrawler_spark.operators.jpeg import decode_jpeg, write_jpeg
+
+    for mode in ("420", "422", "444"):
+        for c in (0, 37, 136, 255):
+            px = np.full((11, 19, 3), c, dtype=np.uint8)
+            w, h, ch, got = decode_jpeg(write_jpeg(px, 75, subsampling=mode))
+            assert (w, h, ch) == (19, 11, 3)
+            assert np.array_equal(got, px), (mode, c)
+
+    yy, xx = np.mgrid[0:37, 0:53]
+    img = np.stack(
+        [(xx * 4) % 256, (yy * 5) % 256, ((xx + yy) * 3) % 256], axis=2
+    ).astype(np.uint8)
+    for mode, floor in (("420", 30), ("422", 32)):
+        _, _, _, got = decode_jpeg(write_jpeg(img, 90, subsampling=mode))
+        mse = float(np.mean((got.astype(float) - img.astype(float)) ** 2))
+        assert 10 * np.log10(255**2 / max(mse, 1e-9)) > floor, mode
+    # subsampled MCU interleave is deterministic too
+    b = write_jpeg(img, 80, subsampling="420")
+    assert decode_jpeg(b)[3].tobytes() == decode_jpeg(b)[3].tobytes()
+
+
 def test_jpeg_unsupported_constructs_flagged():
-    """Progressive scans / restart intervals / subsampling are flagged
-    (ValueError), never silently mis-decoded."""
+    """Progressive scans / restart intervals are flagged (ValueError),
+    never silently mis-decoded."""
     import struct
 
     import numpy as np
