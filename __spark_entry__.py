@@ -849,6 +849,29 @@ def q_multimodal_decode_png(spark, sf_dir):
     )
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """REAL image resize (replaces round-4's header-rewrite stub): 64
+    fixed-size (12x8) closed-form PNG patterns are decoded, box-filtered
+    2x2 (integer cell sum // 4 — exact), re-encoded as PNG, and decoded
+    AGAIN by the stats path, so the whole decode -> resize -> encode ->
+    decode chain must be pixel-exact. The DuckDB oracle recomputes every
+    resized pixel from the pattern formula; any filter/indexing/encode
+    bug shifts pixel_sum."""
+    from sharepointcrawler_spark.operators.multimodal import (
+        decode_png_stats,
+        resize_images,
+        synth_resize_udf,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 64)
+    imgs = docs.select(
+        F.col("doc_id").cast("long"), synth_resize_udf()(F.col("doc_id")).alias("blob")
+    )
+    return decode_png_stats(resize_images(imgs, 6, 4)).select(
+        "doc_id", "width", "height", "channels", "pixel_sum"
+    )
+
+
 def q_multimodal_decode_jpeg(spark, sf_dir):
     """REAL baseline JPEG decode: genuine JFIF bytes (Annex-K huffman +
     quantization, byte stuffing) synthesized per doc_id as flat images
@@ -1146,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_decode_png": q_multimodal_decode_png,
+        "multimodal_resize": q_multimodal_resize,
         "multimodal_decode_wav": q_multimodal_decode_wav,
         "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
         "crawl_wave": q_crawl_wave,
@@ -1713,6 +1737,33 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
                            + (k % (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)) * 11) % 256
                    )) AS BIGINT) AS pixel_sum
             FROM documents WHERE doc_id < 64
+        """,
+        "multimodal_resize": """
+            -- resize closed form: input P(i,j,c) = (id*7+i*3+j*5+c*11)%256
+            -- on a fixed 8x12 grid, ch = 3 if id even else 1; 2x2 box
+            -- output pixel = (sum of the 4 cell inputs) // 4; k
+            -- linearizes (i, j, c) over the 4x6xch output grid
+            WITH ids AS (
+              SELECT doc_id, (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END) AS ch
+              FROM documents WHERE doc_id < 64),
+            cells AS (
+              SELECT doc_id, ch,
+                     unnest(generate_series(0, 4 * 6 * ch - 1)) AS k
+              FROM ids),
+            px AS (
+              SELECT doc_id, ch,
+                     (  (doc_id*7 + (2*(k // (6*ch)))*3   + (2*((k // ch) % 6))*5   + (k % ch)*11) % 256
+                      + (doc_id*7 + (2*(k // (6*ch)))*3   + (2*((k // ch) % 6)+1)*5 + (k % ch)*11) % 256
+                      + (doc_id*7 + (2*(k // (6*ch))+1)*3 + (2*((k // ch) % 6))*5   + (k % ch)*11) % 256
+                      + (doc_id*7 + (2*(k // (6*ch))+1)*3 + (2*((k // ch) % 6)+1)*5 + (k % ch)*11) % 256
+                     ) // 4 AS pv
+              FROM cells)
+            SELECT doc_id,
+                   CAST(6 AS BIGINT) AS width,
+                   CAST(4 AS BIGINT) AS height,
+                   CAST(ch AS BIGINT) AS channels,
+                   CAST(sum(pv) AS BIGINT) AS pixel_sum
+            FROM px GROUP BY doc_id, ch
         """,
         "multimodal_decode_jpeg": """
             -- flat JPEG closed form cycling doc_id%4 over grayscale /

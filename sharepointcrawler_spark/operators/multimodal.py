@@ -5,7 +5,7 @@ The Spark side is real and tested: schemas, partition-aware batching,
 Arrow UDF signatures, mapInPandas iteration. Three codecs are REAL,
 pure python/numpy: PNG (IHDR/IDAT chunk walk, zlib inflate, full
 five-filter scanline unfiltering), baseline JPEG (operators/jpeg.py:
-Annex-K Huffman/DCT, 4:4:4 and 4:2:0 chroma subsampling) and RIFF/WAVE
+Annex-K Huffman/DCT, 4:4:4/4:2:2/4:2:0 chroma subsampling) and RIFF/WAVE
 PCM-16. Shapes a codec genuinely cannot handle (palette PNG,
 progressive JPEG, compressed WAV, motion video — the latter needs
 ffmpeg, out of sandbox scope) are FLAGGED per-row as NULL-stat rows,
@@ -471,6 +471,30 @@ def synth_png_udf():
     return synth
 
 
+def synth_resize_pattern(doc_id: int) -> np.ndarray:
+    """FIXED-size (8, 12) deterministic pattern for the resize oracle —
+    one shape for every row so a single integer-ratio target (6x4, i.e.
+    2x2 box cells) applies to the whole fixture set: pixel[i,j,c] =
+    (id*7 + i*3 + j*5 + c*11) % 256, ch = 3 if id even else 1. The box
+    filter output (cell sum // 4) is closed-form, so the DuckDB oracle
+    recomputes every resized pixel."""
+    ch = 3 if doc_id % 2 == 0 else 1
+    i = np.arange(8)[:, None, None]
+    j = np.arange(12)[None, :, None]
+    c = np.arange(ch)[None, None, :]
+    return ((doc_id * 7 + i * 3 + j * 5 + c * 11) % 256).astype(np.uint8)
+
+
+def synth_resize_udf():
+    """Pandas UDF: doc_id -> real PNG bytes of the fixed-size pattern."""
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:  # pragma: no cover
+        return ids.map(lambda d: write_png(synth_resize_pattern(int(d))))
+
+    return synth
+
+
 PNG_STATS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -508,17 +532,63 @@ def decode_png_stats(
     )
 
 
-def resize_stub(images: DataFrame, target_w: int, target_h: int, blob_col: str = "blob") -> DataFrame:
-    """Resize = header rewrite on the fake format (payload untouched);
-    with a real codec this is the interpolation hot loop."""
+def resize_array(px: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """REAL resize in numpy. Integer-ratio downscale uses an EXACT
+    integer box filter (block sum // block size — closed-form, so the
+    DuckDB oracle recomputes every output pixel); any other ratio uses
+    bilinear interpolation (align_corners=False pixel-center sampling,
+    round-half-up). Returns uint8 (target_h, target_w, ch)."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w = px.shape[:2]
+    if target_w <= 0 or target_h <= 0:
+        raise ValueError("resize target must be positive")
+    if h % target_h == 0 and w % target_w == 0:
+        fy, fx = h // target_h, w // target_w
+        s = px.astype(np.int64).reshape(target_h, fy, target_w, fx, -1).sum(axis=(1, 3))
+        return (s // (fy * fx)).astype(np.uint8)
+    ys = (np.arange(target_h) + 0.5) * h / target_h - 0.5
+    xs = (np.arange(target_w) + 0.5) * w / target_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def resize_images(
+    images: DataFrame, target_w: int, target_h: int, blob_col: str = "blob"
+) -> DataFrame:
+    """Decode (PNG or JPEG by magic) -> resize_array -> re-encode as
+    PNG (lossless, so downstream stats see exactly the resized pixels).
+    Blobs that are neither format or fail to decode become NULL —
+    flagged, never silently passed through at the wrong size. Per-blob
+    python inside an Arrow-batched pandas UDF (inherent to codecs),
+    same shape as the decode paths."""
+    from sharepointcrawler_spark.operators.jpeg import decode_jpeg, is_jpeg
+
     @F.pandas_udf(T.BinaryType())
     def resize(blobs: pd.Series) -> pd.Series:  # pragma: no cover
         def one(blob):
-            hdr = _decode_header(blob)
-            if hdr is None:
-                return blob
-            _, _, c = hdr
-            return MAGIC + struct.pack("<HHB", target_w, target_h, c) + blob[9:]
+            if blob is None:
+                return None
+            b = bytes(blob)
+            try:
+                if is_png(b):
+                    _, _, _, px = decode_png(b)
+                elif is_jpeg(b):
+                    _, _, _, px = decode_jpeg(b)
+                else:
+                    return None
+                return write_png(resize_array(px, target_w, target_h))
+            except DECODE_ERRORS:
+                return None
 
         return blobs.map(one)
 

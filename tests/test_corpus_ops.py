@@ -26,7 +26,8 @@ from sharepointcrawler_spark.operators.multimodal import (
     decode_images,
     frame_sample_stub,
     make_fake_image,
-    resize_stub,
+    resize_array,
+    resize_images,
 )
 from sharepointcrawler_spark.operators.similarity import (
     brute_force_topk,
@@ -169,10 +170,13 @@ def test_multimodal_plumbing(spark):
     meta2 = {r.doc_id: r for r in decode_images(df).collect()}
     assert meta[0].feature == meta2[0].feature
 
+    # real resize rejects the fake SIMG dialect (NULL, flagged) — only
+    # PNG/JPEG blobs are resizable; real-codec coverage lives in
+    # test_resize_real_codecs
     resized = {r.doc_id: r for r in decode_images(
-        resize_stub(df, 32, 32)
+        resize_images(df, 32, 32)
     ).collect()}
-    assert (resized[0].width, resized[0].height) == (32, 32)
+    assert resized[0].width is None and resized[2].width is None
 
     video = spark.createDataFrame(
         [(9, b"".join(make_fake_image(8, 8, 3, seed=s) for s in range(6)))],
@@ -466,6 +470,69 @@ def test_jpeg_round_trip_quality_and_determinism():
         decode_jpeg(write_jpeg(rgb, 60))[3].tobytes()
         == decode_jpeg(write_jpeg(rgb, 60))[3].tobytes()
     )
+
+
+def test_resize_array_box_and_bilinear():
+    """Integer-ratio downscale is the EXACT integer box filter (cell
+    sum // n); non-integer ratios use bilinear. Flat stays flat in both
+    modes; upscale of a step edge is monotone."""
+    import numpy as np
+
+    from sharepointcrawler_spark.operators.multimodal import resize_array
+
+    # exact box semantics on a known pattern
+    px = np.arange(48, dtype=np.uint8).reshape(4, 12)
+    got = resize_array(px, 6, 2)
+    want = px.astype(np.int64).reshape(2, 2, 6, 2).sum(axis=(1, 3)) // 4
+    assert np.array_equal(got[:, :, 0], want.astype(np.uint8))
+    # flat invariance: box (16 -> 4) and bilinear (16 -> 7, 10 -> 25)
+    for tw, th in ((4, 4), (7, 7), (25, 25)):
+        flat = np.full((16, 16, 3), 77, dtype=np.uint8)
+        assert np.all(resize_array(flat, tw, th) == 77), (tw, th)
+    # bilinear upscale of a horizontal step: rows constant, cols monotone
+    step = np.zeros((8, 8), dtype=np.uint8)
+    step[:, 4:] = 200
+    up = resize_array(step, 19, 9)[:, :, 0]
+    assert np.all(up[0] == up[-1])
+    assert np.all(np.diff(up[0].astype(int)) >= 0)
+    assert up[0, 0] == 0 and up[0, -1] == 200
+
+
+def test_resize_real_codecs(spark):
+    """resize_images: PNG and JPEG blobs decode -> resize -> re-encode
+    PNG; the stats path sees exactly the resized pixels. Undecodable
+    blobs become NULL (flagged), never wrong-size passthrough."""
+    import numpy as np
+
+    from sharepointcrawler_spark.operators.jpeg import write_jpeg
+    from sharepointcrawler_spark.operators.multimodal import (
+        decode_png_stats,
+        resize_array,
+        resize_images,
+        synth_resize_pattern,
+        write_png,
+    )
+
+    png_px = synth_resize_pattern(2)
+    jpg_px = np.full((8, 12, 3), 136, dtype=np.uint8)  # flat -> exact thru JPEG
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(write_png(png_px))),
+            (1, bytearray(write_jpeg(jpg_px, 75, subsampling="420"))),
+            (2, bytearray(b"garbage bytes")),
+        ],
+        "doc_id long, blob binary",
+    )
+    stats = {
+        r.doc_id: r
+        for r in decode_png_stats(resize_images(df, 6, 4)).collect()
+    }
+    want_png = resize_array(png_px, 6, 4)
+    assert (stats[0].width, stats[0].height, stats[0].channels) == (6, 4, 3)
+    assert stats[0].pixel_sum == int(want_png.astype(np.int64).sum())
+    assert (stats[1].width, stats[1].height) == (6, 4)
+    assert stats[1].pixel_sum == 6 * 4 * 3 * 136  # flat survives JPEG+box exactly
+    assert stats[2].width is None
 
 
 def test_jpeg_chroma_subsampling_round_trips():
