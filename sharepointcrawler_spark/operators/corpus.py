@@ -691,11 +691,85 @@ def _near_dup_components_durable(
     )
 
 
+def _symmetrize_pairs(pairs: DataFrame) -> DataFrame:
+    return (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _star(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star or small-star phase (Kiveris et al. 2014): connect
+    each node's strictly-larger (large) / ``<=`` (small) neighbors to
+    ``m = min(N(u) ∪ {u})``. One symmetrize + one min-agg + one join,
+    all shuffled on the id key with map-side partial agg."""
+    nbr = (
+        edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+    )
+    mins = nbr.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    joined = nbr.join(mins, "u")
+    if large:
+        out = joined.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+    else:
+        out = joined.filter(F.col("v") <= F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        ).unionAll(mins.select(F.col("u"), F.col("m").alias("v")))
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _edge_checksum(edges: DataFrame) -> tuple:
+    """Order-insensitive edge-set checksum: count + TWO independent
+    64-bit pair-hash sums (decimal(38) — a plain long sum overflows
+    under ANSI arithmetic). A premature-stop collision needs both sums
+    to collide simultaneously (~2^-128)."""
+
+    def hsum(*cols) -> Column:
+        return F.coalesce(
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        )
+
+    row = edges.agg(
+        F.count("*").alias("n"),
+        hsum("u", "v").alias("h1"),
+        hsum("u", "v", F.lit(1)).alias("h2"),
+    ).collect()[0]
+    return row["n"], str(row["h1"]), str(row["h2"])
+
+
+def _star_labels(edges: DataFrame, docs: DataFrame, id_col: str) -> DataFrame:
+    """Fixpoint star edges -> per-doc cluster labels: every non-center
+    node u carries (u, center); isolated docs label themselves."""
+    roots = (
+        edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("cluster_id"))
+        .select(F.col("u").alias(id_col), "cluster_id")
+    )
+    return (
+        docs.select(F.col(id_col))
+        .distinct()
+        .join(roots, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
 def near_dup_components_twophase(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     rounds (Kiveris et al. 2014, "Connected Components in MapReduce and
@@ -720,59 +794,27 @@ def near_dup_components_twophase(
     cost an extra full shuffle of both edge sets; the double hash keeps
     convergence detection at one tiny aggregate. Each round's edge set
     is eagerly checkpointed and the superseded one freed, exactly like
-    the propagation loop."""
-    sym0 = (
-        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    the propagation loop.
 
-    def star(edges: DataFrame, large: bool) -> DataFrame:
-        nbr = (
-            edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-            .distinct()
+    Durability: the adversarial-graph path runs the MOST rounds, so it
+    is the most exposed to executor loss mid-run. Pass
+    ``checkpoint_dir`` to run the same loop over per-round parquet edge
+    tables with the atomic state-manifest commit the propagation loop
+    uses: a killed job re-enters at the last committed round (the
+    stored checksum makes the convergence compare resumable too) and
+    reaches an identical fixpoint with no recomputation."""
+    if checkpoint_dir is not None:
+        return _near_dup_components_twophase_durable(
+            docs, pairs, id_col, max_iters, checkpoint_dir
         )
-        mins = nbr.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
-        joined = nbr.join(mins, "u")
-        if large:
-            out = joined.filter(F.col("v") > F.col("u")).select(
-                F.col("v").alias("u"), F.col("m").alias("v")
-            )
-        else:
-            out = joined.filter(F.col("v") <= F.col("u")).select(
-                F.col("v").alias("u"), F.col("m").alias("v")
-            ).unionAll(mins.select(F.col("u"), F.col("m").alias("v")))
-        return out.filter(F.col("u") != F.col("v")).distinct()
-
-    def checksum(edges: DataFrame):
-        # decimal(38) sums: a plain long sum of 64-bit hashes overflows
-        # under ANSI arithmetic. Two hash sums with distinct salt
-        # columns (independent xxhash64 streams) so a premature-stop
-        # collision needs a simultaneous double collision (~2^-128).
-        def hsum(*cols) -> Column:
-            return F.coalesce(
-                F.sum(F.xxhash64(*cols).cast("decimal(38,0)")),
-                F.lit(0).cast("decimal(38,0)"),
-            )
-
-        row = edges.agg(
-            F.count("*").alias("n"),
-            hsum("u", "v").alias("h1"),
-            hsum("u", "v", F.lit(1)).alias("h2"),
-        ).collect()[0]
-        return row["n"], str(row["h1"]), str(row["h2"])
-
-    edges = sym0.localCheckpoint(eager=True)
-    prev_sum = checksum(edges)
+    edges = _symmetrize_pairs(pairs).localCheckpoint(eager=True)
+    prev_sum = _edge_checksum(edges)
     try:
         for _ in range(max_iters):
-            new_edges = star(star(edges, large=True), large=False).localCheckpoint(
+            new_edges = _star(_star(edges, large=True), large=False).localCheckpoint(
                 eager=True
             )
-            new_sum = checksum(new_edges)
+            new_sum = _edge_checksum(new_edges)
             _free_local_checkpoint(edges)
             edges = new_edges
             if new_sum == prev_sum:
@@ -785,27 +827,78 @@ def near_dup_components_twophase(
     except Exception:
         _free_local_checkpoint(edges)
         raise
-    # star edges: every non-center node u carries (u, center). The label
-    # table is MATERIALIZED (eager checkpoint) before the final edge set
-    # is freed — the returned frame must not depend on freed blocks.
-    roots = (
-        edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .groupBy("u")
-        .agg(F.least(F.min("v"), F.first("u")).alias("cluster_id"))
-        .select(F.col("u").alias(id_col), "cluster_id")
-    )
-    labels = (
-        docs.select(F.col(id_col))
-        .distinct()
-        .join(roots, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    # the label table is MATERIALIZED (eager checkpoint) before the
+    # final edge set is freed — the returned frame must not depend on
+    # freed blocks
+    labels = _star_labels(edges, docs, id_col).localCheckpoint(eager=True)
     _free_local_checkpoint(edges)
     return labels
+
+
+def _near_dup_components_twophase_durable(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iters: int,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Cluster-durable two-phase CC: per-round parquet edge tables + the
+    atomically renamed state manifest (`_cc_write_state`, same commit
+    semantics as `_near_dup_components_durable`). The state carries the
+    last committed round's checksum, so a resumed job's first
+    convergence compare is against exactly the edge set it compares in
+    an uninterrupted run. A crash between a table write and the state
+    rename rewrites that round idempotently (overwrite mode, the star
+    rounds are deterministic). Edge tables two rounds back are deleted
+    to bound storage; the fixpoint table is kept until the caller's
+    labels are computed (off parquet, so no checkpoint needed)."""
+    import json
+    import os
+    import shutil
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    spark = docs.sparkSession
+
+    def edir(i: int) -> str:
+        return os.path.join(checkpoint_dir, f"edges-{i:04d}")
+
+    sp = _cc_state_path(checkpoint_dir)
+    if os.path.exists(sp):
+        with open(sp) as f:
+            state = json.load(f)
+        start = state["round"]
+        prev_sum = (state["n"], state["h1"], state["h2"])
+        if state.get("converged"):
+            return _star_labels(spark.read.parquet(edir(start)), docs, id_col)
+    else:
+        _symmetrize_pairs(pairs).write.mode("overwrite").parquet(edir(0))
+        start = 0
+        prev_sum = _edge_checksum(spark.read.parquet(edir(0)))
+        n, h1, h2 = prev_sum
+        _cc_write_state(
+            checkpoint_dir,
+            {"round": 0, "converged": False, "n": n, "h1": h1, "h2": h2},
+        )
+    for i in range(start + 1, start + 1 + max_iters):
+        edges = spark.read.parquet(edir(i - 1))
+        _star(_star(edges, large=True), large=False).write.mode("overwrite").parquet(
+            edir(i)
+        )
+        new_sum = _edge_checksum(spark.read.parquet(edir(i)))
+        converged = new_sum == prev_sum
+        n, h1, h2 = new_sum
+        _cc_write_state(
+            checkpoint_dir,
+            {"round": i, "converged": converged, "n": n, "h1": h1, "h2": h2},
+        )
+        if i >= 2:
+            shutil.rmtree(edir(i - 2), ignore_errors=True)
+        if converged:
+            return _star_labels(spark.read.parquet(edir(i)), docs, id_col)
+        prev_sum = new_sum
+    raise RuntimeError(
+        f"near_dup_components_twophase did not converge in {max_iters} rounds"
+    )
 
 
 def dedup_keep_cluster_representatives(

@@ -258,3 +258,103 @@ def test_type0_missing_cids_trip_strict_mode():
     assert [w.text for ws in got2 for w in ws] == [
         w.text for ws in pages for w in ws
     ]
+
+
+# ------------------------------- 5. durable two-phase connected components
+
+
+def _chain_fixture(spark, n=16):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(n)], "doc_id long, text string"
+    )
+    # one long chain (adversarial for propagation, several two-phase
+    # rounds) + two isolated nodes
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 2)], "id_a long, id_b long"
+    )
+    return docs, pairs
+
+
+def test_twophase_durable_matches_memory_path(spark, tmp_path):
+    from sharepointcrawler_spark.operators.corpus import near_dup_components_twophase
+
+    docs, pairs = _chain_fixture(spark)
+    mem = {
+        r.doc_id: r.cluster_id
+        for r in near_dup_components_twophase(docs, pairs).collect()
+    }
+    dur = {
+        r.doc_id: r.cluster_id
+        for r in near_dup_components_twophase(
+            docs, pairs, checkpoint_dir=str(tmp_path / "cc2")
+        ).collect()
+    }
+    assert dur == mem
+    # storage bound: superseded edge tables deleted (at most the last two
+    # rounds + state remain)
+    edge_dirs = [d for d in os.listdir(tmp_path / "cc2") if d.startswith("edges-")]
+    assert len(edge_dirs) <= 2
+
+
+def test_twophase_kill_resume_mid_rounds(spark, tmp_path, monkeypatch):
+    """Kill the job right after round 1 commits; a fresh call with the
+    same checkpoint_dir must resume FROM round 1 (never recompute the
+    symmetrize or round 1) and converge to the same fixpoint as an
+    uninterrupted run — including the checksum compare, which resumes
+    from the state-stored round-1 checksum."""
+    from sharepointcrawler_spark.operators import corpus as corpus_mod
+    from sharepointcrawler_spark.operators.corpus import near_dup_components_twophase
+
+    docs, pairs = _chain_fixture(spark)
+    ckpt = str(tmp_path / "cc2")
+    expected = {
+        r.doc_id: r.cluster_id
+        for r in near_dup_components_twophase(docs, pairs).collect()
+    }
+
+    orig_write_state = corpus_mod._cc_write_state
+
+    def killing_write_state(checkpoint_dir, state):
+        orig_write_state(checkpoint_dir, state)  # the commit lands first
+        if state.get("round") == 1:
+            raise RuntimeError("simulated executor-storm kill")
+
+    monkeypatch.setattr(corpus_mod, "_cc_write_state", killing_write_state)
+    with pytest.raises(RuntimeError, match="simulated"):
+        near_dup_components_twophase(docs, pairs, checkpoint_dir=ckpt)
+    monkeypatch.setattr(corpus_mod, "_cc_write_state", orig_write_state)
+
+    with open(corpus_mod._cc_state_path(ckpt)) as f:
+        state = json.load(f)
+    assert state["round"] == 1 and not state["converged"]
+
+    # track parquet writes: the resumed run must start at round 2
+    written = []
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    orig_parquet = DataFrameWriter.parquet
+
+    def tracking_parquet(self, path, *a, **kw):
+        written.append(os.path.basename(path.rstrip("/")))
+        return orig_parquet(self, path, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", tracking_parquet)
+    resumed = {
+        r.doc_id: r.cluster_id
+        for r in near_dup_components_twophase(
+            docs, pairs, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert resumed == expected
+    edge_writes = [w for w in written if w.startswith("edges-")]
+    assert edge_writes and min(edge_writes) >= "edges-0002", edge_writes
+
+    # converged state is terminal: a third call is pure read-back
+    written.clear()
+    again = {
+        r.doc_id: r.cluster_id
+        for r in near_dup_components_twophase(
+            docs, pairs, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert again == expected and written == []
