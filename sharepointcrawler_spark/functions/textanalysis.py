@@ -122,33 +122,114 @@ def _lang_argmax(scores: dict) -> Column:
 # genuine C-T method. The 5-marker-word heuristic (lang_id above) stays
 # the cheap single-pass gate; this is the quality backend.
 LANG_SEED_TEXTS: dict[str, str] = {
+    # ~250 words each of original function-word-heavy prose (accent-free
+    # transliteration, matching the [a-z]-only normalization both the
+    # engine and the oracle apply to documents). Round 5 grew these from
+    # ~60 words: profile depth is the main accuracy lever of the C-T
+    # method, and the profiles stay deterministic, self-contained and
+    # inspectable — the upgrade path to corpus-trained profiles is
+    # unchanged (swap the seed text, the builder and oracle follow).
     "en": (
         "the quick brown fox jumps over the lazy dog and the people of the "
         "world said that this is the time for all good men to come to the "
         "aid of their country with the strength of their hands and the "
-        "wisdom that they have gathered over the years of their lives"
+        "wisdom that they have gathered over the years of their lives "
+        "there was a house at the end of the road where an old man lived "
+        "with his daughter and every morning they would walk together down "
+        "to the river and watch the water run past the stones that had "
+        "been there longer than anyone could remember when the winter came "
+        "the days grew short and the light fell early behind the hills but "
+        "the work of the town went on because it always had and it always "
+        "would the children went to school in the morning and came home in "
+        "the evening and asked what was for dinner and whether they could "
+        "go out and play before it got dark most of the time the answer "
+        "was yes if they had done what they were asked to do first it is "
+        "not hard to see why people stayed in that place for so long the "
+        "land was good the water was clean and the neighbors knew one "
+        "another by name when something needed to be done everyone came "
+        "and did their part and when it was finished they sat down at one "
+        "long table and ate and talked about the things that had happened "
+        "and the things that were still to come and nobody was in a hurry "
+        "to leave because there was nowhere better to be than right there "
+        "with each other at the end of a good day of work"
     ),
     "de": (
         "der schnelle braune fuchs springt ueber den faulen hund und die "
         "menschen der welt sagten dass dies die zeit ist in der alle guten "
         "maenner ihrem land mit der kraft ihrer haende und der weisheit "
-        "die sie ueber die jahre ihres lebens gesammelt haben helfen"
+        "die sie ueber die jahre ihres lebens gesammelt haben helfen "
+        "es war einmal ein haus am ende der strasse in dem ein alter mann "
+        "mit seiner tochter wohnte und jeden morgen gingen sie zusammen "
+        "hinunter zum fluss und sahen dem wasser zu das an den steinen "
+        "vorbeilief die schon laenger dort lagen als sich irgendjemand "
+        "erinnern konnte als der winter kam wurden die tage kurz und das "
+        "licht fiel frueh hinter die huegel aber die arbeit in der stadt "
+        "ging weiter denn so war es immer gewesen und so wuerde es auch "
+        "bleiben die kinder gingen am morgen zur schule und kamen am abend "
+        "nach hause und fragten was es zum essen gebe und ob sie noch "
+        "draussen spielen duerften bevor es dunkel wurde meistens war die "
+        "antwort ja wenn sie vorher getan hatten worum man sie gebeten "
+        "hatte es ist nicht schwer zu verstehen warum die menschen so "
+        "lange an diesem ort geblieben sind das land war gut das wasser "
+        "war sauber und die nachbarn kannten einander beim namen wenn "
+        "etwas getan werden musste kamen alle und taten ihren teil und "
+        "wenn es fertig war setzten sie sich an einen langen tisch und "
+        "assen und sprachen ueber das was geschehen war und das was noch "
+        "kommen sollte und niemand hatte es eilig zu gehen denn es gab "
+        "keinen besseren ort als diesen am ende eines guten arbeitstages"
     ),
     "fr": (
         "le renard brun rapide saute par dessus le chien paresseux et les "
         "gens du monde ont dit que ce temps est venu pour tous les hommes "
         "de bien de venir en aide a leur pays avec la force de leurs mains "
-        "et la sagesse quils ont acquise au cours des annees de leur vie"
+        "et la sagesse quils ont acquise au cours des annees de leur vie "
+        "il y avait une maison au bout de la route ou un vieil homme "
+        "vivait avec sa fille et chaque matin ils descendaient ensemble "
+        "vers la riviere pour regarder l eau passer sur les pierres qui "
+        "etaient la depuis plus longtemps que personne ne pouvait s en "
+        "souvenir quand l hiver arrivait les jours devenaient courts et la "
+        "lumiere tombait tot derriere les collines mais le travail de la "
+        "ville continuait parce qu il en avait toujours ete ainsi et qu il "
+        "en serait toujours ainsi les enfants allaient a l ecole le matin "
+        "et rentraient le soir et demandaient ce qu il y avait pour le "
+        "diner et s ils pouvaient sortir jouer avant la nuit la plupart du "
+        "temps la reponse etait oui s ils avaient d abord fait ce qu on "
+        "leur avait demande il n est pas difficile de comprendre pourquoi "
+        "les gens sont restes si longtemps dans cet endroit la terre etait "
+        "bonne l eau etait propre et les voisins se connaissaient par leur "
+        "nom quand quelque chose devait etre fait tout le monde venait et "
+        "faisait sa part et quand c etait fini ils s asseyaient a une "
+        "longue table et mangeaient et parlaient de ce qui etait arrive et "
+        "de ce qui restait a venir et personne n etait presse de partir "
+        "car il n y avait pas de meilleur endroit que celui la"
     ),
     "es": (
         "el rapido zorro marron salta sobre el perro perezoso y la gente "
         "del mundo dijo que este es el tiempo para que todos los hombres "
         "buenos vengan en ayuda de su pais con la fuerza de sus manos y la "
-        "sabiduria que han reunido durante los anos de sus vidas"
+        "sabiduria que han reunido durante los anos de sus vidas "
+        "habia una casa al final del camino donde vivia un hombre viejo "
+        "con su hija y cada manana bajaban juntos al rio y miraban el agua "
+        "pasar sobre las piedras que llevaban alli mas tiempo del que "
+        "nadie podia recordar cuando llegaba el invierno los dias se "
+        "hacian cortos y la luz caia temprano detras de las colinas pero "
+        "el trabajo del pueblo seguia porque siempre habia sido asi y "
+        "siempre lo seria los ninos iban a la escuela por la manana y "
+        "volvian a casa por la tarde y preguntaban que habia para cenar y "
+        "si podian salir a jugar antes de que oscureciera la mayoria de "
+        "las veces la respuesta era si cuando ya habian hecho lo que se "
+        "les habia pedido no es dificil entender por que la gente se quedo "
+        "tanto tiempo en ese lugar la tierra era buena el agua era limpia "
+        "y los vecinos se conocian por su nombre cuando algo tenia que "
+        "hacerse todos venian y hacian su parte y cuando estaba terminado "
+        "se sentaban a una mesa larga y comian y hablaban de las cosas que "
+        "habian pasado y de las que estaban por venir y nadie tenia prisa "
+        "por irse porque no habia mejor lugar que ese al final de un buen "
+        "dia de trabajo"
     ),
 }
 
-NGRAM_PROFILE_K = 40
+NGRAM_PROFILE_K = 80
 
 
 def _ct_normalize_py(text: str) -> str:
