@@ -54,6 +54,10 @@ HEADLINE = [
     "text_token_counts",
     "chunk_text",
     "multimodal_decode_png",
+    "multimodal_decode_jpeg",
+    "multimodal_resize",
+    "pdf_extraction_identity",
+    "pdf_xref_stream_extraction_identity",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "ann_topk_multiband",

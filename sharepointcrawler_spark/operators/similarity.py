@@ -65,9 +65,14 @@ def brute_force_topk(
     broadcast_query_limit: int | None = BROADCAST_QUERY_LIMIT,
     n_queries: int | None = None,
 ) -> DataFrame:
-    """Exact top-k neighbors per query. Queries broadcast when the probe
-    gate says they are small (pass ``n_queries`` to skip the probe); one
-    corpus scan; rank ties broken by neighbor id for determinism."""
+    """Exact top-k neighbors per query — a corpus x queries CROSS JOIN
+    by construction. This is the exact BASELINE (recall oracle and
+    small-query-set path), never the 100 TB path: at scale the
+    candidate-generating indexes (lsh_topk / lsh_topk_multiband /
+    ivf_topk) are the production route and this verifies them. Queries
+    broadcast when the probe gate says they are small (pass
+    ``n_queries`` to skip the probe); one corpus scan; rank ties broken
+    by neighbor id for determinism."""
     hint = _query_hint(queries, broadcast_query_limit, n_queries)
     q = queries.select(
         F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_qv")
