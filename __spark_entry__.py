@@ -873,15 +873,17 @@ def q_multimodal_resize(spark, sf_dir):
 
 
 def q_multimodal_decode_jpeg(spark, sf_dir):
-    """REAL baseline JPEG decode: genuine JFIF bytes (Annex-K huffman +
+    """REAL JPEG decode: genuine JFIF bytes (Annex-K huffman +
     quantization, byte stuffing) synthesized per doc_id as flat images
-    cycling grayscale / 4:4:4 / 4:2:2 / 4:2:0 color — the JPEG shapes
-    with an EXACT closed form: at quality 75 the DC quantizer is 8, so
-    8*(c-128) quantizes exactly, and flat gray color keeps Cb=Cr=128
-    (chroma DC=0) through box downsample + replication upsample. The
+    cycling grayscale / 4:4:4 / 4:2:2 / 4:2:0 color in BOTH baseline
+    (SOF0) and progressive (SOF2, doc_id%8>=4) encodings — the JPEG
+    shapes with an EXACT closed form: at quality 75 the DC quantizer
+    is 8, so 8*(c-128) quantizes exactly; flat gray color keeps
+    Cb=Cr=128 (chroma DC=0) through box downsample + replication
+    upsample; and progressive only reorders coefficient bits. The
     oracle recomputes width/height/channels and pixel_sum =
-    w*h*channels*c; any huffman/DCT/dequantize/MCU-interleave bug
-    shifts the sum."""
+    w*h*channels*c; any huffman/DCT/dequantize/MCU-interleave/
+    scan-accumulation bug shifts the sum."""
     from sharepointcrawler_spark.operators.multimodal import (
         decode_jpeg_stats,
         synth_jpeg_udf,
@@ -1767,10 +1769,12 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
         """,
         "multimodal_decode_jpeg": """
             -- flat JPEG closed form cycling doc_id%4 over grayscale /
-            -- 4:4:4 / 4:2:2 / 4:2:0: w = 8+id%9, h = 8+id%7,
-            -- c = (id*37)%256; flat gray decodes to exactly c in every
-            -- mode (Y=c, Cb=Cr=128 => chroma DC=0), so pixel_sum =
-            -- w*h*channels*c with channels = 1 for id%4=0 else 3
+            -- 4:4:4 / 4:2:2 / 4:2:0 and doc_id%8>=4 over progressive
+            -- (SOF2) encoding: w = 8+id%9, h = 8+id%7, c = (id*37)%256;
+            -- flat gray decodes to exactly c in every mode (Y=c,
+            -- Cb=Cr=128 => chroma DC=0; progressive reorders bits
+            -- only), so pixel_sum = w*h*channels*c with channels = 1
+            -- for id%4=0 else 3
             SELECT doc_id,
                    CAST(8 + doc_id % 9 AS BIGINT) AS width,
                    CAST(8 + doc_id % 7 AS BIGINT) AS height,

@@ -4,11 +4,13 @@ The third real codec after PNG and WAV (operators/multimodal.py): a
 JFIF baseline sequential encoder/decoder pair implementing the actual
 format — standard Annex-K quantization + Huffman tables, zigzag, DC
 prediction, byte stuffing, 8x8 float DCT/IDCT — covering the shapes a
-curation pipeline meets most: 8-bit baseline, 1 (grayscale) or 3
-(YCbCr) components at 4:4:4, 4:2:2, or the dominant real-photo 4:2:0
-chroma subsampling (interleaved multi-block MCUs; box downsample on
-encode, replication upsample on decode). Progressive scans and restart
-intervals are detected and FLAGGED (ValueError), never silently
+curation pipeline meets most: 8-bit baseline (SOF0) AND progressive
+(SOF2: spectral selection + successive approximation, DC/AC refinement
+scans, EOBRUN), 1 (grayscale) or 3 (YCbCr) components at 4:4:4, 4:2:2,
+or the dominant real-photo 4:2:0 chroma subsampling (interleaved
+multi-block MCUs; box downsample on encode, replication upsample on
+decode). Other SOF types, restart intervals, and malformed scan
+scripts are detected and FLAGGED (ValueError), never silently
 mis-decoded, matching the PNG/PDF strict-mode policy.
 
 JPEG is lossy, so unlike PNG there is no bit-exact round trip in
@@ -236,14 +238,10 @@ _SAMPLING = {
 }
 
 
-def write_jpeg(pixels: np.ndarray, quality: int = 75, subsampling: str = "444") -> bytes:
-    """uint8 (h, w) grayscale or (h, w, 3) RGB -> baseline JFIF bytes
-    with standard tables. ``subsampling``: "444" (no subsampling),
-    "422" (chroma halved horizontally), or "420" (halved both ways —
-    the dominant real-photo shape: 16x16-pixel MCUs of 4 Y blocks +
-    1 Cb + 1 Cr). Chroma is box-downsampled (block mean), so flat
-    chroma stays flat and the flat-block exactness anchor survives
-    every mode."""
+def _prep_planes(pixels: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front half: color convert, MCU-pad, box-downsample
+    chroma. Returns (gray, h, w, samp, mcux, mcuy, planes, qlum, qchrom)
+    where planes is [(float plane, qtab, chroma_class)]."""
     gray = pixels.ndim == 2 or pixels.shape[2] == 1
     if pixels.ndim == 3 and pixels.shape[2] == 1:
         pixels = pixels[:, :, 0]
@@ -278,6 +276,20 @@ def write_jpeg(pixels: np.ndarray, quality: int = 75, subsampling: str = "444") 
             if fy > 1 or fx > 1:  # box filter: mean over each fy x fx cell
                 p = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
             planes.append((p, q, cls))
+    return gray, h, w, samp, mcux, mcuy, planes, qlum, qchrom
+
+
+def write_jpeg(pixels: np.ndarray, quality: int = 75, subsampling: str = "444") -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB -> baseline JFIF bytes
+    with standard tables. ``subsampling``: "444" (no subsampling),
+    "422" (chroma halved horizontally), or "420" (halved both ways —
+    the dominant real-photo shape: 16x16-pixel MCUs of 4 Y blocks +
+    1 Cb + 1 Cr). Chroma is box-downsampled (block mean), so flat
+    chroma stays flat and the flat-block exactness anchor survives
+    every mode."""
+    gray, h, w, samp, mcux, mcuy, planes, qlum, qchrom = _prep_planes(
+        pixels, quality, subsampling
+    )
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -324,6 +336,224 @@ def write_jpeg(pixels: np.ndarray, quality: int = 75, subsampling: str = "444") 
                         )
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# a full-coverage canonical Huffman table for progressive AC scans:
+# Annex-K AC tables lack the EOBn (n>=1) symbols progressive encoding
+# needs, so the fixture encoder ships its own flat table — 255 symbols
+# at 9 bits + symbol 255 at 10 (a DHT counts byte caps at 255).
+_AC_FLAT = ([0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0], list(range(256)))
+
+
+def write_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 75, subsampling: str = "444"
+) -> bytes:
+    """uint8 grayscale/RGB -> PROGRESSIVE (SOF2) JFIF bytes: the same
+    quantized coefficients as ``write_jpeg`` delivered as a scan script
+    that exercises every progressive mechanism — interleaved DC first
+    scan at Al=1, DC refinement, per-component AC spectral-selection
+    first scans at Al=1 (EOBRUN spanning blocks), and AC successive-
+    approximation refinement scans (correction bits + newly-significant
+    placement, T.81 G.2 / the libjpeg encode_mcu_AC_refine procedure).
+    Because progressive only reorders coefficient BITS, decode output
+    is bit-identical to decoding the baseline encoding of the same
+    image — the exactness anchor the tests and oracle lean on."""
+    gray, h, w, samp, mcux, mcuy, planes, qlum, qchrom = _prep_planes(
+        pixels, quality, subsampling
+    )
+    grids = [
+        _block_grid(p, q, mcuy * samp[ci][1], mcux * samp[ci][0])
+        for ci, (p, q, _) in enumerate(planes)
+    ]
+    ncomp = len(planes)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in ((0, qlum),) if gray else ((0, qlum), (1, qchrom)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(int(v) for v in q.flatten()[_ZZ])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        hi, vi = samp[cid - 1]
+        out += bytes([cid, (hi << 4) | vi, 0 if cid == 1 else 1])
+    specs = [(0x00, _DC_LUM), (0x10, _AC_FLAT)]
+    if not gray:
+        specs += [(0x01, _DC_CHROM), (0x11, _AC_FLAT)]
+    for tc_th, (bits, values) in specs:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(values)) + bytes([tc_th])
+        out += bytes(bits) + bytes(values)
+
+    dc_enc = {0: _HuffEncoder(_DC_LUM), 1: _HuffEncoder(_DC_CHROM)}
+    ac_enc = _HuffEncoder(_AC_FLAT)
+
+    def sos(scomps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        seg = bytearray(b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(scomps), len(scomps)))
+        for ci in scomps:
+            cls = planes[ci][2]
+            seg += bytes([ci + 1, (cls << 4) | cls])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return bytes(seg)
+
+    al0 = 1  # one successive-approximation level
+
+    # ---- scan 1: interleaved DC first (Al=al0)
+    out += sos(list(range(ncomp)), 0, 0, 0, al0)
+    bw = _BitWriter()
+    prev = [0] * ncomp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(ncomp):
+                hi, vi = samp[ci]
+                enc = dc_enc[planes[ci][2]]
+                for vy in range(vi):
+                    for hx in range(hi):
+                        v = int(grids[ci][my * vi + vy][mx * hi + hx][0]) >> al0
+                        size, bits = _magnitude(v - prev[ci])
+                        code, ln = enc.codes[size]
+                        bw.write(code, ln)
+                        if size:
+                            bw.write(bits, size)
+                        prev[ci] = v
+    bw.flush()
+    out += bw.out
+
+    # ---- scan 2: interleaved DC refinement (Ah=al0, Al=0)
+    out += sos(list(range(ncomp)), 0, 0, al0, 0)
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(ncomp):
+                hi, vi = samp[ci]
+                for vy in range(vi):
+                    for hx in range(hi):
+                        bw.write(int(grids[ci][my * vi + vy][mx * hi + hx][0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    def comp_blocks(ci: int):
+        """Non-interleaved traversal: the component's own block grid."""
+        hi, vi = samp[ci]
+        cw = -(-(w * hi) // (8 * hmax))
+        ch_ = -(-(h * vi) // (8 * vmax))
+        for by in range(ch_):
+            for bx in range(cw):
+                yield grids[ci][by][bx]
+
+    # ---- per component: AC first scan (Ss=1..63, Al=al0)
+    for ci in range(ncomp):
+        out += sos([ci], 1, 63, 0, al0)
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                code, ln = ac_enc.codes[nbits << 4]
+                bw.write(code, ln)
+                if nbits:
+                    bw.write(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+
+        for zz in comp_blocks(ci):
+            vals = [
+                (int(v) >> al0) if v >= 0 else -((-int(v)) >> al0) for v in zz[1:64]
+            ]
+            last = max((i for i, v in enumerate(vals) if v), default=-1)
+            if last < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            r = 0
+            for v in vals[: last + 1]:
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = ac_enc.codes[0xF0]
+                    bw.write(code, ln)
+                    r -= 16
+                size, bits = _magnitude(v)
+                code, ln = ac_enc.codes[(r << 4) | size]
+                bw.write(code, ln)
+                bw.write(bits, size)
+                r = 0
+            if last < 62:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        bw.flush()
+        out += bw.out
+
+    # ---- per component: AC refinement scan (Ah=al0, Al=0)
+    for ci in range(ncomp):
+        out += sos([ci], 1, 63, al0, 0)
+        bw = _BitWriter()
+        eobrun = 0
+        pending_bits: list[int] = []
+
+        def flush_eob_refine():
+            nonlocal eobrun, pending_bits
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                code, ln = ac_enc.codes[nbits << 4]
+                bw.write(code, ln)
+                if nbits:
+                    bw.write(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+            for b in pending_bits:
+                bw.write(b, 1)
+            pending_bits = []
+
+        for zz in comp_blocks(ci):
+            absv = [abs(int(v)) for v in zz[1:64]]
+            signs = [0 if int(v) < 0 else 1 for v in zz[1:64]]
+            eob = 0  # index AFTER the last newly-significant coefficient
+            for i, a in enumerate(absv):
+                if a == 1:
+                    eob = i + 1
+            r = 0
+            br_bits: list[int] = []
+            for i, a in enumerate(absv):
+                if a == 0:
+                    r += 1
+                    continue
+                while r > 15 and i < eob:
+                    flush_eob_refine()
+                    code, ln = ac_enc.codes[0xF0]
+                    bw.write(code, ln)
+                    r -= 16
+                    for b in br_bits:
+                        bw.write(b, 1)
+                    br_bits = []
+                if a > 1:
+                    br_bits.append(a & 1)
+                    continue
+                flush_eob_refine()
+                code, ln = ac_enc.codes[(r << 4) | 1]
+                bw.write(code, ln)
+                bw.write(signs[i], 1)
+                for b in br_bits:
+                    bw.write(b, 1)
+                br_bits = []
+                r = 0
+            if r > 0 or br_bits:
+                eobrun += 1
+                pending_bits += br_bits
+                if eobrun == 0x7FFF:
+                    flush_eob_refine()
+        flush_eob_refine()
+        bw.flush()
+        out += bw.out
+
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -393,10 +623,12 @@ def is_jpeg(blob: bytes | None) -> bool:
 
 def decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     """JPEG bytes -> (width, height, channels, uint8 pixels (h, w, ch)).
-    Baseline sequential, 8-bit, 1 or 3 components, any integer sampling
-    factors whose ratios divide the maximum (covers 4:4:4, 4:2:2 and
-    the dominant real-photo 4:2:0 shape; subsampled planes upsample by
-    sample replication). Progressive scans and restart intervals raise
+    Baseline sequential (SOF0) AND progressive (SOF2: spectral
+    selection, successive approximation, DC/AC refinement scans,
+    EOBRUN), 8-bit, 1 or 3 components, any integer sampling factors
+    whose ratios divide the maximum (covers 4:4:4, 4:2:2 and the
+    dominant real-photo 4:2:0 shape; subsampled planes upsample by
+    sample replication). Other SOF types and restart intervals raise
     ValueError (flag), never silently mis-decode."""
     if not is_jpeg(blob):
         raise ValueError("not a JPEG (bad signature)")
@@ -406,6 +638,11 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     h = w = None
     comps: list[tuple[int, int, int, int]] = []  # (id, quant table, hi, vi)
     scan_tabs: list[tuple[int, int]] = []
+    progressive = False
+    # progressive: (scan comps [(idx, dc_t, ac_t)], ss, se, ah, al,
+    # huff-table snapshot, entropy bytes) per SOS — tables may be
+    # redefined between scans, so each scan records the dict in effect
+    prog_scans: list[tuple] = []
     entropy = None
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
@@ -426,9 +663,10 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
                 tab[_ZZ] = np.frombuffer(seg[off + 1 : off + 65], dtype=np.uint8)
                 qtabs[prec_id & 0x0F] = tab.reshape(8, 8)
                 off += 65
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported")
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             _prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             for ci in range(ncomp):
                 cid, sampling, qt = seg[6 + 3 * ci : 9 + 3 * ci]
@@ -449,13 +687,42 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:
             ns = seg[0]
-            for ci in range(ns):
-                _cid, tabs = seg[1 + 2 * ci : 3 + 2 * ci]
-                scan_tabs.append((tabs >> 4, tabs & 0x0F))
-            entropy = blob[pos:]
-            break
-    if h is None or entropy is None:
-        raise ValueError("JPEG missing SOF0/SOS")
+            if progressive:
+                cid_index = {c[0]: i for i, c in enumerate(comps)}
+                scomps = []
+                for ci in range(ns):
+                    cid, tabs = seg[1 + 2 * ci : 3 + 2 * ci]
+                    scomps.append((cid_index[cid], tabs >> 4, tabs & 0x0F))
+                ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+                # entropy data runs to the next real marker (stuffed
+                # 0xFF00 and RSTn bytes belong to the scan)
+                end = pos
+                while True:
+                    end = blob.find(b"\xff", end)
+                    if end < 0 or end + 1 >= len(blob):
+                        end = len(blob)
+                        break
+                    nxt = blob[end + 1]
+                    if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                        end += 2
+                        continue
+                    break
+                prog_scans.append(
+                    (scomps, ss, se, ahal >> 4, ahal & 0x0F, dict(huff), blob[pos:end])
+                )
+                pos = end
+            else:
+                for ci in range(ns):
+                    _cid, tabs = seg[1 + 2 * ci : 3 + 2 * ci]
+                    scan_tabs.append((tabs >> 4, tabs & 0x0F))
+                entropy = blob[pos:]
+                break
+    if h is None or (entropy is None and not prog_scans):
+        raise ValueError("JPEG missing SOF/SOS")
+    if progressive:
+        return _finish_jpeg(
+            _decode_progressive(blob, comps, qtabs, prog_scans, h, w), comps, h, w
+        )
 
     br = _BitReader(entropy)
     ncomp = len(comps)
@@ -504,12 +771,21 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
                         px = (mx * hi + hx) * 8
                         planes[ci][py : py + 8, px : px + 8] = pix
 
-    # upsample subsampled planes by replication, then crop to (h, w)
+    return _finish_jpeg(planes, comps, h, w)
+
+
+def _finish_jpeg(
+    planes: list, comps: list, h: int, w: int
+) -> tuple[int, int, int, np.ndarray]:
+    """Shared decode tail: upsample subsampled planes by replication,
+    crop to (h, w), YCbCr -> RGB for 3 components."""
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
     planes = [
         np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)[:h, :w]
         for p, (_, _, hi, vi) in zip(planes, comps)
     ]
-    if ncomp == 1:
+    if len(comps) == 1:
         out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
         return w, h, 1, out
     y, cb, cr = planes
@@ -518,3 +794,182 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     b = y + 1.772 * (cb - 128.0)
     out = np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
     return w, h, 3, out
+
+
+def _decode_progressive(
+    blob: bytes, comps: list, qtabs: dict, scans: list, h: int, w: int
+) -> list:
+    """Progressive (SOF2) coefficient accumulation: every scan deposits
+    its band/bit-plane into per-component zigzag coefficient arrays —
+    DC first scans are diff-coded on the point-transformed value
+    (``pred << Al``), DC refinement adds one bit per block, AC first
+    scans run-length code a band with EOBRUN spanning blocks, AC
+    refinement corrects nonzero-history coefficients bit-by-bit while
+    placing newly significant ones (ITU-T T.81 G.2). After all scans,
+    one vectorized dequantize + IDCT per component. The decoded pixels
+    are BIT-IDENTICAL to baseline-decoding the same quantized
+    coefficients (asserted by the progressive-vs-baseline equality
+    test) — progressive is a bit reordering, not a different image."""
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    for _, _, hi, vi in comps:
+        if hmax % hi or vmax % vi:
+            raise ValueError("non-integer JPEG sampling ratios unsupported")
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    # zigzag coefficient store per component, MCU-padded block grid
+    coefs = [
+        np.zeros((mcuy * vi * 8 // 8, mcux * hi * 8 // 8, 64), dtype=np.int32)
+        for _, _, hi, vi in comps
+    ]
+    preds = [0] * len(comps)
+
+    for scomps, ss, se, ah, al, huffs, data in scans:
+        br = _BitReader(data)
+        eobrun = 0
+        if ss == 0:
+            if se != 0:
+                # T.81 G.1.1.1.1: a progressive DC scan has Se=0; a
+                # full-band Ss=0..Se=63 scan here means a mislabeled
+                # sequential stream — flag, never desync-decode
+                raise ValueError("progressive DC scan must have Se=0")
+            for i, _, _ in scomps:
+                preds[i] = 0
+        if len(scomps) > 1:
+            if ss != 0:
+                raise ValueError("interleaved progressive AC scan is illegal")
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for idx, dc_t, _ in scomps:
+                        _, _, hi, vi = comps[idx]
+                        dc = huffs.get(0x00 | dc_t)
+                        for vy in range(vi):
+                            for hx in range(hi):
+                                block = coefs[idx][my * vi + vy, mx * hi + hx]
+                                preds[idx] = _prog_dc(
+                                    br, block, ah, al, dc, preds[idx]
+                                )
+        else:
+            idx, dc_t, ac_t = scomps[0]
+            _, _, hi, vi = comps[idx]
+            # non-interleaved traversal: the component's OWN block grid
+            # (ceil of its scaled dimensions, not the MCU-padded grid)
+            cw = -(-(w * hi) // (8 * hmax))
+            ch_ = -(-(h * vi) // (8 * vmax))
+            for by in range(ch_):
+                for bx in range(cw):
+                    block = coefs[idx][by, bx]
+                    if ss == 0:
+                        preds[idx] = _prog_dc(
+                            br, block, ah, al, huffs.get(0x00 | dc_t), preds[idx]
+                        )
+                    elif ah == 0:
+                        eobrun = _prog_ac_first(
+                            br, block, ss, se, al, huffs.get(0x10 | ac_t), eobrun
+                        )
+                    else:
+                        eobrun = _prog_ac_refine(
+                            br, block, ss, se, al, huffs.get(0x10 | ac_t), eobrun
+                        )
+
+    # vectorized dequantize + IDCT per component
+    planes = []
+    for (cid, qt, hi, vi), cf in zip(comps, coefs):
+        bh, bw_ = cf.shape[0], cf.shape[1]
+        deq = np.zeros((bh * bw_, 64), dtype=np.float64)
+        deq[:, _ZZ] = cf.reshape(-1, 64)
+        blocks = deq.reshape(-1, 8, 8) * qtabs[qt][None, :, :]
+        pix = np.einsum("ij,njk,lk->nil", _C.T, blocks, _C.T) + 128.0
+        plane = (
+            pix.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+        )
+        planes.append(plane)
+    return planes
+
+
+def _prog_dc(br, block, ah: int, al: int, dc, pred: int) -> int:
+    """DC portion of one block: first scan (Ah=0) diff-codes the
+    point-transformed value; refinement adds bit Al."""
+    if ah == 0:
+        size = dc.decode(br)
+        pred += _extend(br.receive(size), size)
+        block[0] = pred << al
+    else:
+        if br.bit():
+            block[0] |= 1 << al
+    return pred
+
+
+def _prog_ac_first(br, block, ss: int, se: int, al: int, ac, eobrun: int) -> int:
+    """AC first scan (Ah=0) for one block: run-length coefficients into
+    the band, EOBn codes start an end-of-band run spanning blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += br.receive(r)
+            return eobrun - 1
+        k += r
+        if k > se:
+            raise ValueError("progressive AC index overflow")
+        block[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(br, block, ss: int, se: int, al: int, ac, eobrun: int) -> int:
+    """AC refinement scan (Ah=Al+1) for one block: one correction bit
+    per already-nonzero coefficient, (r,1) symbols place newly
+    significant +-1<<Al coefficients after r zero-history positions;
+    inside an EOB run only correction bits are read (T.81 G.2.2 /
+    the libjpeg decode_mcu_AC_refine procedure)."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(k):
+        if br.bit() and (abs(int(block[k])) & p1) == 0:
+            block[k] += p1 if block[k] > 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = ac.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("invalid refinement magnitude")
+                newval = p1 if br.bit() else m1
+            while k <= se:
+                if block[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                block[k] = newval
+            k += 1
+    if eobrun > 0:
+        # finish this block: correction bits for remaining nonzeros
+        while k <= se:
+            if block[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun

@@ -4,10 +4,10 @@ columns with typed metadata (training-data pipeline layer).
 The Spark side is real and tested: schemas, partition-aware batching,
 Arrow UDF signatures, mapInPandas iteration. Three codecs are REAL,
 pure python/numpy: PNG (IHDR/IDAT chunk walk, zlib inflate, full
-five-filter scanline unfiltering), baseline JPEG (operators/jpeg.py:
-Annex-K Huffman/DCT, 4:4:4/4:2:2/4:2:0 chroma subsampling) and RIFF/WAVE
-PCM-16. Shapes a codec genuinely cannot handle (palette PNG,
-progressive JPEG, compressed WAV, motion video — the latter needs
+five-filter scanline unfiltering), JPEG (operators/jpeg.py: Annex-K
+Huffman/DCT, baseline AND progressive scans, 4:4:4/4:2:2/4:2:0 chroma
+subsampling) and RIFF/WAVE PCM-16. Shapes a codec genuinely cannot
+handle (palette PNG, compressed WAV, motion video — the latter needs
 ffmpeg, out of sandbox scope) are FLAGGED per-row as NULL-stat rows,
 never silently mis-decoded.
 
@@ -394,28 +394,36 @@ def synth_jpeg_flat(doc_id: int) -> tuple[np.ndarray, int, str]:
     RGB (r=g=b=c) extends the anchor to color AND subsampling: Y=c
     exactly (the BT.601 weights sum to 1) and Cb=Cr=128 (chroma DC=0,
     exact under any quantizer; box downsample and replication upsample
-    of flat are flat). Fixtures cycle doc_id%4 over grayscale / 4:4:4 /
-    4:2:2 / 4:2:0 — the closed-form DuckDB oracle: pixel_sum =
-    w*h*channels*c with channels = 1 if doc_id%4==0 else 3."""
+    of flat are flat) — and to PROGRESSIVE encoding, which reorders
+    coefficient bits without changing them. Fixtures cycle doc_id%4
+    over grayscale / 4:4:4 / 4:2:2 / 4:2:0 and doc_id%8 >= 4 selects
+    the progressive (SOF2) writer — the closed-form DuckDB oracle is
+    UNCHANGED: pixel_sum = w*h*channels*c with channels = 1 if
+    doc_id%4==0 else 3. Returns (pixels, quality, mode, progressive)."""
     w, h = 8 + doc_id % 9, 8 + doc_id % 7
     c = (doc_id * 37) % 256
     mode = ("444", "444", "422", "420")[doc_id % 4]
+    progressive = doc_id % 8 >= 4
     if doc_id % 4 == 0:
-        return np.full((h, w), c, dtype=np.uint8), 75, mode
-    return np.full((h, w, 3), c, dtype=np.uint8), 75, mode
+        return np.full((h, w), c, dtype=np.uint8), 75, mode, progressive
+    return np.full((h, w, 3), c, dtype=np.uint8), 75, mode, progressive
 
 
 def synth_jpeg_udf():
-    """Pandas UDF: doc_id -> real baseline JPEG bytes of the flat
-    pattern (full marker stream: DQT/SOF0/DHT/SOS + entropy data),
-    cycling grayscale and 4:4:4 / 4:2:2 / 4:2:0 color shapes."""
-    from sharepointcrawler_spark.operators.jpeg import write_jpeg
+    """Pandas UDF: doc_id -> real JPEG bytes of the flat pattern (full
+    marker stream), cycling grayscale and 4:4:4 / 4:2:2 / 4:2:0 color
+    shapes in both baseline (SOF0) and progressive (SOF2) encodings."""
+    from sharepointcrawler_spark.operators.jpeg import (
+        write_jpeg,
+        write_jpeg_progressive,
+    )
 
     @F.pandas_udf(T.BinaryType())
     def synth(ids: pd.Series) -> pd.Series:  # pragma: no cover
         def one(d):
-            px, q, mode = synth_jpeg_flat(int(d))
-            return write_jpeg(px, q, subsampling=mode)
+            px, q, mode, progressive = synth_jpeg_flat(int(d))
+            writer = write_jpeg_progressive if progressive else write_jpeg
+            return writer(px, q, subsampling=mode)
 
         return ids.map(one)
 

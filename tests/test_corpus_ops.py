@@ -565,9 +565,48 @@ def test_jpeg_chroma_subsampling_round_trips():
     assert decode_jpeg(b)[3].tobytes() == decode_jpeg(b)[3].tobytes()
 
 
+def test_jpeg_progressive_decodes_bit_identical_to_baseline():
+    """SOF2 progressive decode (spectral selection + successive
+    approximation + DC/AC refinement + EOBRUN): progressive encoding
+    only reorders coefficient BITS, so decoding it must produce pixels
+    bit-identical to decoding the baseline encoding of the same image —
+    across gray/444/422/420, flat/gradient/random content, and
+    qualities. Any scan-accumulation bug breaks the equality."""
+    import numpy as np
+
+    from sharepointcrawler_spark.operators.jpeg import (
+        decode_jpeg,
+        write_jpeg,
+        write_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:37, 0:53]
+    grad = np.stack(
+        [(xx * 4) % 256, (yy * 5) % 256, ((xx + yy) * 3) % 256], axis=2
+    ).astype(np.uint8)
+    images = [
+        np.full((24, 40, 3), 136, dtype=np.uint8),
+        grad,
+        rng.integers(0, 256, (29, 31, 3), dtype=np.uint8),
+        rng.integers(0, 256, (17, 23), dtype=np.uint8),  # grayscale
+        np.zeros((8, 8), dtype=np.uint8),  # all-EOB blocks (EOBRUN path)
+    ]
+    for img in images:
+        for mode in ("444", "422", "420") if img.ndim == 3 else ("444",):
+            for q in (50, 90):
+                blob = write_jpeg_progressive(img, q, subsampling=mode)
+                assert b"\xff\xc2" in blob
+                base = decode_jpeg(write_jpeg(img, q, subsampling=mode))
+                prog = decode_jpeg(blob)
+                assert base[:3] == prog[:3]
+                assert np.array_equal(base[3], prog[3]), (img.shape, mode, q)
+
+
 def test_jpeg_unsupported_constructs_flagged():
-    """Progressive scans / restart intervals are flagged (ValueError),
-    never silently mis-decoded."""
+    """Non-baseline SOF types / restart intervals / malformed
+    progressive scan scripts are flagged (ValueError), never silently
+    mis-decoded."""
     import struct
 
     import numpy as np
@@ -576,11 +615,17 @@ def test_jpeg_unsupported_constructs_flagged():
     from sharepointcrawler_spark.operators.jpeg import decode_jpeg, write_jpeg
 
     good = bytearray(write_jpeg(np.zeros((8, 8), dtype=np.uint8), 75))
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF2: the sequential full-band scan is an illegal
+    # progressive scan script (DC scan must have Se=0) — flagged, not
+    # desync-decoded
     sof = good.find(b"\xff\xc0")
     prog = bytes(good[:sof + 1]) + b"\xc2" + bytes(good[sof + 2:])
-    with _pytest.raises(ValueError, match="non-baseline"):
+    with _pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(prog)
+    # SOF1 (extended sequential) stays flagged
+    sof1 = bytes(good[:sof + 1]) + b"\xc1" + bytes(good[sof + 2:])
+    with _pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(sof1)
     # inject a DRI segment after SOI
     dri = bytes(good[:2]) + b"\xff\xdd" + struct.pack(">HH", 4, 16) + bytes(good[2:])
     with _pytest.raises(ValueError, match="restart"):
