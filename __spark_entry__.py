@@ -849,6 +849,28 @@ def q_multimodal_decode_png(spark, sf_dir):
     )
 
 
+def q_multimodal_decode_png_palette(spark, sf_dir):
+    """REAL indexed-color PNG decode: genuine palette PNGs (PLTE chunk,
+    MSB-first packed indices at bit depth 1/2/4/8 cycling by doc_id%4,
+    row filters over the PACKED bytes per spec) decoded through the
+    stats path. The oracle recomputes the exact pixel sum from the
+    closed-form palette and index formulas — any bit-unpack, filter-
+    over-packed-bytes, or PLTE-lookup bug shifts the sum."""
+    from sharepointcrawler_spark.operators.multimodal import (
+        decode_png_stats,
+        synth_png_palette_udf,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 64)
+    imgs = docs.select(
+        F.col("doc_id").cast("long"),
+        synth_png_palette_udf()(F.col("doc_id")).alias("blob"),
+    )
+    return decode_png_stats(imgs).select(
+        "doc_id", "width", "height", "channels", "pixel_sum"
+    )
+
+
 def q_multimodal_resize(spark, sf_dir):
     """REAL image resize (replaces round-4's header-rewrite stub): 64
     fixed-size (12x8) closed-form PNG patterns are decoded, box-filtered
@@ -1171,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_decode_png": q_multimodal_decode_png,
+        "multimodal_decode_png_palette": q_multimodal_decode_png_palette,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_decode_wav": q_multimodal_decode_wav,
         "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
@@ -1739,6 +1762,36 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
                            + (k % (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)) * 11) % 256
                    )) AS BIGINT) AS pixel_sum
             FROM documents WHERE doc_id < 64
+        """,
+        "multimodal_decode_png_palette": """
+            -- indexed-color PNG closed form: depth = (1,2,4,8)[id%4],
+            -- n = 1<<depth colors, w = 5+id%6, h = 4+id%5,
+            -- index(i,j) = (i*5 + j*3 + id) % n,
+            -- palette(p,c) = (id*11 + p*7 + c*3) % 256;
+            -- pixel_sum = sum over (i,j,c) of palette(index(i,j), c);
+            -- k linearizes (i, j, c) over the h x w x 3 grid
+            WITH ids AS (
+              SELECT doc_id,
+                     (1 << (CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                            WHEN 2 THEN 4 ELSE 8 END)) AS n,
+                     5 + doc_id % 6 AS w, 4 + doc_id % 5 AS h
+              FROM documents WHERE doc_id < 64),
+            cells AS (
+              SELECT doc_id, n, w, h,
+                     unnest(generate_series(0, h * w * 3 - 1)) AS k
+              FROM ids),
+            px AS (
+              SELECT doc_id, n, w, h,
+                     (doc_id*11
+                      + (((k // (w*3))*5 + ((k // 3) % w)*3 + doc_id) % n)*7
+                      + (k % 3)*3) % 256 AS pv
+              FROM cells)
+            SELECT doc_id,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(3 AS BIGINT) AS channels,
+                   CAST(sum(pv) AS BIGINT) AS pixel_sum
+            FROM px GROUP BY doc_id, w, h
         """,
         "multimodal_resize": """
             -- resize closed form: input P(i,j,c) = (id*7+i*3+j*5+c*11)%256

@@ -92,9 +92,23 @@ def write_png(pixels: np.ndarray, filter_mode: str = "cycle") -> bytes:
         pixels = pixels[:, :, None]
     h, w, ch = pixels.shape
     color_type = {1: 0, 3: 2}[ch]
-    px = pixels.astype(np.int32)
+    raw = _filter_scanlines(pixels.astype(np.int32), filter_mode)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _filter_scanlines(px: np.ndarray, filter_mode: str) -> bytearray:
+    """Apply PNG row filters to (h, n, bpp) int32 samples — shared by
+    the truecolor/grayscale writer (bpp = channels) and the palette
+    writer (packed index bytes, bpp = 1)."""
+    h = px.shape[0]
     raw = bytearray()
-    prev = np.zeros((w, ch), dtype=np.int32)
+    prev = np.zeros(px.shape[1:], dtype=np.int32)
     for r in range(h):
         row = px[r]
         ftype = r % 5 if filter_mode == "cycle" else 0
@@ -118,10 +132,40 @@ def write_png(pixels: np.ndarray, filter_mode: str = "cycle") -> bytes:
         raw.append(ftype)
         raw += (out % 256).astype(np.uint8).tobytes()
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return raw
+
+
+def write_png_palette(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    bit_depth: int = 8,
+    filter_mode: str = "cycle",
+) -> bytes:
+    """uint8 index array (h, w) + palette (n, 3) -> indexed-color PNG
+    (color type 3) at bit depth 1/2/4/8: indices pack MSB-first into
+    scanline bytes, row filters run over the PACKED bytes (bpp=1, per
+    spec), and a PLTE chunk carries the color table. The fixture
+    generator for the decoder's palette path."""
+    h, w = indices.shape
+    if bit_depth not in (1, 2, 4, 8):
+        raise ValueError(f"invalid palette bit depth {bit_depth}")
+    if int(indices.max(initial=0)) >= (1 << bit_depth):
+        raise ValueError("palette index exceeds bit depth")
+    if bit_depth == 8:
+        packed = indices.astype(np.uint8)
+    else:
+        per_byte = 8 // bit_depth
+        padded = np.pad(indices, ((0, 0), (0, (-w) % per_byte)))
+        bits = (
+            (padded[:, :, None] >> np.arange(bit_depth - 1, -1, -1)) & 1
+        ).astype(np.uint8)
+        packed = np.packbits(bits.reshape(h, -1), axis=1)
+    raw = _filter_scanlines(packed[:, :, None].astype(np.int32), filter_mode)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 3, 0, 0, 0)
     return (
         PNG_SIG
         + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
         + _chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _chunk(b"IEND", b"")
     )
@@ -133,15 +177,19 @@ def decode_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     Pure python/numpy: chunk walk, IHDR parse, IDAT concat + inflate,
     per-scanline unfilter (all five filter types, vectorized per row —
     Sub/Average/Paeth carry a left-to-right dependency so those rows run
-    a per-pixel loop over numpy views). Supports 8-bit depth, color
-    types 0/2/4/6, no interlace, no palette — anything else raises
-    ValueError (flag, never silent garbage)."""
+    a per-pixel loop over numpy views). Supports 8-bit color types
+    0/2/4/6 AND indexed color (type 3, PLTE lookup) at bit depth
+    1/2/4/8 — filters run over the packed index bytes (bpp=1 per spec),
+    indices unpack MSB-first, palette maps to RGB. No interlace; a
+    palette PNG with tRNS alpha is flagged rather than decoded with its
+    transparency silently dropped."""
     if blob is None or blob[: len(PNG_SIG)] != PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = len(PNG_SIG)
     width = height = None
     color_type = bit_depth = interlace = None
     idat = bytearray()
+    plte = trns = None
     while pos + 8 <= len(blob):
         (length,) = struct.unpack(">I", blob[pos : pos + 4])
         tag = blob[pos + 4 : pos + 8]
@@ -153,19 +201,34 @@ def decode_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
             )
         elif tag == b"IDAT":
             idat += payload
+        elif tag == b"PLTE":
+            plte = payload
+        elif tag == b"tRNS":
+            trns = payload
         elif tag == b"IEND":
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8:
-        raise ValueError(f"unsupported PNG bit depth {bit_depth}")
-    if color_type not in _PNG_CHANNELS:
-        raise ValueError(f"unsupported PNG color type {color_type} (palette?)")
     if interlace != 0:
         raise ValueError("interlaced PNG unsupported")
-    ch = _PNG_CHANNELS[color_type]
+    if color_type == 3:
+        if bit_depth not in (1, 2, 4, 8):
+            raise ValueError(f"invalid palette bit depth {bit_depth}")
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing/malformed PLTE")
+        if trns is not None:
+            raise ValueError("palette PNG with tRNS alpha unsupported")
+        stride = (width * bit_depth + 7) // 8
+        bpp = 1
+    else:
+        if bit_depth != 8:
+            raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+        if color_type not in _PNG_CHANNELS:
+            raise ValueError(f"unsupported PNG color type {color_type}")
+        ch = _PNG_CHANNELS[color_type]
+        stride = width * ch
+        bpp = ch
     raw = zlib.decompress(bytes(idat))
-    stride = width * ch
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG data length mismatch")
     out = np.zeros((height, stride), dtype=np.uint8)
@@ -182,9 +245,9 @@ def decode_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
         else:
             rec = line.copy()
             for i in range(stride):
-                a = rec[i - ch] if i >= ch else 0  # left, same channel
+                a = rec[i - bpp] if i >= bpp else 0  # left, same channel
                 b = prev[i]  # up
-                c = prev[i - ch] if i >= ch else 0  # upper-left
+                c = prev[i - bpp] if i >= bpp else 0  # upper-left
                 if ftype == 1:
                     rec[i] = (rec[i] + a) % 256
                 elif ftype == 3:
@@ -198,6 +261,18 @@ def decode_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
                     raise ValueError(f"bad PNG filter type {ftype}")
         out[r] = rec.astype(np.uint8)
         prev = rec
+    if color_type == 3:
+        if bit_depth == 8:
+            idx = out[:, :width]
+        else:
+            bits = np.unpackbits(out, axis=1)  # stride*8 bits, MSB-first
+            idx = bits.reshape(height, -1, bit_depth).dot(
+                1 << np.arange(bit_depth - 1, -1, -1)
+            )[:, :width]
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+        return width, height, 3, pal[idx]
     return width, height, ch, out.reshape(height, width, ch)
 
 
@@ -475,6 +550,39 @@ def synth_png_udf():
     @F.pandas_udf(T.BinaryType())
     def synth(ids: pd.Series) -> pd.Series:  # pragma: no cover
         return ids.map(lambda d: write_png(synth_png_pattern(int(d))))
+
+    return synth
+
+
+def synth_png_palette(doc_id: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """(indices, palette, bit_depth) with CLOSED FORMS the DuckDB
+    oracle recomputes: depth cycles (1,2,4,8) by doc_id%4 (n = 2^depth
+    colors), palette[p, c] = (id*11 + p*7 + c*3) % 256, index[i, j] =
+    (i*5 + j*3 + id) % n, shape (4 + id%5, 5 + id%6) — so the decoded
+    pixel sum is sum over (i, j, c) of palette[index[i, j], c]."""
+    depth = (1, 2, 4, 8)[doc_id % 4]
+    n = 1 << depth
+    h, w = 4 + doc_id % 5, 5 + doc_id % 6
+    p = np.arange(n)[:, None]
+    c = np.arange(3)[None, :]
+    pal = ((doc_id * 11 + p * 7 + c * 3) % 256).astype(np.uint8)
+    i = np.arange(h)[:, None]
+    j = np.arange(w)[None, :]
+    idx = ((i * 5 + j * 3 + doc_id) % n).astype(np.uint8)
+    return idx, pal, depth
+
+
+def synth_png_palette_udf():
+    """Pandas UDF: doc_id -> real indexed-color PNG bytes (PLTE +
+    packed sub-byte indices + cycling row filters)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:  # pragma: no cover
+        def one(d):
+            idx, pal, depth = synth_png_palette(int(d))
+            return write_png_palette(idx, pal, depth)
+
+        return ids.map(one)
 
     return synth
 

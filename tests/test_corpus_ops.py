@@ -269,8 +269,10 @@ def test_png_round_trip_all_filters():
 
 
 def test_png_unsupported_constructs_flagged():
-    """Palette / 16-bit / interlaced PNGs raise (flag, never garbage);
-    decode_images turns the flag into NULL metadata, not a crash."""
+    """16-bit / interlaced / PLTE-less-palette PNGs raise (flag, never
+    garbage); decode_images turns the flag into NULL metadata, not a
+    crash. (Well-formed palette PNGs decode since round 5 —
+    test_png_palette_round_trips_and_trns_flag.)"""
     import struct
     import zlib
 
@@ -290,7 +292,7 @@ def test_png_unsupported_constructs_flagged():
     base_idat = _chunk(b"IDAT", zlib.compress(b"\x00\x00"))
     for bad, msg in (
         (PNG_SIG + ihdr(1, 1, 16, 0) + base_idat, "bit depth"),
-        (PNG_SIG + ihdr(1, 1, 8, 3) + base_idat, "color type"),
+        (PNG_SIG + ihdr(1, 1, 8, 3) + base_idat, "missing/malformed PLTE"),
         (PNG_SIG + ihdr(1, 1, 8, 0, interlace=1) + base_idat, "interlace"),
         (b"NOTPNG", "signature"),
     ):
@@ -470,6 +472,47 @@ def test_jpeg_round_trip_quality_and_determinism():
         decode_jpeg(write_jpeg(rgb, 60))[3].tobytes()
         == decode_jpeg(write_jpeg(rgb, 60))[3].tobytes()
     )
+
+
+def test_png_palette_round_trips_and_trns_flag():
+    """Indexed-color PNG (type 3): exact round trips at every bit depth
+    (filters run over PACKED bytes) and every filter mode; tRNS alpha
+    is flagged rather than silently dropped; out-of-range indices are
+    flagged."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sharepointcrawler_spark.operators.multimodal import (
+        _chunk,
+        decode_png,
+        write_png_palette,
+    )
+
+    rng = np.random.default_rng(3)
+    for depth in (1, 2, 4, 8):
+        n = 1 << depth
+        pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        for shape in ((7, 13), (16, 16), (5, 3)):
+            idx = rng.integers(0, n, shape, dtype=np.uint8)
+            for fm in ("cycle", "none"):
+                w, h, ch, px = decode_png(write_png_palette(idx, pal, depth, fm))
+                assert (w, h, ch) == (shape[1], shape[0], 3)
+                assert np.array_equal(px, pal[idx]), (depth, shape, fm)
+
+    blob = write_png_palette(
+        np.zeros((4, 4), dtype=np.uint8), np.zeros((2, 3), dtype=np.uint8), 8
+    )
+    i = blob.index(b"IDAT") - 4
+    with _pytest.raises(ValueError, match="tRNS"):
+        decode_png(blob[:i] + _chunk(b"tRNS", b"\x00") + blob[i:])
+    # an index past the palette is flagged, not wrapped
+    short_pal = blob.replace(_chunk(b"PLTE", bytes(6)), _chunk(b"PLTE", bytes(3)))
+    decode_png(short_pal)  # all-zero indices still fine with 1 entry
+    blob2 = write_png_palette(
+        np.full((2, 2), 3, dtype=np.uint8), np.zeros((4, 3), dtype=np.uint8), 8
+    ).replace(_chunk(b"PLTE", bytes(12)), _chunk(b"PLTE", bytes(6)))
+    with _pytest.raises(ValueError, match="index out of range"):
+        decode_png(blob2)
 
 
 def test_resize_array_box_and_bilinear():
