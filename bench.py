@@ -415,7 +415,23 @@ def _vs_prev(queries: dict[str, float]) -> dict:
     prev_round, fn = rounds[-1]
     try:
         with open(os.path.join(REPO, fn)) as f:
-            prev = json.load(f).get("parsed", {}).get("queries", {})
+            doc = json.load(f)
+        prev = (doc.get("parsed") or {}).get("queries") or {}
+        if not prev:
+            # driver snapshots sometimes carry parsed=null with the
+            # JSON line (possibly head-truncated) in "tail" — brace-
+            # match the queries object out of it
+            tail = doc.get("tail", "")
+            i = tail.find('"queries": {')
+            if i >= 0:
+                start = tail.index("{", i)
+                depth, j = 0, start
+                while j < len(tail):
+                    depth += {"{": 1, "}": -1}.get(tail[j], 0)
+                    j += 1
+                    if depth == 0:
+                        break
+                prev = json.loads(tail[start:j])
     except Exception:
         return {}
     ratios = {
