@@ -9,9 +9,11 @@ curation pipeline meets most: 8-bit baseline (SOF0) AND progressive
 scans, EOBRUN), 1 (grayscale) or 3 (YCbCr) components at 4:4:4, 4:2:2,
 or the dominant real-photo 4:2:0 chroma subsampling (interleaved
 multi-block MCUs; box downsample on encode, replication upsample on
-decode). Other SOF types, restart intervals, and malformed scan
-scripts are detected and FLAGGED (ValueError), never silently
-mis-decoded, matching the PNG/PDF strict-mode policy.
+decode), with DRI/RSTn restart intervals in baseline (the camera-JPEG
+resilience feature: byte-aligned markers, DC predictor resets). Other
+SOF types, progressive restart intervals, and malformed scan scripts
+are detected and FLAGGED (ValueError), never silently mis-decoded,
+matching the PNG/PDF strict-mode policy.
 
 JPEG is lossy, so unlike PNG there is no bit-exact round trip in
 general. Two exactness anchors make it testable and oracle-checkable:
@@ -279,14 +281,21 @@ def _prep_planes(pixels: np.ndarray, quality: int, subsampling: str):
     return gray, h, w, samp, mcux, mcuy, planes, qlum, qchrom
 
 
-def write_jpeg(pixels: np.ndarray, quality: int = 75, subsampling: str = "444") -> bytes:
+def write_jpeg(
+    pixels: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """uint8 (h, w) grayscale or (h, w, 3) RGB -> baseline JFIF bytes
     with standard tables. ``subsampling``: "444" (no subsampling),
     "422" (chroma halved horizontally), or "420" (halved both ways —
     the dominant real-photo shape: 16x16-pixel MCUs of 4 Y blocks +
     1 Cb + 1 Cr). Chroma is box-downsampled (block mean), so flat
     chroma stays flat and the flat-block exactness anchor survives
-    every mode."""
+    every mode. ``restart_interval`` > 0 emits a DRI segment and an
+    RSTn marker (byte-aligned, DC predictors reset) every that many
+    MCUs — the camera-JPEG resilience feature."""
     gray, h, w, samp, mcux, mcuy, planes, qlum, qchrom = _prep_planes(
         pixels, quality, subsampling
     )
@@ -308,6 +317,8 @@ def write_jpeg(pixels: np.ndarray, quality: int = 75, subsampling: str = "444") 
     for tc_th, (bits, values) in specs:
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(values)) + bytes([tc_th])
         out += bytes(bits) + bytes(values)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for cid in range(1, ncomp + 1):
         tabs = 0x00 if cid == 1 else 0x11
@@ -323,17 +334,22 @@ def write_jpeg(pixels: np.ndarray, quality: int = 75, subsampling: str = "444") 
     ]
     prev = [0] * len(planes)
     # interleaved MCU order: per component, vi x hi blocks raster-wise
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci, (_, _, cls) in enumerate(planes):
-                hi, vi = samp[ci]
-                for vy in range(vi):
-                    for hx in range(hi):
-                        zz = grids[ci][my * vi + vy][mx * hi + hx]
-                        prev[ci] = _encode_block(
-                            bw, zz, prev[ci],
-                            dc_c if cls else dc_l, ac_c if cls else ac_l,
-                        )
+    for m in range(mcuy * mcux):
+        if restart_interval and m and m % restart_interval == 0:
+            # byte-align, emit RSTn (cycling 0..7), reset DC predictors
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
+            prev = [0] * len(planes)
+        my, mx = divmod(m, mcux)
+        for ci, (_, _, cls) in enumerate(planes):
+            hi, vi = samp[ci]
+            for vy in range(vi):
+                for hx in range(hi):
+                    zz = grids[ci][my * vi + vy][mx * hi + hx]
+                    prev[ci] = _encode_block(
+                        bw, zz, prev[ci],
+                        dc_c if cls else dc_l, ac_c if cls else ac_l,
+                    )
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
@@ -612,6 +628,15 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def sync_restart(self, n: int) -> None:
+        """Byte-align and consume the expected RSTn marker (T.81
+        E.2.4: restart markers cycle 0..7 in order)."""
+        self.acc = 0
+        self.nbits = 0
+        if self.data[self.pos : self.pos + 2] != bytes([0xFF, 0xD0 + n]):
+            raise ValueError(f"missing JPEG restart marker RST{n}")
+        self.pos += 2
+
 
 def _extend(v: int, size: int) -> int:
     return v if size == 0 or v >= (1 << (size - 1)) else v - (1 << size) + 1
@@ -638,6 +663,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     h = w = None
     comps: list[tuple[int, int, int, int]] = []  # (id, quant table, hi, vi)
     scan_tabs: list[tuple[int, int]] = []
+    restart_interval = 0
     progressive = False
     # progressive: (scan comps [(idx, dc_t, ac_t)], ss, se, ah, al,
     # huff-table snapshot, entropy bytes) per SOS — tables may be
@@ -684,7 +710,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
                 huff[tc_th] = _HuffDecoder(bits, values)
                 off += 17 + nval
         elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:
             ns = seg[0]
             if progressive:
@@ -720,6 +746,8 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     if h is None or (entropy is None and not prog_scans):
         raise ValueError("JPEG missing SOF/SOS")
     if progressive:
+        if restart_interval:
+            raise ValueError("restart intervals in progressive scans unsupported")
         return _finish_jpeg(
             _decode_progressive(blob, comps, qtabs, prog_scans, h, w), comps, h, w
         )
@@ -737,39 +765,42 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
         for _, _, hi, vi in comps
     ]
     prev = [0] * ncomp
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci, (_, qt, hi, vi) in enumerate(comps):
-                dc_t, ac_t = scan_tabs[ci]
-                dc = huff[0x00 | dc_t]
-                ac = huff[0x10 | ac_t]
-                for vy in range(vi):
-                    for hx in range(hi):
-                        zz = np.zeros(64, dtype=np.int32)
-                        size = dc.decode(br)
-                        prev[ci] += _extend(br.receive(size), size)
-                        zz[0] = prev[ci]
-                        k = 1
-                        while k < 64:
-                            rs = ac.decode(br)
-                            run, size = rs >> 4, rs & 0x0F
-                            if size == 0:
-                                if run == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            zz[k] = _extend(br.receive(size), size)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[_ZZ] = zz
-                        block = coef.reshape(8, 8) * qtabs[qt]
-                        pix = _C.T @ block @ _C + 128.0
-                        py = (my * vi + vy) * 8
-                        px = (mx * hi + hx) * 8
-                        planes[ci][py : py + 8, px : px + 8] = pix
+    for m in range(mcuy * mcux):
+        if restart_interval and m and m % restart_interval == 0:
+            br.sync_restart((m // restart_interval - 1) % 8)
+            prev = [0] * ncomp
+        my, mx = divmod(m, mcux)
+        for ci, (_, qt, hi, vi) in enumerate(comps):
+            dc_t, ac_t = scan_tabs[ci]
+            dc = huff[0x00 | dc_t]
+            ac = huff[0x10 | ac_t]
+            for vy in range(vi):
+                for hx in range(hi):
+                    zz = np.zeros(64, dtype=np.int32)
+                    size = dc.decode(br)
+                    prev[ci] += _extend(br.receive(size), size)
+                    zz[0] = prev[ci]
+                    k = 1
+                    while k < 64:
+                        rs = ac.decode(br)
+                        run, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if run == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        zz[k] = _extend(br.receive(size), size)
+                        k += 1
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[_ZZ] = zz
+                    block = coef.reshape(8, 8) * qtabs[qt]
+                    pix = _C.T @ block @ _C + 128.0
+                    py = (my * vi + vy) * 8
+                    px = (mx * hi + hx) * 8
+                    planes[ci][py : py + 8, px : px + 8] = pix
 
     return _finish_jpeg(planes, comps, h, w)
 

@@ -180,9 +180,9 @@ def decode_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     a per-pixel loop over numpy views). Supports 8-bit color types
     0/2/4/6 AND indexed color (type 3, PLTE lookup) at bit depth
     1/2/4/8 — filters run over the packed index bytes (bpp=1 per spec),
-    indices unpack MSB-first, palette maps to RGB. No interlace; a
-    palette PNG with tRNS alpha is flagged rather than decoded with its
-    transparency silently dropped."""
+    indices unpack MSB-first, palette maps to RGB, and a tRNS chunk
+    adds per-entry alpha (RGBA output — transparency is decoded
+    faithfully, never silently flattened). No interlace."""
     if blob is None or blob[: len(PNG_SIG)] != PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = len(PNG_SIG)
@@ -216,8 +216,8 @@ def decode_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
             raise ValueError(f"invalid palette bit depth {bit_depth}")
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG missing/malformed PLTE")
-        if trns is not None:
-            raise ValueError("palette PNG with tRNS alpha unsupported")
+        if trns is not None and len(trns) > len(plte) // 3:
+            raise ValueError("palette PNG tRNS longer than PLTE")
         stride = (width * bit_depth + 7) // 8
         bpp = 1
     else:
@@ -272,7 +272,14 @@ def decode_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("palette index out of range")
-        return width, height, 3, pal[idx]
+        if trns is not None:
+            # tRNS alpha per palette entry (entries past the chunk are
+            # opaque, §11.3.2.1) -> faithful RGBA output, never a
+            # silently-flattened RGB
+            alpha = np.full(len(pal), 255, dtype=np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            pal = np.concatenate([pal, alpha[:, None]], axis=1)
+        return width, height, pal.shape[1], pal[idx]
     return width, height, ch, out.reshape(height, width, ch)
 
 

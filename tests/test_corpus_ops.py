@@ -474,11 +474,11 @@ def test_jpeg_round_trip_quality_and_determinism():
     )
 
 
-def test_png_palette_round_trips_and_trns_flag():
+def test_png_palette_round_trips_and_trns_alpha():
     """Indexed-color PNG (type 3): exact round trips at every bit depth
-    (filters run over PACKED bytes) and every filter mode; tRNS alpha
-    is flagged rather than silently dropped; out-of-range indices are
-    flagged."""
+    (filters run over PACKED bytes) and every filter mode; a tRNS chunk
+    yields faithful RGBA (entries past the chunk opaque per spec);
+    out-of-range indices and oversize tRNS are flagged."""
     import numpy as np
     import pytest as _pytest
 
@@ -499,12 +499,20 @@ def test_png_palette_round_trips_and_trns_flag():
                 assert (w, h, ch) == (shape[1], shape[0], 3)
                 assert np.array_equal(px, pal[idx]), (depth, shape, fm)
 
-    blob = write_png_palette(
-        np.zeros((4, 4), dtype=np.uint8), np.zeros((2, 3), dtype=np.uint8), 8
-    )
+    # tRNS: RGBA output, partial chunk -> remaining entries opaque
+    pal4 = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    idx4 = np.arange(4, dtype=np.uint8).reshape(2, 2)
+    blob = write_png_palette(idx4, pal4, 8)
     i = blob.index(b"IDAT") - 4
-    with _pytest.raises(ValueError, match="tRNS"):
-        decode_png(blob[:i] + _chunk(b"tRNS", b"\x00") + blob[i:])
+    rgba_blob = blob[:i] + _chunk(b"tRNS", bytes([10, 200])) + blob[i:]
+    w, h, ch, px = decode_png(rgba_blob)
+    assert ch == 4
+    assert np.array_equal(px[:, :, :3], pal4[idx4])
+    assert px[0, 0, 3] == 10 and px[0, 1, 3] == 200
+    assert px[1, 0, 3] == 255 and px[1, 1, 3] == 255  # opaque past chunk
+    # oversize tRNS flagged
+    with _pytest.raises(ValueError, match="tRNS longer"):
+        decode_png(blob[:i] + _chunk(b"tRNS", bytes(5)) + blob[i:])
     # an index past the palette is flagged, not wrapped
     short_pal = blob.replace(_chunk(b"PLTE", bytes(6)), _chunk(b"PLTE", bytes(3)))
     decode_png(short_pal)  # all-zero indices still fine with 1 entry
@@ -669,14 +677,47 @@ def test_jpeg_unsupported_constructs_flagged():
     sof1 = bytes(good[:sof + 1]) + b"\xc1" + bytes(good[sof + 2:])
     with _pytest.raises(ValueError, match="non-baseline"):
         decode_jpeg(sof1)
-    # inject a DRI segment after SOI
-    dri = bytes(good[:2]) + b"\xff\xdd" + struct.pack(">HH", 4, 16) + bytes(good[2:])
-    with _pytest.raises(ValueError, match="restart"):
-        decode_jpeg(dri)
+    # a DRI promising restarts the stream doesn't contain is flagged
+    multi = bytearray(write_jpeg(np.zeros((8, 24), dtype=np.uint8), 75))
+    lying_dri = (
+        bytes(multi[:2]) + b"\xff\xdd" + struct.pack(">HH", 4, 1) + bytes(multi[2:])
+    )
+    with _pytest.raises(ValueError, match="missing JPEG restart marker"):
+        decode_jpeg(lying_dri)
+    # restart intervals in progressive scans stay flagged
+    from sharepointcrawler_spark.operators.jpeg import write_jpeg_progressive
+
+    pblob = bytearray(write_jpeg_progressive(np.zeros((8, 8), dtype=np.uint8), 75))
+    pdri = (
+        bytes(pblob[:2]) + b"\xff\xdd" + struct.pack(">HH", 4, 16) + bytes(pblob[2:])
+    )
+    with _pytest.raises(ValueError, match="progressive scans unsupported"):
+        decode_jpeg(pdri)
     with _pytest.raises(ValueError, match="signature"):
         decode_jpeg(b"NOTAJPEG")
     # sanity: the unmodified stream still decodes
     assert decode_jpeg(bytes(good))[3].shape == (8, 8, 1)
+
+
+def test_jpeg_restart_intervals_round_trip():
+    """DRI/RSTn (camera-JPEG resilience): encoder emits byte-aligned
+    RSTn markers with DC-predictor resets every N MCUs; the decode is
+    pixel-identical to the no-restart encoding of the same image."""
+    import numpy as np
+
+    from sharepointcrawler_spark.operators.jpeg import decode_jpeg, write_jpeg
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+    plain = decode_jpeg(write_jpeg(img, 85, subsampling="420"))[3]
+    for ri in (1, 3, 7):
+        blob = write_jpeg(img, 85, subsampling="420", restart_interval=ri)
+        assert b"\xff\xdd" in blob and b"\xff\xd0" in blob
+        assert np.array_equal(decode_jpeg(blob)[3], plain), ri
+    # flat exactness survives restarts too
+    flat = np.full((24, 40, 3), 136, dtype=np.uint8)
+    got = decode_jpeg(write_jpeg(flat, 75, subsampling="422", restart_interval=2))[3]
+    assert np.array_equal(got, flat)
 
 
 def test_decode_images_dispatches_jpeg(spark):
