@@ -171,66 +171,18 @@ def write_png_palette(
     )
 
 
-def decode_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
-    """PNG bytes -> (width, height, channels, uint8 pixels (h, w, ch)).
+# Adam7 interlace pass grid: (x0, y0, dx, dy) per pass, PNG §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Pure python/numpy: chunk walk, IHDR parse, IDAT concat + inflate,
-    per-scanline unfilter (all five filter types, vectorized per row —
-    Sub/Average/Paeth carry a left-to-right dependency so those rows run
-    a per-pixel loop over numpy views). Supports 8-bit color types
-    0/2/4/6 AND indexed color (type 3, PLTE lookup) at bit depth
-    1/2/4/8 — filters run over the packed index bytes (bpp=1 per spec),
-    indices unpack MSB-first, palette maps to RGB, and a tRNS chunk
-    adds per-entry alpha (RGBA output — transparency is decoded
-    faithfully, never silently flattened). No interlace."""
-    if blob is None or blob[: len(PNG_SIG)] != PNG_SIG:
-        raise ValueError("not a PNG (bad signature)")
-    pos = len(PNG_SIG)
-    width = height = None
-    color_type = bit_depth = interlace = None
-    idat = bytearray()
-    plte = trns = None
-    while pos + 8 <= len(blob):
-        (length,) = struct.unpack(">I", blob[pos : pos + 4])
-        tag = blob[pos + 4 : pos + 8]
-        payload = blob[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # length + tag + payload + crc
-        if tag == b"IHDR":
-            width, height, bit_depth, color_type, _comp, _filt, interlace = (
-                struct.unpack(">IIBBBBB", payload)
-            )
-        elif tag == b"IDAT":
-            idat += payload
-        elif tag == b"PLTE":
-            plte = payload
-        elif tag == b"tRNS":
-            trns = payload
-        elif tag == b"IEND":
-            break
-    if width is None:
-        raise ValueError("PNG missing IHDR")
-    if interlace != 0:
-        raise ValueError("interlaced PNG unsupported")
-    if color_type == 3:
-        if bit_depth not in (1, 2, 4, 8):
-            raise ValueError(f"invalid palette bit depth {bit_depth}")
-        if plte is None or len(plte) % 3:
-            raise ValueError("palette PNG missing/malformed PLTE")
-        if trns is not None and len(trns) > len(plte) // 3:
-            raise ValueError("palette PNG tRNS longer than PLTE")
-        stride = (width * bit_depth + 7) // 8
-        bpp = 1
-    else:
-        if bit_depth != 8:
-            raise ValueError(f"unsupported PNG bit depth {bit_depth}")
-        if color_type not in _PNG_CHANNELS:
-            raise ValueError(f"unsupported PNG color type {color_type}")
-        ch = _PNG_CHANNELS[color_type]
-        stride = width * ch
-        bpp = ch
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG data length mismatch")
+
+def _unfilter_scanlines(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG row filters over ``height`` scanlines of ``stride``
+    bytes (+1 filter byte each): returns (height, stride) uint8. All
+    five filter types; Sub/Average/Paeth carry a left-to-right
+    dependency so those rows run a per-byte loop."""
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for r in range(height):
@@ -261,6 +213,120 @@ def decode_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
                     raise ValueError(f"bad PNG filter type {ftype}")
         out[r] = rec.astype(np.uint8)
         prev = rec
+    return out
+
+
+def write_png_interlaced(pixels: np.ndarray, filter_mode: str = "cycle") -> bytes:
+    """uint8 (h, w) or (h, w, ch in {1,3}) -> Adam7-INTERLACED PNG:
+    seven independently filtered sub-images in pass order. The fixture
+    generator for the decoder's interlaced path."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, ch = pixels.shape
+    color_type = {1: 0, 3: 2}[ch]
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = pixels[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        raw += _filter_scanlines(sub.astype(np.int32), filter_mode)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
+    """PNG bytes -> (width, height, channels, uint8 pixels (h, w, ch)).
+
+    Pure python/numpy: chunk walk, IHDR parse, IDAT concat + inflate,
+    per-scanline unfilter (all five filter types, vectorized per row —
+    Sub/Average/Paeth carry a left-to-right dependency so those rows run
+    a per-pixel loop over numpy views). Supports 8-bit color types
+    0/2/4/6 AND indexed color (type 3, PLTE lookup) at bit depth
+    1/2/4/8 — filters run over the packed index bytes (bpp=1 per spec),
+    indices unpack MSB-first, palette maps to RGB, and a tRNS chunk
+    adds per-entry alpha (RGBA output — transparency is decoded
+    faithfully, never silently flattened). Adam7 interlace is supported
+    for 8-bit depths (seven independently filtered sub-images placed on
+    the pass grid); sub-byte interlaced palette stays flagged."""
+    if blob is None or blob[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(PNG_SIG)
+    width = height = None
+    color_type = bit_depth = interlace = None
+    idat = bytearray()
+    plte = trns = None
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        tag = blob[pos + 4 : pos + 8]
+        payload = blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + payload + crc
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", payload)
+            )
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"PLTE":
+            plte = payload
+        elif tag == b"tRNS":
+            trns = payload
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    if color_type == 3:
+        if bit_depth not in (1, 2, 4, 8):
+            raise ValueError(f"invalid palette bit depth {bit_depth}")
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing/malformed PLTE")
+        if trns is not None and len(trns) > len(plte) // 3:
+            raise ValueError("palette PNG tRNS longer than PLTE")
+        if interlace == 1 and bit_depth != 8:
+            raise ValueError("sub-byte interlaced palette PNG unsupported")
+        stride = (width * bit_depth + 7) // 8
+        bpp = 1
+    else:
+        if bit_depth != 8:
+            raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+        if color_type not in _PNG_CHANNELS:
+            raise ValueError(f"unsupported PNG color type {color_type}")
+        ch = _PNG_CHANNELS[color_type]
+        stride = width * ch
+        bpp = ch
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG data length mismatch")
+        out = _unfilter_scanlines(raw, height, stride, bpp)
+    else:
+        # Adam7: seven independently filtered sub-images, concatenated;
+        # each pass's pixels land on its (x0, y0, dx, dy) grid. Sample
+        # width here is bpp bytes (8-bit depths only on this path).
+        samples = stride // bpp  # width in samples for bpp-byte samples
+        full = np.zeros((height, samples, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, -(-(samples - x0) // dx))
+            ph = max(0, -(-(height - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue
+            pstride = pw * bpp
+            seg = raw[off : off + ph * (pstride + 1)]
+            if len(seg) != ph * (pstride + 1):
+                raise ValueError("PNG interlaced data length mismatch")
+            off += len(seg)
+            sub = _unfilter_scanlines(seg, ph, pstride, bpp).reshape(ph, pw, bpp)
+            full[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise ValueError("PNG interlaced data length mismatch")
+        out = full.reshape(height, stride)
     if color_type == 3:
         if bit_depth == 8:
             idx = out[:, :width]

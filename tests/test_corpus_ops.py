@@ -268,11 +268,50 @@ def test_png_round_trip_all_filters():
             assert np.array_equal(got, px)
 
 
+def test_png_adam7_interlace_round_trips():
+    """Adam7-interlaced PNG: seven independently filtered sub-images
+    placed on the pass grid — exact round trips across shapes (incl.
+    degenerate 1x1/2x3 where most passes are empty), channels, and
+    filter modes; truncated interlaced data is flagged."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sharepointcrawler_spark.operators.multimodal import (
+        decode_png,
+        write_png_interlaced,
+    )
+
+    rng = np.random.default_rng(9)
+    for shape in ((1, 1), (2, 3), (7, 13), (16, 17), (37, 53)):
+        for ch in (1, 3):
+            px = rng.integers(0, 256, (*shape, ch), dtype=np.uint8)
+            for fm in ("cycle", "none"):
+                w, h, c, got = decode_png(write_png_interlaced(px, fm))
+                assert (w, h, c) == (shape[1], shape[0], ch)
+                assert np.array_equal(got, px), (shape, ch, fm)
+    # truncated pass data is flagged, never partially decoded
+    import zlib as _zlib
+
+    blob = write_png_interlaced(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+    i = blob.index(b"IDAT")
+    # rebuild the IDAT with the last 10 raw bytes cut
+    import struct as _struct
+
+    (ln,) = _struct.unpack(">I", blob[i - 4 : i])
+    raw = _zlib.decompress(blob[i + 4 : i + 4 + ln])
+    from sharepointcrawler_spark.operators.multimodal import _chunk
+
+    cut = _chunk(b"IDAT", _zlib.compress(raw[:-10]))
+    bad = blob[: i - 4] + cut + blob[i + 8 + ln :]
+    with _pytest.raises(ValueError, match="interlaced data length"):
+        decode_png(bad)
+
+
 def test_png_unsupported_constructs_flagged():
-    """16-bit / interlaced / PLTE-less-palette PNGs raise (flag, never
-    garbage); decode_images turns the flag into NULL metadata, not a
-    crash. (Well-formed palette PNGs decode since round 5 —
-    test_png_palette_round_trips_and_trns_flag.)"""
+    """16-bit / bad-interlace-method / PLTE-less-palette PNGs raise
+    (flag, never garbage); decode_images turns the flag into NULL
+    metadata, not a crash. (Well-formed palette and Adam7-interlaced
+    PNGs decode since round 5.)"""
     import struct
     import zlib
 
@@ -293,7 +332,7 @@ def test_png_unsupported_constructs_flagged():
     for bad, msg in (
         (PNG_SIG + ihdr(1, 1, 16, 0) + base_idat, "bit depth"),
         (PNG_SIG + ihdr(1, 1, 8, 3) + base_idat, "missing/malformed PLTE"),
-        (PNG_SIG + ihdr(1, 1, 8, 0, interlace=1) + base_idat, "interlace"),
+        (PNG_SIG + ihdr(1, 1, 8, 0, interlace=2) + base_idat, "interlace method"),
         (b"NOTPNG", "signature"),
     ):
         with _pytest.raises(ValueError, match=msg):
