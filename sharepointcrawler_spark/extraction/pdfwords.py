@@ -505,6 +505,42 @@ def write_pdf_modern(
     return bytes(out)
 
 
+def append_pdf_update(pdf: bytes, replacements: dict[int, bytes]) -> bytes:
+    """Append an incremental-update section (PDF 32000-1 §7.5.6 — the
+    file shape digital signatures and annotations produce): replacement
+    object bodies, a classic xref section with one subsection per
+    replaced object, and a trailer chaining to the previous xref via
+    /Prev. The original bytes are untouched (append-only), so the
+    NEWEST definition of each object is the one nearest the end —
+    exactly the precedence the parser's last-wins object scan applies."""
+    m = re.search(rb"startxref\s+(\d+)\s*%%EOF\s*$", pdf)
+    prev_xref = int(m.group(1)) if m else 0
+    rm = re.search(rb"/Root\s+(\d+)\s+\d+\s+R", pdf)
+    root = int(rm.group(1)) if rm else 1
+    sm = re.search(rb"/Size\s+(\d+)", pdf)
+    size = max(
+        int(sm.group(1)) if sm else 0, max(replacements, default=0) + 1
+    )
+    out = bytearray(pdf)
+    if not out.endswith(b"\n"):
+        out += b"\n"
+    offsets: dict[int, int] = {}
+    for num in sorted(replacements):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + replacements[num] + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n"
+    for num in sorted(offsets):
+        out += b"%d 1\n" % num + b"%010d 00000 n \n" % offsets[num]
+    out += (
+        b"trailer\n<< /Size " + str(size).encode()
+        + b" /Root " + str(root).encode() + b" 0 R"
+        + b" /Prev " + str(prev_xref).encode() + b" >>\n"
+        + b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
 def write_pdf_type0(
     pages: list[list[RawWord]],
     heights: list[float],
@@ -830,7 +866,7 @@ def _scan_objects(
         sm = _STREAM_KW_RE.search(pdf, body_start, em if em != -1 else len(pdf))
         if sm is None:
             body = pdf[body_start:em] if em != -1 else pdf[body_start:]
-            bodies.setdefault(num, body)
+            bodies[num] = body  # LAST definition wins (§7.5.6 updates)
             pos = em + 6 if em != -1 else len(pdf)
             continue
         head, data_start = pdf[body_start : sm.start()], sm.end()
@@ -874,8 +910,14 @@ def _scan_objects(
             _expand_objstm(num, payload, head, bodies, objstm_members, issues)
         elif b"/XRef" in head and b"/W" in head:
             xref_streams.append((num, head, payload))
-        bodies.setdefault(num, head)
-        streams.setdefault(num, payload)
+        # LAST definition wins: an incrementally-updated PDF (§7.5.6 —
+        # signatures, annotations) APPENDS replacement objects, so the
+        # newest version is the one the latest xref would point at.
+        # Payload bytes are never scanned for object headers (the
+        # /Length jump above), so a spurious in-payload 'N 0 obj'
+        # cannot shadow a real object.
+        bodies[num] = head
+        streams[num] = payload
     for num, head, payload in xref_streams:
         _check_xref_stream(num, head, payload, pdf, objstm_members, issues)
     return bodies, streams, issues
@@ -959,7 +1001,7 @@ def _expand_objstm(
         if off > end or end > body_len:
             issues.append(f"object {num}: object stream offsets out of range")
             return
-        bodies.setdefault(onum, payload[first + off : first + end].strip())
+        bodies[onum] = payload[first + off : first + end].strip()
         contained.append(onum)
     members[num] = contained
 

@@ -208,3 +208,77 @@ def test_udf_dispatch_on_modern_pdf(spark):
         .collect()[0]
     )
     assert row.err is None and row.md and "Paragraph 2 with deterministic" in row.md
+
+
+def test_incremental_update_newest_object_wins():
+    """Incrementally-updated PDF (§7.5.6, the signed/annotated-file
+    shape): an appended replacement of the content stream must be the
+    version extracted — a first-definition-wins scan would return the
+    ORIGINAL text."""
+    import zlib as _zlib
+
+    from sharepointcrawler_spark.extraction.pdfwords import (
+        _simple_content_ops,
+        append_pdf_update,
+    )
+
+    text_a = "5.0 Original Heading\n\n" + "\n".join(
+        f"Original paragraph {j} with words a{j % 5}b for the base file."
+        for j in range(6)
+    ) + "\n"
+    text_b = "6.0 Updated Heading\n\n" + "\n".join(
+        f"Updated paragraph {j} with words c{j % 7}d after the update."
+        for j in range(6)
+    ) + "\n"
+    pages_a, heights = layout_words(text_a)
+    pages_b, heights_b = layout_words(text_b)
+    assert len(pages_a) == len(pages_b) == 1
+    base = write_pdf(pages_a, heights)
+
+    flate = _zlib.compress(_simple_content_ops(pages_b[0]))
+    new_content = (
+        b"<< /Length " + str(len(flate)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + flate + b"\nendstream"
+    )
+    # write_pdf object layout: font=1, pages=2, content=3, page=4
+    updated = append_pdf_update(base, {3: new_content})
+    assert updated.startswith(bytes(base[: len(base)]))  # append-only
+
+    got, gh = parse_pdf_word_pages(updated, strict=True)
+    assert gh == heights_b
+    assert _boxes(got) == _boxes(pages_b)  # newest definition extracted
+    # the base file still yields the original
+    got_a, _ = parse_pdf_word_pages(base, strict=True)
+    assert _boxes(got_a) == _boxes(pages_a)
+
+
+def test_incremental_update_on_modern_pdf():
+    """Incremental update over a compressed-xref base file: the
+    replacement (appended as a top-level object) must override the
+    version packed inside the base ObjStm/top-level objects."""
+    import zlib as _zlib
+
+    from sharepointcrawler_spark.extraction.pdfwords import (
+        _simple_content_ops,
+        append_pdf_update,
+    )
+
+    pages_a, heights = layout_words(TEXT)
+    base = write_pdf_modern(pages_a, heights)
+    text_b = "7.0 Modern Update\n\n" + "\n".join(
+        f"Replacement paragraph {j} with tokens e{j % 3}f in the update."
+        for j in range(6)
+    ) + "\n"
+    pages_b, heights_b = layout_words(text_b)
+    assert len(pages_b) == len(pages_a) == 1
+
+    flate = _zlib.compress(_simple_content_ops(pages_b[0]))
+    new_content = (
+        b"<< /Length " + str(len(flate)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + flate + b"\nendstream"
+    )
+    # write_pdf_modern layout (1 page): content=1 top-level
+    updated = append_pdf_update(base, {1: new_content})
+    got, gh = parse_pdf_word_pages(updated, strict=True)
+    assert gh == heights_b
+    assert _boxes(got) == _boxes(pages_b)
