@@ -417,15 +417,38 @@ def decode_images(images: DataFrame, blob_col: str = "blob", id_col: str = "doc_
 WAV_SIG = b"RIFF"
 
 
-def write_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
-    """int16 PCM samples (n,) or (n, channels) -> RIFF/WAVE bytes
-    (canonical 44-byte header, interleaved frames)."""
+def write_wav(
+    samples: np.ndarray, sample_rate: int = 16000, bits: int | None = None
+) -> bytes:
+    """PCM samples (n,) or (n, channels) -> RIFF/WAVE bytes (canonical
+    header, interleaved frames). Integer input writes PCM at ``bits``
+    in {8, 16, 24} (default 16; 8-bit stores unsigned 128-centered,
+    24-bit packs little-endian three-byte two's complement); float
+    input writes IEEE float32 (format 3)."""
     if samples.ndim == 1:
         samples = samples[:, None]
     n, ch = samples.shape
-    data = samples.astype("<i2").tobytes()
-    byte_rate = sample_rate * ch * 2
-    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    if np.issubdtype(samples.dtype, np.floating):
+        fmt_code, bits = 3, 32
+        data = samples.astype("<f4").tobytes()
+    else:
+        fmt_code, bits = 1, bits or 16
+        if bits == 16:
+            data = samples.astype("<i2").tobytes()
+        elif bits == 8:
+            data = (samples.astype(np.int16) + 128).astype(np.uint8).tobytes()
+        elif bits == 24:
+            flat = samples.astype(np.int64).reshape(-1) & 0xFFFFFF
+            b3 = np.zeros((flat.size, 3), dtype=np.uint8)
+            b3[:, 0] = flat & 0xFF
+            b3[:, 1] = (flat >> 8) & 0xFF
+            b3[:, 2] = (flat >> 16) & 0xFF
+            data = b3.tobytes()
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    block = ch * (bits // 8)
+    byte_rate = sample_rate * block
+    fmt = struct.pack("<HHIIHH", fmt_code, ch, sample_rate, byte_rate, block, bits)
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -439,9 +462,19 @@ def is_wav(blob: bytes | None) -> bool:
 
 
 def decode_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
-    """WAV bytes -> (sample_rate, channels, int16 samples (n, channels)).
-    Pure python/numpy RIFF chunk walk; PCM-16 only — compressed or
-    other-depth formats raise ValueError (flag, never garbage)."""
+    """WAV bytes -> (sample_rate, channels, samples (n, channels)).
+    Pure python/numpy RIFF chunk walk. Supported sample formats (the
+    shapes real audio corpora carry):
+
+    * PCM 16-bit -> int16, as stored (the original contract)
+    * PCM 8-bit (stored unsigned, 128-centered per RIFF) -> int16,
+      re-centered to -128..127
+    * PCM 24-bit -> int32, sign-extended
+    * IEEE float 32-bit (format 3) -> float32
+    * WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolves through its SubFormat
+
+    Compressed formats and other depths raise ValueError (flag, never
+    garbage)."""
     if not is_wav(blob):
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
@@ -459,13 +492,34 @@ def decode_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: SubFormat GUID
+        if len(fmt) < 26:
+            raise ValueError("WAV extensible fmt chunk truncated")
+        (audio_fmt,) = struct.unpack("<H", fmt[24:26])
+    if audio_fmt == 3:
+        if bits != 32:
+            raise ValueError(f"unsupported WAV float bit depth {bits}")
+        frames = len(data) // (ch * 4)
+        samples = np.frombuffer(data, dtype="<f4", count=frames * ch)
+        return rate, ch, samples.reshape(frames, ch)
     if audio_fmt != 1:
         raise ValueError(f"unsupported WAV audio format {audio_fmt} (non-PCM)")
-    if bits != 16:
-        raise ValueError(f"unsupported WAV bit depth {bits}")
-    frames = len(data) // (ch * 2)
-    samples = np.frombuffer(data, dtype="<i2", count=frames * ch).reshape(frames, ch)
-    return rate, ch, samples
+    if bits == 16:
+        frames = len(data) // (ch * 2)
+        samples = np.frombuffer(data, dtype="<i2", count=frames * ch)
+        return rate, ch, samples.reshape(frames, ch)
+    if bits == 8:
+        frames = len(data) // ch
+        samples = np.frombuffer(data, dtype=np.uint8, count=frames * ch)
+        return rate, ch, (samples.astype(np.int16) - 128).reshape(frames, ch)
+    if bits == 24:
+        frames = len(data) // (ch * 3)
+        raw = np.frombuffer(data, dtype=np.uint8, count=frames * ch * 3)
+        b3 = raw.reshape(-1, 3).astype(np.int32)
+        v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)  # sign-extend
+        return rate, ch, v.reshape(frames, ch)
+    raise ValueError(f"unsupported WAV bit depth {bits}")
 
 
 WAV_STATS_SCHEMA = T.StructType(

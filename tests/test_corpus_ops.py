@@ -803,3 +803,50 @@ def test_mjpeg_frame_sampling_yields_decodable_frames(spark):
     for k in (0, 2, 4):
         assert (meta[k].width, meta[k].height, meta[k].channels) == (8, 8, 1)
         assert meta[k].feature[0] == float(128 + 8 * k)  # flat mean exact
+
+
+def test_wav_depth_variants_round_trip():
+    """WAV beyond PCM-16: 8-bit (unsigned 128-centered), 24-bit
+    (three-byte two's complement incl. both extremes), IEEE float32
+    (format 3), and WAVE_FORMAT_EXTENSIBLE resolving through its
+    SubFormat — all exact round trips; unknown depths stay flagged."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sharepointcrawler_spark.operators.multimodal import decode_wav, write_wav
+
+    rng = np.random.default_rng(4)
+    s8 = rng.integers(-128, 127, (33, 1), dtype=np.int16)
+    r, ch, got = decode_wav(write_wav(s8, 8000, bits=8))
+    assert (r, ch) == (8000, 1) and got.dtype == np.int16
+    assert np.array_equal(got, s8)
+
+    s24 = np.array(
+        [[-(1 << 23)], [(1 << 23) - 1], [0], [-1], [123456], [-654321]],
+        dtype=np.int32,
+    )
+    r, ch, got = decode_wav(write_wav(s24, 48000, bits=24))
+    assert got.dtype == np.int32 and np.array_equal(got, s24)
+
+    f = rng.standard_normal((40, 2)).astype(np.float32)
+    r, ch, got = decode_wav(write_wav(f, 44100))
+    assert got.dtype == np.float32 and np.array_equal(got, f)
+
+    # WAVE_FORMAT_EXTENSIBLE wrapping PCM-16
+    s16 = rng.integers(-32768, 32767, (50, 2), dtype=np.int16)
+    base = write_wav(s16, 22050)
+    i = base.index(b"fmt ")
+    guid = b"\x01\x00\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    ext = (
+        struct.pack("<HHIIHH", 0xFFFE, 2, 22050, 22050 * 4, 4, 16)
+        + struct.pack("<HHI", 22, 16, 3)
+        + guid
+    )
+    blob = base[:i] + b"fmt " + struct.pack("<I", len(ext)) + ext + base[i + 8 + 16:]
+    r, ch, got = decode_wav(blob)
+    assert (r, ch) == (22050, 2) and np.array_equal(got, s16)
+
+    with _pytest.raises(ValueError, match="bit depth"):
+        decode_wav(write_wav(s16, 22050, bits=12))
