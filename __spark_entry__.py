@@ -1138,6 +1138,89 @@ def q_pdf_xref_stream_extraction(spark, sf_dir):
     )
 
 
+def q_pdf_incremental_extraction(spark, sf_dir):
+    """Byte-identity through INCREMENTALLY-UPDATED PDFs (§7.5.6 — the
+    signed/annotated-file shape): 12 base documents each get an
+    appended update section replacing the content stream with different
+    text (classic xref subsection + /Prev-chained trailer, append-only
+    bytes). The golden is computed from the UPDATED words, so a parser
+    with first-definition-wins precedence extracts the stale original
+    and flips every row false; the oracle expects every row true."""
+    import zlib as _zlib
+
+    from sharepointcrawler_spark.extraction.converter import (
+        ConvertOptions,
+        build_lines,
+        convert_pages_to_markdown,
+    )
+    from sharepointcrawler_spark.extraction.pdfwords import (
+        _simple_content_ops,
+        append_pdf_update,
+        layout_words,
+        write_pdf,
+    )
+    from sharepointcrawler_spark.extraction.udfs import extract_text_udf
+
+    opt = ConvertOptions()
+    rows = []
+    for i in range(12):
+        def mk(tag, salt):
+            body = "\n".join(
+                f"{tag} paragraph {j} of document {i} has deterministic words "
+                f"u{(i * 23 + j * salt) % 89}v and w{(i * 5 + j) % 67}x in it."
+                for j in range(4 + (i * 3) % 12)
+            )
+            return f"{i % 9}.0 {tag} Heading {i}\n\n{body}\n"
+
+        pages_a, heights = layout_words(mk("Original", 7))
+        pages_b, heights_b = layout_words(mk("Updated", 11))
+        # single-page bases so the one content stream is object 3
+        assert len(pages_a) == 1 and len(pages_b) == 1
+        base = write_pdf(pages_a, heights)
+        flate = _zlib.compress(_simple_content_ops(pages_b[0]))
+        updated = append_pdf_update(
+            base,
+            {
+                3: b"<< /Length " + str(len(flate)).encode()
+                + b" /Filter /FlateDecode >>\nstream\n" + flate + b"\nendstream"
+            },
+        )
+        built = [
+            build_lines(ws, n + 1, heights_b[n], opt.line_y_tolerance)
+            for n, ws in enumerate(pages_b)
+        ]
+        golden = convert_pages_to_markdown(built, f"doc{i}", opt)
+        rows.append((i, bytearray(updated), f"doc{i}", golden))
+    df = spark.createDataFrame(rows, "doc_id long, pdf binary, name string, golden string")
+    return df.select(
+        F.col("doc_id"),
+        (extract_text_udf(F.col("pdf"), F.col("name")) == F.col("golden")).alias(
+            "byte_identical"
+        ),
+    )
+
+
+def q_multimodal_decode_png_interlaced(spark, sf_dir):
+    """REAL Adam7-interlaced PNG decode: the SAME closed-form pattern
+    as multimodal_decode_png, but written as seven independently
+    filtered interlace passes — identical pixels, so the oracle formula
+    is unchanged; any pass-grid/sub-image-unfilter bug shifts the
+    sum."""
+    from sharepointcrawler_spark.operators.multimodal import (
+        decode_png_stats,
+        synth_png_interlaced_udf,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 64)
+    imgs = docs.select(
+        F.col("doc_id").cast("long"),
+        synth_png_interlaced_udf()(F.col("doc_id")).alias("blob"),
+    )
+    return decode_png_stats(imgs).select(
+        "doc_id", "width", "height", "channels", "pixel_sum"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # crawl-engine operator inventory (SURVEY.md §2)
@@ -1194,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_decode_png": q_multimodal_decode_png,
         "multimodal_decode_png_palette": q_multimodal_decode_png_palette,
+        "multimodal_decode_png_interlaced": q_multimodal_decode_png_interlaced,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_decode_wav": q_multimodal_decode_wav,
         "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
@@ -1202,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extraction_identity": q_pdf_extraction,
         "pdf_type0_extraction_identity": q_pdf_type0_extraction,
         "pdf_xref_stream_extraction_identity": q_pdf_xref_stream_extraction,
+        "pdf_incremental_extraction_identity": q_pdf_incremental_extraction,
     }
 
 
@@ -1763,6 +1848,29 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
                    )) AS BIGINT) AS pixel_sum
             FROM documents WHERE doc_id < 64
         """,
+        "multimodal_decode_png_interlaced": """
+            -- SAME pixels as multimodal_decode_png (the Adam7 write is a
+            -- bit-level reordering), so the formula is identical
+            -- shape
+            -- (3+id%4, 4+id%5, 3 if even else 1); pixel[i,j,c] =
+            -- (id*7 + i*3 + j*5 + c*11) % 256, linearized over
+            -- k = (i*w + j)*ch + c. pixel_sum is the exact integer sum
+            -- the inflate+unfilter path must reproduce bit-for-bit.
+            SELECT doc_id,
+                   CAST(4 + doc_id % 5 AS BIGINT) AS width,
+                   CAST(3 + doc_id % 4 AS BIGINT) AS height,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS BIGINT) AS channels,
+                   CAST(list_sum(list_transform(
+                     generate_series(0, (3 + doc_id % 4) * (4 + doc_id % 5)
+                                        * (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END) - 1),
+                     k -> (doc_id * 7
+                           + (k // ((4 + doc_id % 5) * (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END))) * 3
+                           + ((k % ((4 + doc_id % 5) * (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)))
+                              // (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)) * 5
+                           + (k % (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)) * 11) % 256
+                   )) AS BIGINT) AS pixel_sum
+            FROM documents WHERE doc_id < 64
+        """,
         "multimodal_decode_png_palette": """
             -- indexed-color PNG closed form: depth = (1,2,4,8)[id%4],
             -- n = 1<<depth colors, w = 5+id%6, h = 4+id%5,
@@ -1893,6 +2001,12 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
         "pdf_type0_extraction_identity": """
             -- every composite-font (Type0/Identity-H) PDF must extract
             -- byte-identically: CID decode + /W widths + ToUnicode
+            SELECT i AS doc_id, true AS byte_identical
+            FROM (SELECT unnest(generate_series(0, 11)) AS i)
+        """,
+        "pdf_incremental_extraction_identity": """
+            -- every incrementally-updated PDF must extract the UPDATED
+            -- content byte-identically (last definition wins)
             SELECT i AS doc_id, true AS byte_identical
             FROM (SELECT unnest(generate_series(0, 11)) AS i)
         """,

@@ -681,6 +681,18 @@ def synth_png_udf():
     return synth
 
 
+def synth_png_interlaced_udf():
+    """Pandas UDF: doc_id -> Adam7-interlaced PNG bytes of the SAME
+    closed-form pattern as synth_png_pattern (identical pixels, so the
+    multimodal_decode_png oracle formula carries over unchanged)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:  # pragma: no cover
+        return ids.map(lambda d: write_png_interlaced(synth_png_pattern(int(d))))
+
+    return synth
+
+
 def synth_png_palette(doc_id: int) -> tuple[np.ndarray, np.ndarray, int]:
     """(indices, palette, bit_depth) with CLOSED FORMS the DuckDB
     oracle recomputes: depth cycles (1,2,4,8) by doc_id%4 (n = 2^depth
