@@ -900,12 +900,7 @@ def _scan_objects(
                 payload = pdf[data_start : endm.start()]
                 after = pdf.find(b"endobj", endm.end())
                 pos = after + 6 if after != -1 else endm.end()
-        if b"/FlateDecode" in head:
-            try:
-                payload = zlib.decompress(payload)
-            except zlib.error as e:
-                issues.append(f"object {num}: FlateDecode failed ({e})")
-                payload = b""
+        payload = _apply_stream_filters(num, head, payload, issues)
         if b"/ObjStm" in head:
             _expand_objstm(num, payload, head, bodies, objstm_members, issues)
         elif b"/XRef" in head and b"/W" in head:
@@ -921,6 +916,225 @@ def _scan_objects(
     for num, head, payload in xref_streams:
         _check_xref_stream(num, head, payload, pdf, objstm_members, issues)
     return bodies, streams, issues
+
+
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+# image-data filters: the payload is pixel data, not content text —
+# passed through raw (we never interpret it as operators)
+_IMAGE_FILTERS = frozenset((b"DCTDecode", b"JPXDecode", b"CCITTFaxDecode", b"JBIG2Decode"))
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode (§7.4.4.2 — TIFF-style LZW: 9..12-bit codes,
+    Clear=256, EOD=257, early-change width growth). The legacy
+    compression pre-Flate PDFs (Acrobat 1.x era) use for content."""
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code, width = 258, 9
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= 256:
+                    raise ValueError("LZW stream starts with a non-literal code")
+                entry = table[code]
+            elif code < next_code:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            elif code == next_code:
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise ValueError("LZW code out of range")
+            out += entry
+            prev = entry
+            if next_code >= (1 << width) - early and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Greedy LZW encoder — the fixture generator for the legacy-filter
+    path. Codes are serialized with the DECODER's width schedule
+    (the decoder's table lags the encoder's by one entry — the classic
+    early-change off-by-one — so the encoder cannot use its own table
+    size to pick code widths)."""
+    codes: list[int] = [256]
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        codes.append(table[w])
+        table[wc] = next_code
+        next_code += 1
+        w = bytes([b])
+        if next_code >= 4094 - early:  # table nearly full: restart
+            codes.append(table[w])
+            codes.append(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            w = b""
+    if w:
+        codes.append(table[w])
+    codes.append(257)
+    # serialize simulating the decoder's (next_code, width) evolution
+    out = bytearray()
+    acc = nbits = 0
+    dec_next, width, first = 258, 9, True
+    for code in codes:
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        if code == 256:
+            dec_next, width, first = 258, 9, True
+        elif code != 257:
+            if first:
+                first = False
+            else:
+                dec_next += 1
+                if dec_next >= (1 << width) - early and width < 12:
+                    width += 1
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode (§7.4.2): whitespace ignored, '>' terminates, an
+    odd final digit is padded with 0."""
+    end = data.find(b">")
+    if end >= 0:
+        data = data[:end]
+    hexs = re.sub(rb"\s+", b"", data)
+    if len(hexs) % 2:
+        hexs += b"0"
+    return bytes.fromhex(hexs.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (§7.4.3): base-85 groups of 5 chars -> 4 bytes,
+    'z' shorthand for four zero bytes, '~>' terminates, partial final
+    group truncated."""
+    if data.startswith(b"<~"):
+        data = data[2:]
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    out = bytearray()
+    group: list[int] = []
+    for ch in data:
+        if ch in b" \t\r\n\x0c\x00":
+            continue
+        if ch == 0x7A:  # 'z'
+            if group:
+                raise ValueError("ASCII85 'z' inside a group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= ch <= 0x75:
+            raise ValueError(f"bad ASCII85 character {ch}")
+        group.append(ch - 33)
+        if len(group) == 5:
+            v = 0
+            for d in group:
+                v = v * 85 + d
+            if v > 0xFFFFFFFF:
+                raise ValueError("ASCII85 group overflow")
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:
+        n = len(group)
+        if n == 1:
+            raise ValueError("ASCII85 trailing single digit")
+        padded = group + [84] * (5 - n)
+        v = 0
+        for d in padded:
+            v = v * 85 + d
+        out += min(v, 0xFFFFFFFF).to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """RunLengthDecode (§7.4.5): length byte L<128 copies the next L+1
+    bytes, L>128 repeats the next byte 257-L times, L=128 is EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        ln = data[i]
+        if ln == 128:
+            break
+        if ln < 128:
+            out += data[i + 1 : i + 2 + ln]
+            i += 2 + ln
+        else:
+            if i + 1 >= len(data):
+                raise ValueError("RunLength run truncated")
+            out += data[i + 1 : i + 2] * (257 - ln)
+            i += 2
+    return bytes(out)
+
+
+def _runlength_encode(data: bytes) -> bytes:
+    """Literal-runs-only RunLength encoder (valid per spec) for
+    fixtures."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i : i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    out.append(128)
+    return bytes(out)
+
+
+def _apply_stream_filters(
+    num: int, head: bytes, payload: bytes, issues: list[str]
+) -> bytes:
+    """Apply the stream's /Filter chain in order (name or array form,
+    §7.4): Flate, LZW, ASCIIHex, ASCII85. Image-data filters pass the
+    payload through raw (never interpreted as content); genuinely
+    unknown filters and decode failures are flagged."""
+    m = _FILTER_RE.search(head)
+    if m is None:
+        return payload
+    for name in re.findall(rb"/([A-Za-z0-9]+)", m.group(1)):
+        try:
+            if name == b"FlateDecode":
+                payload = zlib.decompress(payload)
+            elif name == b"LZWDecode":
+                payload = _lzw_decode(payload)
+            elif name == b"ASCIIHexDecode":
+                payload = _asciihex_decode(payload)
+            elif name == b"ASCII85Decode":
+                payload = _ascii85_decode(payload)
+            elif name == b"RunLengthDecode":
+                payload = _runlength_decode(payload)
+            elif name in _IMAGE_FILTERS:
+                break
+            else:
+                issues.append(f"object {num}: unsupported filter /{name.decode()}")
+                break
+        except (ValueError, zlib.error) as e:
+            issues.append(f"object {num}: {name.decode()} failed ({e})")
+            return b""
+    return payload
 
 
 def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> bytes:

@@ -282,3 +282,48 @@ def test_incremental_update_on_modern_pdf():
     got, gh = parse_pdf_word_pages(updated, strict=True)
     assert gh == heights_b
     assert _boxes(got) == _boxes(pages_b)
+
+
+def test_legacy_stream_filters_end_to_end():
+    """Content streams through every classic filter — LZWDecode (the
+    pre-Flate Acrobat-era compression), ASCIIHexDecode, ASCII85Decode,
+    RunLengthDecode, and a two-stage [/ASCII85Decode /FlateDecode]
+    array — must extract word-box-identically to the FlateDecode
+    original; an unknown filter is flagged in strict mode."""
+    import base64
+
+    from sharepointcrawler_spark.extraction.pdfwords import (
+        _lzw_encode,
+        _runlength_encode,
+        _simple_content_ops,
+        append_pdf_update,
+    )
+
+    pages, heights = layout_words(TEXT)
+    assert len(pages) == 1
+    base = write_pdf(pages, heights)
+    raw = _simple_content_ops(pages[0])
+
+    def body(filter_name: bytes, payload: bytes) -> bytes:
+        return (
+            b"<< /Length " + str(len(payload)).encode()
+            + b" /Filter " + filter_name + b" >>\nstream\n" + payload + b"\nendstream"
+        )
+
+    variants = {
+        b"/LZWDecode": _lzw_encode(raw),
+        b"/ASCIIHexDecode": raw.hex().encode() + b">",
+        b"/ASCII85Decode": base64.a85encode(raw) + b"~>",
+        b"/RunLengthDecode": _runlength_encode(raw),
+        b"[ /ASCII85Decode /FlateDecode ]": base64.a85encode(zlib.compress(raw)) + b"~>",
+    }
+    want = _boxes(pages)
+    for fname, payload in variants.items():
+        # write_pdf object layout: content stream is object 3
+        blob = append_pdf_update(base, {3: body(fname, payload)})
+        got, gh = parse_pdf_word_pages(blob, strict=True)
+        assert gh == heights and _boxes(got) == want, fname
+
+    bad = append_pdf_update(base, {3: body(b"/RunMadeUpDecode", raw)})
+    with pytest.raises(UnsupportedPdfError, match="unsupported filter"):
+        parse_pdf_word_pages(bad, strict=True)
