@@ -94,10 +94,15 @@ class FontMetrics:
         name: str = "Courier",
         widths: dict[int, int] | None = None,
         default_width: int = 600,
+        to_text: dict[int, str] | None = None,
     ):
         self.name = name
         self.widths = widths
         self.default_width = default_width
+        # /Encoding /Differences remapping: byte code -> glyph text.
+        # Advances stay keyed by CODE (the /Widths array is code-
+        # indexed), only the extracted text changes.
+        self.to_text = to_text
 
     def text_em(self, text: str) -> float:
         """Advance of ``text`` in em units (multiply by font size)."""
@@ -734,13 +739,59 @@ def _hex_string(tok: bytes) -> str:
     return bytes.fromhex(digits.decode("ascii")).decode("latin-1")
 
 
+def _emit_diff_words(st: "_TextState", text: str, out: list[RawWord]) -> None:
+    """Show a string through a simple font carrying an /Encoding
+    /Differences map: each byte CODE advances by its code-indexed width
+    while the emitted TEXT is the mapped glyph (possibly multi-char,
+    e.g. /fi); words split where a code maps to space. Advances sum as
+    integer thousandths and divide once (deterministic)."""
+    font = st.font
+    size = st.eff_size()
+    w = font.widths or {}
+    d = font.default_width
+    chars: list[str] = []
+    total = 0  # integer thousandths advanced since show start
+    word_start = 0
+    x0 = st.x
+
+    def flush() -> None:
+        if chars:
+            out.append(
+                RawWord(
+                    text="".join(chars),
+                    left=x0 + word_start / 1000.0 * size,
+                    right=x0 + total / 1000.0 * size,
+                    top=st.y + CAP_H * size,
+                    bottom=st.y,
+                )
+            )
+
+    for ch in text:
+        code = ord(ch)
+        mapped = font.to_text.get(code, ch)
+        if mapped == " ":
+            flush()
+            chars = []
+            total += w.get(code, d)
+            word_start = total
+        else:
+            chars.append(mapped)
+            total += w.get(code, d)
+    flush()
+    st.x = x0 + total / 1000.0 * size
+
+
 def _emit_words(st: _TextState, text: str, out: list[RawWord]) -> None:
     """Split a shown string on spaces, advancing the cursor by the
     current font's metrics — handles whole-line Tj strings, not just
     one-word-per-Tj writers. CID (Type0) fonts route to the 2-byte
-    decode path."""
+    decode path; /Differences-encoded simple fonts to the code-remap
+    path."""
     if getattr(st.font, "cid", False):
         _emit_cid_string(st, text, out)
+        return
+    if getattr(st.font, "to_text", None):
+        _emit_diff_words(st, text, out)
         return
     size = st.eff_size()
     font = st.font
@@ -760,6 +811,26 @@ def _emit_words(st: _TextState, text: str, out: list[RawWord]) -> None:
             st.x += CHAR_W * size * (len(seg) + 1)
     if not proportional:
         st.x -= CHAR_W * size
+
+
+_INLINE_IMG_RE = re.compile(
+    rb"(?<![A-Za-z0-9])BI\b.*?[\r\n ]EI(?![A-Za-z0-9])", re.S
+)
+
+
+def _strip_inline_images(content: bytes, issues: list[str]) -> bytes:
+    """Remove BI..ID..EI inline-image blocks (§8.9.7) before token
+    interpretation: the binary sample data between ID and EI would
+    otherwise desync the operator tokenizer into garbage words. The EI
+    scan requires a preceding whitespace and a following delimiter (the
+    spec's own framing); a BI left over after stripping means an
+    unterminated image — flagged, never interpreted."""
+    if b"BI" not in content:
+        return content
+    stripped = _INLINE_IMG_RE.sub(b" ", content)
+    if re.search(rb"(?<![A-Za-z0-9])BI\b", stripped):
+        issues.append("inline image (BI) without a matching EI")
+    return stripped
 
 
 def _interpret(
@@ -1392,6 +1463,69 @@ def _cid_font_metrics(
     )
 
 
+# Adobe Glyph List subset: the names real /Differences arrays use for
+# Latin text. Single letters/digits map to themselves (handled in code).
+_GLYPH_MAP: dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "adieresis": "ä", "odieresis": "ö", "udieresis": "ü",
+    "Adieresis": "Ä", "Odieresis": "Ö", "Udieresis": "Ü",
+    "germandbls": "ß", "eacute": "é", "egrave": "è",
+    "ecircumflex": "ê", "agrave": "à", "acircumflex": "â",
+    "ccedilla": "ç", "ntilde": "ñ", "aacute": "á",
+    "iacute": "í", "oacute": "ó", "uacute": "ú",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "fi": "ﬁ", "fl": "ﬂ", "degree": "°", "euro": "€",
+}
+
+
+def _glyph_text(name: str) -> str | None:
+    if len(name) == 1 and name.isalnum():
+        return name
+    return _GLYPH_MAP.get(name)
+
+
+def _parse_differences(
+    fbody: bytes, bodies: dict[int, bytes], issues: list[str], base: str
+) -> dict[int, str] | None:
+    """/Encoding dict (inline or indirect) with a /Differences array ->
+    {code: glyph text} (§9.6.6.3: numbers set the next code, names
+    assign consecutive codes). Names outside the AGL subset are flagged
+    so strict mode rejects rather than silently mis-mapping."""
+    em = re.search(rb"/Encoding\s+(\d+)\s+\d+\s+R", fbody)
+    enc = bodies.get(int(em.group(1)), b"") if em else fbody
+    arr = _find_array(enc, rb"/Differences")
+    if arr is None:
+        return None
+    out: dict[int, str] = {}
+    code = 0
+    for tok in re.findall(rb"/[^\s/\[\]()<>]+|\d+", arr):
+        if tok.startswith(b"/"):
+            name = tok[1:].decode("latin-1")
+            text = _glyph_text(name)
+            if text is None:
+                issues.append(
+                    f"font {base}: /Differences glyph /{name} not in the glyph table"
+                )
+                text = "�"
+            out[code] = text
+            code += 1
+        else:
+            code = int(tok)
+    return out
+
+
 def _page_fonts(
     page_body: bytes,
     bodies: dict[int, bytes],
@@ -1440,16 +1574,21 @@ def _page_fonts(
                 fc = int(fm.group(1)) if fm else 0
                 widths = {fc + i: v for i, v in enumerate(vals)}
         stem = base.split("-")[0].split("+")[-1].lower()
+        to_text = _parse_differences(fbody, bodies, issues, base)
         if widths is not None:
-            fonts[fname] = FontMetrics(base, widths=widths)
+            fonts[fname] = FontMetrics(base, widths=widths, to_text=to_text)
         elif stem in ("helvetica", "arial", "arialmt"):
-            fonts[fname] = FontMetrics(base, widths=HELVETICA_WIDTHS, default_width=556)
+            fonts[fname] = FontMetrics(
+                base, widths=HELVETICA_WIDTHS, default_width=556, to_text=to_text
+            )
         else:
             if stem not in ("courier", "couriernew"):
                 issues.append(
                     f"font {base} has no /Widths; Courier metrics assumed"
                 )
-            fonts[fname] = COURIER
+            fonts[fname] = (
+                FontMetrics(base, to_text=to_text) if to_text else COURIER
+            )
     return fonts
 
 
@@ -1501,7 +1640,7 @@ def parse_pdf_word_pages(
         if content:
             if _SHOW_OP_RE.search(content):
                 saw_show_ops = True
-            _interpret(content, words, fonts)
+            _interpret(_strip_inline_images(content, issues), words, fonts)
         pages.append(words)
 
     if saw_show_ops and not any(pages):

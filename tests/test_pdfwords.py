@@ -363,3 +363,61 @@ def test_type0_missing_tounicode_flagged():
     with pytest.raises(UnsupportedPdfError, match="Type0"):
         parse_pdf_word_pages(crippled, strict=True)
     parse_pdf_word_pages(crippled, strict=False)  # lenient path survives
+
+
+def test_encoding_differences_and_inline_images():
+    """Round-5 interpreter depth: (a) /Encoding /Differences remaps
+    byte codes to glyph text (AGL-subset names, multi-code arrays)
+    while advances stay keyed by CODE; unknown glyph names trip strict
+    mode. (b) BI..ID..EI inline-image blocks are stripped before
+    tokenization (binary sample data would desync the operator scan);
+    an unterminated BI is flagged."""
+    from sharepointcrawler_spark.extraction.pdfwords import (
+        UnsupportedPdfError,
+        append_pdf_update,
+    )
+
+    text = "1.0 Heading One\n\nSome plain paragraph here for layout baseline.\n"
+    pages, heights = layout_words(text)
+    base = write_pdf(pages, heights)
+
+    def content_obj(raw: bytes) -> bytes:
+        fl = zlib.compress(raw)
+        return (
+            b"<< /Length " + str(len(fl)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + fl + b"\nendstream"
+        )
+
+    font_body = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+        b" /Encoding << /Differences [ 228 /adieresis 223 /germandbls 1 /euro ] >> >>"
+    )
+    show = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (Sp\xe4ter gro\xdf \x01 42) Tj ET"
+    blob = append_pdf_update(base, {1: font_body, 3: content_obj(show)})
+    got, _ = parse_pdf_word_pages(blob, strict=True)
+    assert [w.text for w in got[0]] == ["Später", "groß", "€", "42"]
+    w0 = got[0][0]  # six CODES at the Courier 600/1000 metric
+    assert abs((w0.right - w0.left) - 0.6 * 12 * 6) < 1e-9
+
+    bad_font = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+        b" /Encoding << /Differences [ 228 /madeupglyph ] >> >>"
+    )
+    with pytest.raises(UnsupportedPdfError, match="glyph /madeupglyph"):
+        parse_pdf_word_pages(append_pdf_update(base, {1: bad_font}), strict=True)
+
+    img = b"BI /W 4 /H 4 /BPC 8 /CS /G ID " + bytes(range(250, 256)) * 3 + b"\nEI"
+    around = (
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (before) Tj ET\n" + img
+        + b"\nBT /F1 12 Tf 1 0 0 1 72 680 Tm (after) Tj ET"
+    )
+    got2, _ = parse_pdf_word_pages(
+        append_pdf_update(base, {3: content_obj(around)}), strict=True
+    )
+    assert [w.text for w in got2[0]] == ["before", "after"]
+
+    unterminated = b"BT (x) Tj ET BI /W 4 ID \xff\xfe\xfd"
+    with pytest.raises(UnsupportedPdfError, match="without a matching EI"):
+        parse_pdf_word_pages(
+            append_pdf_update(base, {3: content_obj(unterminated)}), strict=True
+        )
