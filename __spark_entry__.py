@@ -721,6 +721,35 @@ def q_ann_topk_ivf(spark, sf_dir):
     )
 
 
+def q_ann_topk_pq(spark, sf_dir):
+    """ANN through PRODUCT QUANTIZATION (Jégou et al. 2011, the FAISS
+    IVF-PQ compression): the corpus is encoded to m=8 one-byte codes
+    per 64-dim vector (32x smaller than float32) and queries score via
+    asymmetric-distance lookup tables — no float embedding is read at
+    query time. Planted 2x-scaled probes normalize to their parent's
+    exact direction, get the parent's exact codes, and the ADC argmax
+    surfaces the parent as rank-1. Scores are codebook-dependent (not
+    SQL-reproducible), so the oracle checks (query, rank, neighbor)."""
+    from sharepointcrawler_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, m=8, n_codes=16)
+    codes = pq_encode(emb, books)
+    queries = _scaled_twins(emb, 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = pq_topk(codes, queries, books, k=5)
+    return top.filter(F.col("rank") == 1).select(
+        F.col("query_id").cast("long"),
+        F.col("rank").cast("long"),
+        F.col("vec_id").cast("long"),
+    )
+
+
 def q_ann_topk_multiband(spark, sf_dir):
     """OR-amplified multiband LSH ANN (4 independent hyperplane tables)
     with planted 2x-scaled probes: an exact twin collides in EVERY band
@@ -1272,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_pq": q_ann_topk_pq,
         "ann_topk_multiband": q_ann_topk_multiband,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
@@ -1767,6 +1797,16 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
             -- neighbor at cosine exactly 1.0
             SELECT vec_id + 1000000 AS query_id, CAST(1 AS BIGINT) AS rank,
                    vec_id, 1.0 AS score
+            FROM embeddings WHERE vec_id < 10
+        """,
+        "ann_topk_pq": """
+            -- top-down expectation: a planted 2x-scaled probe
+            -- normalizes to its parent's direction, gets the parent's
+            -- exact PQ codes, and the ADC lookup-table argmax surfaces
+            -- the parent as rank-1 (scores are codebook-dependent and
+            -- intentionally omitted)
+            SELECT vec_id + 1000000 AS query_id, CAST(1 AS BIGINT) AS rank,
+                   vec_id
             FROM embeddings WHERE vec_id < 10
         """,
         "ann_topk_multiband": """

@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two paths, as a training-data pipeline needs both:
+The paths a training-data pipeline needs:
 
 * brute-force cosine top-k — the exact baseline. The query side is tiny
   and broadcast; the corpus side streams through one pass; per-query
@@ -11,6 +11,11 @@ Two paths, as a training-data pipeline needs both:
   the corpus; a query only meets its own bucket (plus optional
   multi-probe neighbors). The scale path: the join key is the bucket,
   so the shuffle is |corpus| + |queries|, never |corpus| x |queries|.
+* IVF — spherical-k-means coarse cells + n_probe (FAISS pattern).
+* product quantization — m one-byte subspace codes per vector +
+  asymmetric-distance lookup tables: the memory lever (32x under
+  float32 at m=8/d=64) that makes billion-vector search fit a cluster;
+  the query-time scan never reads the float embeddings.
 """
 
 from __future__ import annotations
@@ -406,4 +411,145 @@ def lsh_topk_multiband(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, F.round("score", 6).alias("score"))
+    )
+
+
+# ----------------------------------------- product quantization (ADC)
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 10,
+    sample_size: int = 4096,
+    seed: int = 11,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011, the FAISS
+    IVF-PQ compression): the unit-normalized vector splits into ``m``
+    subspaces and each runs L2 k-means to ``n_codes`` centroids on a
+    bounded hash-ordered driver sample (the same deterministic AND
+    representative draw ``train_ivf_centroids`` uses). Returns
+    (m, n_codes, d/m) float64. With n_codes <= 256 a vector stores as
+    m BYTES — a 4*d/m compression ratio (64-dim float32 -> 8 bytes is
+    32x), the memory lever that makes billion-vector ANN fit a
+    cluster."""
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    )
+    mat = _normalize_rows(np.array([r[1] for r in sample], dtype=np.float64))
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    if n_codes > 256:
+        raise ValueError("n_codes must fit one byte")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, n_codes, dsub), dtype=np.float64)
+    for s in range(m):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        k_eff = min(n_codes, len(sub))
+        cb = sub[rng.choice(len(sub), size=k_eff, replace=False)].copy()
+        for _ in range(n_iters):
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k_eff):
+                members = sub[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books[s, :k_eff] = cb
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus -> (id, pq_code binary): per subspace, the argmin-L2
+    centroid index of the normalized vector, packed as one byte each
+    (m bytes per vector — the compressed representation the 100 TB scan
+    reads INSTEAD of the float embeddings). One Arrow batch = one
+    vectorized distance computation per subspace, no per-row python."""
+    books = codebooks
+    m, _, dsub = books.shape
+
+    @F.pandas_udf(T.BinaryType())
+    def encode(vecs: pd.Series) -> pd.Series:  # pragma: no cover
+        mat = _normalize_rows(np.stack(vecs.to_numpy()).astype(np.float64))
+        codes = np.zeros((len(mat), m), dtype=np.uint8)
+        for s in range(m):
+            sub = mat[:, s * dsub : (s + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return corpus.select(F.col(id_col), encode(F.col(vec_col)).alias("pq_code"))
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ-compressed corpus:
+    each (un-quantized, normalized) query precomputes an
+    (m, n_codes) lookup table of subspace dot products; scoring a
+    corpus vector is m table lookups + a sum — no float embeddings are
+    ever read. Plan: queries collect to the driver (bounded query
+    batches are the contract; chunk the batch for more) and ship inside
+    the mapInPandas closure with the LUTs; each partition emits only
+    its per-query top-k candidates (n_partitions * n_queries * k skinny
+    rows), and one window takes the global top-k. The corpus-side scan
+    reads m BYTES per vector — the whole point at 10^9+ vectors."""
+    books = codebooks
+    m, n_codes, dsub = books.shape
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        return codes.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, rank int, {id_col} long, score double"
+        )
+    qids = [r[0] for r in qrows]
+    qmat = _normalize_rows(np.array([r[1] for r in qrows], dtype=np.float64))
+    luts = np.zeros((len(qids), m, n_codes), dtype=np.float64)
+    for s in range(m):
+        luts[:, s, :] = qmat[:, s * dsub : (s + 1) * dsub] @ books[s].T
+    nq = len(qids)
+
+    def score(batches):  # pragma: no cover
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.frombuffer(
+                b"".join(pdf["pq_code"]), dtype=np.uint8
+            ).reshape(-1, m)
+            scores = np.zeros((nq, len(pdf)))
+            for s in range(m):
+                scores += luts[:, s, cm[:, s]]
+            k_eff = min(k, len(pdf))
+            top = np.argpartition(-scores, k_eff - 1, axis=1)[:, :k_eff]
+            ids = pdf[id_col].to_numpy()
+            rows = []
+            for qi in range(nq):
+                for j in top[qi]:
+                    rows.append((qids[qi], int(ids[j]), float(scores[qi, j])))
+            yield pd.DataFrame(rows, columns=[query_id_col, id_col, "_score"])
+
+    schema = f"{query_id_col} long, {id_col} long, _score double"
+    cands = codes.select(id_col, "pq_code").mapInPandas(score, schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_score"), F.col(id_col))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, F.round("_score", 6).alias("score"))
     )

@@ -850,3 +850,65 @@ def test_wav_depth_variants_round_trip():
 
     with _pytest.raises(ValueError, match="bit depth"):
         decode_wav(write_wav(s16, 22050, bits=12))
+
+
+def test_pq_compression_recall_and_determinism(spark):
+    """Product quantization (the billion-vector memory lever): codes are
+    m bytes per vector (32x under float32 at m=8/d=64); exact planted
+    twins are always rank-1 (identical codes -> ADC argmax); jittered
+    near-neighbor queries recover the exact top-1 in their PQ top-5 at
+    high recall; encode+search is deterministic."""
+    from pyspark.sql import functions as F
+
+    from sharepointcrawler_spark.operators.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=8, n_codes=16)
+    assert books.shape == (8, 16, 8)
+    codes = pq_encode(emb, books)
+    row = codes.limit(1).collect()[0]
+    assert len(bytes(row.pq_code)) == 8  # 64-dim float32 = 256 bytes -> 8
+
+    twins = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1000000).alias("query_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 2.0
+        ).alias("query_vec"),
+    )
+    top1 = {
+        r.query_id: r.vec_id
+        for r in pq_topk(codes, twins, books, k=3).filter("rank = 1").collect()
+    }
+    assert top1 == {1000000 + i: i for i in range(8)}
+
+    jitter = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 500000).alias("query_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x
+            * (
+                F.lit(1.0)
+                + F.lit(0.05)
+                * (((F.col("vec_id") * 31 + i * 17) % 13 - 6).cast("double") / 6.0)
+            ),
+        ).alias("query_vec"),
+    )
+    exact1 = {
+        r.query_id: r.vec_id
+        for r in brute_force_topk(emb, jitter, k=1).filter("rank = 1").collect()
+    }
+    pq5: dict = {}
+    for r in pq_topk(codes, jitter, books, k=5).collect():
+        pq5.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(1 for q, v in exact1.items() if v in pq5.get(q, set()))
+    assert hits >= 20, f"PQ recall@5 of exact top-1: {hits}/25"
+
+    # determinism: same corpus + seed -> byte-identical codes
+    again = {r.vec_id: bytes(r.pq_code) for r in pq_encode(emb, books).collect()}
+    first = {r.vec_id: bytes(r.pq_code) for r in codes.collect()}
+    assert again == first
