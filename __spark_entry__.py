@@ -750,6 +750,36 @@ def q_ann_topk_pq(spark, sf_dir):
     )
 
 
+def q_ann_topk_ivfpq(spark, sf_dir):
+    """ANN through the composed IVF-PQ index (the FAISS production
+    shape): one mapInPandas pass builds (id, cell, pq_code); queries
+    probe n_probe coarse cells, a Catalyst cell-IN filter prunes the
+    scan (partition pruning when the index table is partitioned by
+    cell), and ADC lookup tables score only the probed cells' codes.
+    Planted 2x twins share cell AND codes with their parent, so rank-1
+    is the parent; scores are codebook-dependent and omitted."""
+    from sharepointcrawler_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(emb, n_centroids=16, seed=7)
+    books = train_pq_codebooks(emb, m=8, n_codes=16)
+    index = ivfpq_encode(emb, centroids, books)
+    queries = _scaled_twins(emb, 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = ivfpq_topk(index, queries, centroids, books, k=5, n_probe=2)
+    return top.filter(F.col("rank") == 1).select(
+        F.col("query_id").cast("long"),
+        F.col("rank").cast("long"),
+        F.col("vec_id").cast("long"),
+    )
+
+
 def q_ann_topk_multiband(spark, sf_dir):
     """OR-amplified multiband LSH ANN (4 independent hyperplane tables)
     with planted 2x-scaled probes: an exact twin collides in EVERY band
@@ -1302,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_pq": q_ann_topk_pq,
+        "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "ann_topk_multiband": q_ann_topk_multiband,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
@@ -1805,6 +1836,14 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
             -- exact PQ codes, and the ADC lookup-table argmax surfaces
             -- the parent as rank-1 (scores are codebook-dependent and
             -- intentionally omitted)
+            SELECT vec_id + 1000000 AS query_id, CAST(1 AS BIGINT) AS rank,
+                   vec_id
+            FROM embeddings WHERE vec_id < 10
+        """,
+        "ann_topk_ivfpq": """
+            -- top-down expectation: a planted 2x-scaled probe shares
+            -- its parent's coarse cell AND PQ codes, so the cell-pruned
+            -- ADC argmax surfaces the parent as rank-1
             SELECT vec_id + 1000000 AS query_id, CAST(1 AS BIGINT) AS rank,
                    vec_id
             FROM embeddings WHERE vec_id < 10

@@ -553,3 +553,124 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, F.round("_score", 6).alias("score"))
     )
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus -> (id, cell, pq_code): the IVF-PQ index table — coarse
+    cell assignment AND PQ codes in ONE mapInPandas pass (the embedding
+    crosses Arrow once). At scale this table is WRITTEN PARTITIONED BY
+    ``cell`` so a query's probe set prunes at the file level; each row
+    is one int + m bytes."""
+    cts = centroids
+    books = codebooks
+    m, _, dsub = books.shape
+
+    def encode(batches):  # pragma: no cover
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _normalize_rows(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            )
+            cells = (mat @ cts.T).argmax(axis=1).astype("int32")
+            codes = np.zeros((len(mat), m), dtype=np.uint8)
+            for s in range(m):
+                sub = mat[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell": cells,
+                    "pq_code": [c.tobytes() for c in codes],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, cell int, pq_code binary"
+    )
+
+
+def ivfpq_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """The FAISS IVF-PQ production shape: each query probes its
+    ``n_probe`` nearest coarse cells and ADC-scores ONLY the PQ codes
+    inside them. The union of all probed cells becomes a Catalyst
+    ``cell IN (...)`` filter FIRST — with the index table partitioned
+    by cell that is partition pruning, so the scan touches only probed
+    cells' bytes — then a mapInPandas pass applies each query's own
+    cell mask and emits its per-partition top-k; one global window
+    finishes. A query's own cell is always probe #1 (argmax), so an
+    exact-duplicate vector is always found. Non-residual PQ (codes of
+    the raw normalized vector); residual PQ is the refinement path."""
+    books = codebooks
+    m, n_codes, dsub = books.shape
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        return index.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, rank int, {id_col} long, score double"
+        )
+    qids = [r[0] for r in qrows]
+    qmat = _normalize_rows(np.array([r[1] for r in qrows], dtype=np.float64))
+    order = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
+    probe_sets = [set(int(c) for c in row) for row in order]
+    all_cells = sorted(set().union(*probe_sets))
+    luts = np.zeros((len(qids), m, n_codes), dtype=np.float64)
+    for s in range(m):
+        luts[:, s, :] = qmat[:, s * dsub : (s + 1) * dsub] @ books[s].T
+    nq = len(qids)
+    probe_arr = [np.array(sorted(ps), dtype=np.int64) for ps in probe_sets]
+
+    def score(batches):  # pragma: no cover
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.frombuffer(
+                b"".join(pdf["pq_code"]), dtype=np.uint8
+            ).reshape(-1, m)
+            cells = pdf["cell"].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            scores = np.zeros((nq, len(pdf)))
+            for s in range(m):
+                scores += luts[:, s, cm[:, s]]
+            rows = []
+            for qi in range(nq):
+                mask = np.isin(cells, probe_arr[qi])
+                if not mask.any():
+                    continue
+                sq = scores[qi][mask]
+                idq = ids[mask]
+                k_eff = min(k, len(sq))
+                top = np.argpartition(-sq, k_eff - 1)[:k_eff]
+                for j in top:
+                    rows.append((qids[qi], int(idq[j]), float(sq[j])))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[query_id_col, id_col, "_score"]
+                )
+
+    pruned = index.filter(F.col("cell").isin([int(c) for c in all_cells]))
+    cands = pruned.select(id_col, "cell", "pq_code").mapInPandas(
+        score, f"{query_id_col} long, {id_col} long, _score double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_score"), F.col(id_col))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, F.round("_score", 6).alias("score"))
+    )

@@ -912,3 +912,72 @@ def test_pq_compression_recall_and_determinism(spark):
     again = {r.vec_id: bytes(r.pq_code) for r in pq_encode(emb, books).collect()}
     first = {r.vec_id: bytes(r.pq_code) for r in codes.collect()}
     assert again == first
+
+
+def test_ivfpq_cell_pruning_and_recall(spark):
+    """Composed IVF-PQ: the index table carries (cell, m-byte code);
+    queries prune to their probe cells via a Catalyst IN filter and
+    ADC-score only those. Twins are rank-1; recall of the exact top-1
+    on jittered queries stays high; a query never returns a vector
+    outside its probe cells."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sharepointcrawler_spark.operators.similarity import (
+        _normalize_rows,
+        brute_force_topk,
+        ivfpq_encode,
+        ivfpq_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cts = train_ivf_centroids(emb, n_centroids=8, seed=7)
+    books = train_pq_codebooks(emb, m=8, n_codes=16)
+    index = ivfpq_encode(emb, cts, books)
+    assert index.columns == ["vec_id", "cell", "pq_code"]
+
+    twins = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1000000).alias("query_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 2.0
+        ).alias("query_vec"),
+    )
+    res = ivfpq_topk(index, twins, cts, books, k=5, n_probe=2)
+    top1 = {r.query_id: r.vec_id for r in res.filter("rank = 1").collect()}
+    assert top1 == {1000000 + i: i for i in range(8)}
+
+    # probe-cell containment: every returned neighbor lives in one of
+    # the query's n_probe cells
+    cells = {r.vec_id: r.cell for r in index.collect()}
+    qrows = twins.collect()
+    qmat = _normalize_rows(
+        np.array([r.query_vec for r in qrows], dtype=np.float64)
+    )
+    probes = np.argsort(-(qmat @ cts.T), axis=1)[:, :2]
+    probe_of = {r.query_id: set(int(c) for c in p) for r, p in zip(qrows, probes)}
+    for r in res.collect():
+        assert cells[r.vec_id] in probe_of[r.query_id]
+
+    jitter = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 500000).alias("query_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x
+            * (
+                F.lit(1.0)
+                + F.lit(0.05)
+                * (((F.col("vec_id") * 31 + i * 17) % 13 - 6).cast("double") / 6.0)
+            ),
+        ).alias("query_vec"),
+    )
+    exact1 = {
+        r.query_id: r.vec_id
+        for r in brute_force_topk(emb, jitter, k=1).filter("rank = 1").collect()
+    }
+    got5: dict = {}
+    for r in ivfpq_topk(index, jitter, cts, books, k=5, n_probe=3).collect():
+        got5.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(1 for q, v in exact1.items() if v in got5.get(q, set()))
+    assert hits >= 18, f"IVF-PQ recall@5 of exact top-1: {hits}/25"
