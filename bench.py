@@ -60,6 +60,8 @@ HEADLINE = [
     "pdf_xref_stream_extraction_identity",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
+    "ann_topk_pq",
+    "ann_topk_ivfpq",
     "ann_topk_multiband",
     "embedding_near_dup",
 ]
