@@ -426,6 +426,7 @@ def train_pq_codebooks(
     seed: int = 11,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Product-quantization codebooks (Jégou et al. 2011, the FAISS
     IVF-PQ compression): the unit-normalized vector splits into ``m``
@@ -435,7 +436,10 @@ def train_pq_codebooks(
     (m, n_codes, d/m) float64. With n_codes <= 256 a vector stores as
     m BYTES — a 4*d/m compression ratio (64-dim float32 -> 8 bytes is
     32x), the memory lever that makes billion-vector ANN fit a
-    cluster."""
+    cluster. Pass the IVF ``centroids`` to train on RESIDUALS
+    (x - c_cell, the FAISS default): residual magnitudes are far
+    smaller than raw vectors, so the same code budget quantizes finer
+    — use with ``ivfpq_encode/ivfpq_topk(residual=True)``."""
     sample = (
         corpus.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
@@ -443,6 +447,8 @@ def train_pq_codebooks(
         .collect()
     )
     mat = _normalize_rows(np.array([r[1] for r in sample], dtype=np.float64))
+    if centroids is not None:
+        mat = mat - centroids[(mat @ centroids.T).argmax(axis=1)]
     d = mat.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -561,12 +567,14 @@ def ivfpq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """Corpus -> (id, cell, pq_code): the IVF-PQ index table — coarse
     cell assignment AND PQ codes in ONE mapInPandas pass (the embedding
-    crosses Arrow once). At scale this table is WRITTEN PARTITIONED BY
-    ``cell`` so a query's probe set prunes at the file level; each row
-    is one int + m bytes."""
+    crosses Arrow once). ``residual=True`` quantizes ``x - c_cell``
+    (the FAISS default; train the codebooks on residuals too). At scale
+    this table is WRITTEN PARTITIONED BY ``cell`` so a query's probe
+    set prunes at the file level; each row is one int + m bytes."""
     cts = centroids
     books = codebooks
     m, _, dsub = books.shape
@@ -578,7 +586,9 @@ def ivfpq_encode(
             mat = _normalize_rows(
                 np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             )
-            cells = (mat @ cts.T).argmax(axis=1).astype("int32")
+            cells = (mat @ cts.T).argmax(axis=1)
+            if residual:
+                mat = mat - cts[cells]
             codes = np.zeros((len(mat), m), dtype=np.uint8)
             for s in range(m):
                 sub = mat[:, s * dsub : (s + 1) * dsub]
@@ -587,7 +597,7 @@ def ivfpq_encode(
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
-                    "cell": cells,
+                    "cell": cells.astype("int32"),
                     "pq_code": [c.tobytes() for c in codes],
                 }
             )
@@ -607,6 +617,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    residual: bool = False,
 ) -> DataFrame:
     """The FAISS IVF-PQ production shape: each query probes its
     ``n_probe`` nearest coarse cells and ADC-scores ONLY the PQ codes
@@ -616,8 +627,14 @@ def ivfpq_topk(
     cells' bytes — then a mapInPandas pass applies each query's own
     cell mask and emits its per-partition top-k; one global window
     finishes. A query's own cell is always probe #1 (argmax), so an
-    exact-duplicate vector is always found. Non-residual PQ (codes of
-    the raw normalized vector); residual PQ is the refinement path."""
+    exact-duplicate vector is always found. ``residual=True`` scores
+    ``q·(c_cell + r̂) = q·c_cell + LUT sum`` (a per-(query, cell) bias
+    added to the table lookups) over a residual-encoded index — the
+    FAISS default. Residual encoding wins when the coarse quantizer
+    captures real variance (clustered embeddings); on a near-uniform
+    corpus the residuals are as large as the vectors and it buys
+    nothing — measured honestly on the synthetic fixture in
+    tests/test_corpus_ops.py."""
     books = codebooks
     m, n_codes, dsub = books.shape
     qrows = queries.select(query_id_col, query_vec_col).collect()
@@ -627,7 +644,8 @@ def ivfpq_topk(
         )
     qids = [r[0] for r in qrows]
     qmat = _normalize_rows(np.array([r[1] for r in qrows], dtype=np.float64))
-    order = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
+    qcent = qmat @ centroids.T  # (nq, n_centroids): probe order + bias
+    order = np.argsort(-qcent, axis=1)[:, :n_probe]
     probe_sets = [set(int(c) for c in row) for row in order]
     all_cells = sorted(set().union(*probe_sets))
     luts = np.zeros((len(qids), m, n_codes), dtype=np.float64)
@@ -648,6 +666,8 @@ def ivfpq_topk(
             scores = np.zeros((nq, len(pdf)))
             for s in range(m):
                 scores += luts[:, s, cm[:, s]]
+            if residual:
+                scores += qcent[:, cells]  # q . c_cell bias per row
             rows = []
             for qi in range(nq):
                 mask = np.isin(cells, probe_arr[qi])

@@ -981,3 +981,73 @@ def test_ivfpq_cell_pruning_and_recall(spark):
         got5.setdefault(r.query_id, set()).add(r.vec_id)
     hits = sum(1 for q, v in exact1.items() if v in got5.get(q, set()))
     assert hits >= 18, f"IVF-PQ recall@5 of exact top-1: {hits}/25"
+
+
+def test_ivfpq_residual_mode(spark):
+    """Residual IVF-PQ (the FAISS default: quantize x - c_cell, score
+    q.c_cell + LUT sum): exact twins stay rank-1, jittered recall stays
+    high, and encode is deterministic. NOTE the honest caveat: on this
+    near-uniform synthetic fixture the coarse quantizer removes little
+    variance, so residual encoding does not beat non-residual here —
+    the assertion is behavioral correctness, not superiority (which
+    needs clustered real embeddings)."""
+    from pyspark.sql import functions as F
+
+    from sharepointcrawler_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_encode,
+        ivfpq_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cts = train_ivf_centroids(emb, n_centroids=8, seed=7)
+    books = train_pq_codebooks(emb, m=8, n_codes=16, centroids=cts)
+    index = ivfpq_encode(emb, cts, books, residual=True)
+
+    twins = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1000000).alias("query_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 2.0
+        ).alias("query_vec"),
+    )
+    top1 = {
+        r.query_id: r.vec_id
+        for r in ivfpq_topk(index, twins, cts, books, k=5, n_probe=2, residual=True)
+        .filter("rank = 1")
+        .collect()
+    }
+    assert top1 == {1000000 + i: i for i in range(8)}
+
+    jitter = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 500000).alias("query_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x
+            * (
+                F.lit(1.0)
+                + F.lit(0.05)
+                * (((F.col("vec_id") * 31 + i * 17) % 13 - 6).cast("double") / 6.0)
+            ),
+        ).alias("query_vec"),
+    )
+    exact1 = {
+        r.query_id: r.vec_id
+        for r in brute_force_topk(emb, jitter, k=1).filter("rank = 1").collect()
+    }
+    got5: dict = {}
+    for r in ivfpq_topk(
+        index, jitter, cts, books, k=5, n_probe=3, residual=True
+    ).collect():
+        got5.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(1 for q, v in exact1.items() if v in got5.get(q, set()))
+    assert hits >= 15, f"residual IVF-PQ recall@5: {hits}/20"
+
+    # deterministic encode
+    a = {r.vec_id: (r.cell, bytes(r.pq_code)) for r in index.collect()}
+    b = {
+        r.vec_id: (r.cell, bytes(r.pq_code))
+        for r in ivfpq_encode(emb, cts, books, residual=True).collect()
+    }
+    assert a == b
