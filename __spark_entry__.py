@@ -1197,6 +1197,74 @@ def q_pdf_xref_stream_extraction(spark, sf_dir):
     )
 
 
+def _recrawl_history(spark, sf_dir):
+    """Deterministic fetch-history fixture from doc_id closed forms
+    (epoch-second timestamps; every derived feature below is IEEE-exact
+    so DuckDB recomputes it bit-identically)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .select(
+            F.col("doc_id"),
+            (F.lit(1704067200) + (F.col("doc_id") % 7) * 86400).alias(
+                "first_fetch_s"
+            ),
+            (
+                F.lit(1704067200)
+                + (F.col("doc_id") % 7) * 86400
+                + F.lit(30 * 86400)
+                + (F.col("doc_id") % 11) * 3600
+            ).alias("last_fetch_s"),
+            (F.lit(3) + F.col("doc_id") % 9).alias("n_fetches"),
+            (F.col("doc_id") % 5).alias("n_changes"),
+            F.concat(F.lit("site"), (F.col("doc_id") % 4).cast("string")).alias(
+                "host"
+            ),
+            (F.lit(1.0) + (F.col("doc_id") % 3).cast("double")).alias("importance"),
+        )
+    )
+
+
+_RECRAWL_NOW_S = 1712275200  # 2024-04-05, fixed evaluation instant
+
+
+def q_recrawl_priority(spark, sf_dir):
+    """Refresh scheduling (Cho & Garcia-Molina change-rate model — the
+    feature a once-and-done reference crawler lacks but a 10^10-URL
+    crawler lives by): smoothed Poisson rate, staleness = rate * age *
+    importance, and the due flag at the ln-2 threshold, all from pure
+    IEEE-exact built-ins over one scan — the oracle recomputes every
+    double bit-identically (exp-based p_changed is deliberately outside
+    the compared surface)."""
+    from sharepointcrawler_spark.operators.recrawl import recrawl_priorities
+
+    pr = recrawl_priorities(
+        _recrawl_history(spark, sf_dir),
+        now_s=_RECRAWL_NOW_S,
+        id_col="doc_id",
+        importance_col="importance",
+    )
+    return pr.select("doc_id", "lambda_per_day", "age_days", "staleness", "due")
+
+
+def q_recrawl_batch(spark, sf_dir):
+    """The refresh batch: top-5 DUE urls per host by staleness (one
+    host-keyed window, aligned with the politeness partitioning); ranks
+    are deterministic because staleness is IEEE-exact and ties break by
+    id."""
+    from sharepointcrawler_spark.operators.recrawl import (
+        recrawl_priorities,
+        select_refresh_batch,
+    )
+
+    hist = _recrawl_history(spark, sf_dir)
+    pr = recrawl_priorities(
+        hist, now_s=_RECRAWL_NOW_S, id_col="doc_id", importance_col="importance"
+    ).join(hist.select("doc_id", "host"), "doc_id")
+    batch = select_refresh_batch(pr, per_host=5, host_col="host", id_col="doc_id")
+    return batch.select("doc_id", "host", F.col("refresh_rank").cast("long").alias("refresh_rank"))
+
+
 def q_pdf_incremental_extraction(spark, sf_dir):
     """Byte-identity through INCREMENTALLY-UPDATED PDFs (§7.5.6 — the
     signed/annotated-file shape): 12 base documents each get an
@@ -1289,6 +1357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_global_order_rank": q_global_order_rank,
         "t3_politeness_slots": q_politeness_slots,
         "w5_topk_per_host": q_topk_per_host,
+        "t6_recrawl_priority": q_recrawl_priority,
+        "t6_recrawl_batch": q_recrawl_batch,
         "a1_count_by_state": q_count_by_state,
         "a2_running_metrics": q_running_metrics,
         "a3_groupby_having": q_groupby_having_threshold,
@@ -2082,6 +2152,62 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
             -- byte-identically: CID decode + /W widths + ToUnicode
             SELECT i AS doc_id, true AS byte_identical
             FROM (SELECT unnest(generate_series(0, 11)) AS i)
+        """,
+        "t6_recrawl_priority": """
+            -- Cho & Garcia-Molina refresh model recomputed from the
+            -- doc_id closed forms with IEEE-exact ops only (+ - * /):
+            -- lambda = (changes + 0.5) / (observed_days + 1),
+            -- staleness = (lambda * age) * importance,
+            -- due at the ln-2 literal threshold
+            WITH h AS (
+              SELECT doc_id,
+                     CAST(1704067200 + (doc_id % 7) * 86400 AS DOUBLE) AS first_s,
+                     CAST(1704067200 + (doc_id % 7) * 86400
+                          + 30 * 86400 + (doc_id % 11) * 3600 AS DOUBLE) AS last_s,
+                     CAST(doc_id % 5 AS DOUBLE) AS n_changes,
+                     1.0 + CAST(doc_id % 3 AS DOUBLE) AS imp
+              FROM documents),
+            f AS (
+              SELECT doc_id,
+                     (n_changes + 0.5) / (((last_s - first_s) / 86400.0) + 1.0)
+                         AS lambda_per_day,
+                     (1712275200.0 - last_s) / 86400.0 AS age_days,
+                     imp
+              FROM h)
+            SELECT doc_id, lambda_per_day, age_days,
+                   (lambda_per_day * age_days) * imp AS staleness,
+                   lambda_per_day * age_days >= 0.6931471805599453 AS due
+            FROM f
+        """,
+        "t6_recrawl_batch": """
+            -- top-5 due urls per host by staleness (ties by doc_id)
+            WITH h AS (
+              SELECT doc_id,
+                     CAST(1704067200 + (doc_id % 7) * 86400 AS DOUBLE) AS first_s,
+                     CAST(1704067200 + (doc_id % 7) * 86400
+                          + 30 * 86400 + (doc_id % 11) * 3600 AS DOUBLE) AS last_s,
+                     CAST(doc_id % 5 AS DOUBLE) AS n_changes,
+                     1.0 + CAST(doc_id % 3 AS DOUBLE) AS imp,
+                     'site' || CAST(doc_id % 4 AS VARCHAR) AS host
+              FROM documents),
+            f AS (
+              SELECT doc_id, host,
+                     (n_changes + 0.5) / (((last_s - first_s) / 86400.0) + 1.0)
+                         AS lam,
+                     (1712275200.0 - last_s) / 86400.0 AS age,
+                     imp
+              FROM h),
+            due AS (
+              SELECT doc_id, host, (lam * age) * imp AS staleness
+              FROM f WHERE lam * age >= 0.6931471805599453),
+            ranked AS (
+              SELECT doc_id, host,
+                     row_number() OVER (PARTITION BY host
+                                        ORDER BY staleness DESC, doc_id)
+                         AS refresh_rank
+              FROM due)
+            SELECT doc_id, host, refresh_rank FROM ranked
+            WHERE refresh_rank <= 5
         """,
         "pdf_incremental_extraction_identity": """
             -- every incrementally-updated PDF must extract the UPDATED

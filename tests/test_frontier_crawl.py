@@ -109,3 +109,65 @@ def test_global_sequence_matches_window(spark):
     keys_sorted = sorted(r[0] for r in rows)
     assert [r.key for r in check] == keys_sorted
     assert [r.seq for r in check] == list(range(1, 5001))
+
+
+def test_recrawl_priorities_model(spark):
+    """Cho & Garcia-Molina refresh features: the smoothed rate and
+    staleness match hand-computed values, p_changed matches python's
+    exp to float precision, the due flag flips exactly at the ln-2
+    product, and the per-host batch contains only due rows in
+    staleness order."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sharepointcrawler_spark.operators.recrawl import (
+        LN2,
+        recrawl_priorities,
+        select_refresh_batch,
+    )
+
+    day = 86400
+    rows = [
+        # (id, first, last, fetches, changes, host, importance)
+        (1, 0, 30 * day, 10, 6, "a", 1.0),   # fast changer, 10d old
+        (2, 0, 30 * day, 10, 0, "a", 1.0),   # never changed
+        (3, 0, 39 * day, 5, 1, "b", 2.0),    # 1d old, important
+        (4, 0, 10 * day, 3, 9, "b", 1.0),    # very fast, 30d old
+    ]
+    hist = spark.createDataFrame(
+        rows,
+        "doc_id long, first_fetch_s long, last_fetch_s long, n_fetches long,"
+        " n_changes long, host string, importance double",
+    )
+    now = 40 * day
+    pr = {
+        r.doc_id: r
+        for r in recrawl_priorities(
+            hist, now_s=now, id_col="doc_id", importance_col="importance"
+        ).collect()
+    }
+    # id 1: lambda = 6.5/31, age 10 -> staleness ~2.097, due
+    lam1 = 6.5 / 31.0
+    assert pr[1].lambda_per_day == lam1
+    assert pr[1].age_days == 10.0
+    assert pr[1].staleness == (lam1 * 10.0) * 1.0
+    assert pr[1].due and pr[1].p_changed == 1.0 - math.exp(-lam1 * 10.0)
+    # id 2: smoothing keeps a nonzero rate; 10 days old -> not due
+    assert 0 < pr[2].lambda_per_day == 0.5 / 31.0
+    assert not pr[2].due
+    # id 3: lambda = 1.5/40, age 1 -> product 0.0375 << ln2, not due,
+    # but importance doubles its staleness
+    assert pr[3].staleness == (1.5 / 40.0 * 1.0) * 2.0 and not pr[3].due
+    # id 4: lambda = 9.5/11, age 30 -> far past due
+    assert pr[4].due and pr[4].p_changed > 0.99
+    # due boundary is exactly lambda*age >= ln2
+    for r in pr.values():
+        assert r.due == (r.lambda_per_day * r.age_days >= LN2)
+
+    joined = recrawl_priorities(
+        hist, now_s=now, id_col="doc_id", importance_col="importance"
+    ).join(hist.select("doc_id", "host"), "doc_id")
+    batch = select_refresh_batch(joined, per_host=1, host_col="host", id_col="doc_id")
+    got = {(r.host, r.refresh_rank): r.doc_id for r in batch.collect()}
+    assert got == {("a", 1): 1, ("b", 1): 4}  # only due rows, max staleness
