@@ -1197,6 +1197,54 @@ def q_pdf_xref_stream_extraction(spark, sf_dir):
     )
 
 
+def q_sitemap_entries(spark, sf_dir):
+    """Sitemap protocol parse (the seed-discovery channel robots.txt
+    advertises): 40 deterministic sitemap XML docs — every 5th is a
+    <sitemapindex> with 2 child sitemaps, the rest are <urlset>s with
+    3 <url> entries carrying lastmod + priority — are built with JVM
+    string concat and parsed back by the regexp-block operator. The
+    oracle states the expected rows TOP-DOWN from the same formulas
+    (priority via decimal-string cast, identical doubles in both
+    engines), so any block-split/field/ordering bug mismatches."""
+    from sharepointcrawler_spark.operators.sitemap import sitemap_entries
+
+    d = F.col("doc_id")
+    site = (d % 4).cast("string")
+    ds = d.cast("string")
+
+    def urlblock(j):
+        return F.concat(
+            F.lit("<url><loc>https://site"), site,
+            F.lit(".example.com/page/"), ds, F.lit(f"/{j}</loc>"),
+            F.lit(f"<lastmod>2024-0{1 + j}-15</lastmod>"),
+            F.lit(f"<priority>0.{5 + j}</priority></url>"),
+        )
+
+    def smblock(j):
+        return F.concat(
+            F.lit("<sitemap><loc>https://site"), site,
+            F.lit(".example.com/sm/"), ds, F.lit(f"/{j}.xml</loc></sitemap>"),
+        )
+
+    xml = F.when(
+        d % 5 == 0,
+        F.concat(F.lit("<sitemapindex>"), smblock(0), smblock(1), F.lit("</sitemapindex>")),
+    ).otherwise(
+        F.concat(
+            F.lit("<urlset>"), urlblock(0), urlblock(1), urlblock(2), F.lit("</urlset>")
+        )
+    )
+    sitemaps = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(d < 40)
+        .select(d.alias("sitemap_id"), xml.alias("xml"))
+    )
+    return sitemap_entries(sitemaps).select(
+        "sitemap_id", "ord", "loc", "lastmod", "priority", "is_index"
+    )
+
+
 def _recrawl_history(spark, sf_dir):
     """Deterministic fetch-history fixture from doc_id closed forms
     (epoch-second timestamps; every derived feature below is IEEE-exact
@@ -1357,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_global_order_rank": q_global_order_rank,
         "t3_politeness_slots": q_politeness_slots,
         "w5_topk_per_host": q_topk_per_host,
+        "s9_sitemap_entries": q_sitemap_entries,
         "t6_recrawl_priority": q_recrawl_priority,
         "t6_recrawl_batch": q_recrawl_batch,
         "a1_count_by_state": q_count_by_state,
@@ -2152,6 +2201,35 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
             -- byte-identically: CID decode + /W widths + ToUnicode
             SELECT i AS doc_id, true AS byte_identical
             FROM (SELECT unnest(generate_series(0, 11)) AS i)
+        """,
+        "s9_sitemap_entries": """
+            -- top-down expectation from the same closed forms the
+            -- fixture XML is built from: every 5th doc is an index
+            -- (2 child sitemaps), others are urlsets (3 urls with
+            -- lastmod + decimal-string priority)
+            WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+            j AS (
+              SELECT doc_id,
+                     unnest(generate_series(0,
+                       CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END)) AS ord
+              FROM ids)
+            SELECT doc_id AS sitemap_id,
+                   CAST(ord AS BIGINT) AS ord,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN 'https://site' || CAST(doc_id % 4 AS VARCHAR)
+                             || '.example.com/sm/' || CAST(doc_id AS VARCHAR)
+                             || '/' || CAST(ord AS VARCHAR) || '.xml'
+                        ELSE 'https://site' || CAST(doc_id % 4 AS VARCHAR)
+                             || '.example.com/page/' || CAST(doc_id AS VARCHAR)
+                             || '/' || CAST(ord AS VARCHAR) END AS loc,
+                   CASE WHEN doc_id % 5 = 0 THEN NULL
+                        ELSE '2024-0' || CAST(1 + ord AS VARCHAR) || '-15' END
+                       AS lastmod,
+                   CASE WHEN doc_id % 5 = 0 THEN NULL
+                        ELSE CAST('0.' || CAST(5 + ord AS VARCHAR) AS DOUBLE) END
+                       AS priority,
+                   doc_id % 5 = 0 AS is_index
+            FROM j
         """,
         "t6_recrawl_priority": """
             -- Cho & Garcia-Molina refresh model recomputed from the

@@ -171,3 +171,50 @@ def test_recrawl_priorities_model(spark):
     batch = select_refresh_batch(joined, per_host=1, host_col="host", id_col="doc_id")
     got = {(r.host, r.refresh_rank): r.doc_id for r in batch.collect()}
     assert got == {("a", 1): 1, ("b", 1): 4}  # only due rows, max staleness
+
+
+def test_sitemap_entries_and_seed_frontier(spark):
+    """Sitemap protocol parse: urlset entries with optional fields,
+    whitespace-padded locs, loc-less entries dropped; sitemapindex
+    children classified is_index; seed frontier excludes index children
+    and keep-first-dedups repeated locs."""
+    from sharepointcrawler_spark.operators.sitemap import (
+        sitemap_entries,
+        sitemap_seed_frontier,
+    )
+
+    urlset = (
+        '<?xml version="1.0"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "<url><loc> https://a.example.com/p1 </loc>"
+        "<lastmod>2024-01-01</lastmod><changefreq>daily</changefreq>"
+        "<priority>0.8</priority></url>\n"
+        "<url><loc>https://a.example.com/p2</loc><priority>0.5</priority></url>\n"
+        "<url><lastmod>2024-02-02</lastmod></url>\n"
+        "<url><loc>https://a.example.com/p1</loc></url>\n"
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://a.example.com/sm1.xml</loc>"
+        "<lastmod>2024-03-01</lastmod></sitemap>"
+        "<sitemap><loc>https://a.example.com/sm2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [(1, urlset), (2, index)], "sitemap_id long, xml string"
+    )
+    rows = sitemap_entries(df).orderBy("sitemap_id", "ord").collect()
+    assert len(rows) == 5  # loc-less entry dropped
+    assert rows[0].loc == "https://a.example.com/p1"  # whitespace trimmed
+    assert rows[0].lastmod == "2024-01-01" and rows[0].priority == 0.8
+    assert rows[0].changefreq == "daily" and not rows[0].is_index
+    assert rows[1].priority == 0.5 and rows[1].lastmod is None
+    assert rows[3].is_index and rows[3].loc == "https://a.example.com/sm1.xml"
+    assert rows[4].is_index and rows[4].lastmod is None
+
+    seeds = sitemap_seed_frontier(df).orderBy("loc").collect()
+    assert [s.loc for s in seeds] == [
+        "https://a.example.com/p1",
+        "https://a.example.com/p2",
+    ]
+    assert seeds[0].ord == 0  # keep-first won over the ord-3 duplicate
