@@ -20,8 +20,10 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from sharepointcrawler_spark.functions.textanalysis import (
     LANG_MARKERS,
@@ -1197,6 +1199,51 @@ def q_pdf_xref_stream_extraction(spark, sf_dir):
     )
 
 
+def q_warc_ingest(spark, sf_dir):
+    """WARC container ingestion (ISO 28500 — the wire format Common
+    Crawl actually ships): 32 deterministic WARC files (warcinfo +
+    request/response pairs; odd ids use the per-record-gzip member
+    layout CC stores) are built by the spec-correct fixture writer and
+    split back into typed record rows by the mapInPandas parser. The
+    oracle states every record's type/url/timestamp/status/body-length
+    TOP-DOWN from the same closed forms — any record-split,
+    Content-Length, gzip-member, or HTTP-header-strip bug mismatches."""
+    from sharepointcrawler_spark.sources.warc import warc_records, write_warc
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:  # pragma: no cover
+        def one(d):
+            d = int(d)
+            pages = []
+            for j in range(2):
+                url = f"https://site{d % 4}.example.com/w/{d}/{j}"
+                ts = f"2024-01-{(d % 27) + 1:02d}T0{j}:00:00Z"
+                status = 200 if (d + j) % 5 else 404
+                html = (
+                    "<html>" + f"w{d} token{j} " * (3 + d % 4) + "</html>"
+                ).encode()
+                pages.append((url, ts, status, html))
+            return write_warc(pages, per_record_gzip=bool(d % 2))
+
+        return ids.map(one)
+
+    warcs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 32)
+        .select(F.col("doc_id").alias("warc_id"), synth(F.col("doc_id")).alias("warc"))
+    )
+    return warc_records(warcs).select(
+        "warc_id",
+        "record_ord",
+        "warc_type",
+        "url",
+        "warc_ts",
+        "http_status",
+        F.length("body").cast("long").alias("n_bytes"),
+    )
+
+
 def q_sitemap_entries(spark, sf_dir):
     """Sitemap protocol parse (the seed-discovery channel robots.txt
     advertises): 40 deterministic sitemap XML docs — every 5th is a
@@ -1406,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_politeness_slots": q_politeness_slots,
         "w5_topk_per_host": q_topk_per_host,
         "s9_sitemap_entries": q_sitemap_entries,
+        "s10_warc_ingest": q_warc_ingest,
         "t6_recrawl_priority": q_recrawl_priority,
         "t6_recrawl_batch": q_recrawl_batch,
         "a1_count_by_state": q_count_by_state,
@@ -2201,6 +2249,43 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
             -- byte-identically: CID decode + /W widths + ToUnicode
             SELECT i AS doc_id, true AS byte_identical
             FROM (SELECT unnest(generate_series(0, 11)) AS i)
+        """,
+        "s10_warc_ingest": """
+            -- top-down expectation from the WARC fixture closed forms:
+            -- record 0 = warcinfo (56-byte fields block), then per page
+            -- j a request (HTTP headers stripped -> empty GET body) and
+            -- a response (body = the html after HTTP-header strip);
+            -- odd warc ids are per-record-gzip members
+            WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 32),
+            page AS (
+              SELECT doc_id, unnest(generate_series(0, 1)) AS j FROM ids),
+            pg AS (
+              SELECT doc_id, j,
+                     'https://site' || CAST(doc_id % 4 AS VARCHAR)
+                       || '.example.com/w/' || CAST(doc_id AS VARCHAR)
+                       || '/' || CAST(j AS VARCHAR) AS url,
+                     '2024-01-' || lpad(CAST((doc_id % 27) + 1 AS VARCHAR), 2, '0')
+                       || 'T0' || CAST(j AS VARCHAR) || ':00:00Z' AS ts,
+                     CASE WHEN (doc_id + j) % 5 = 0 THEN 404 ELSE 200 END AS status,
+                     length('<html>' || repeat(
+                       'w' || CAST(doc_id AS VARCHAR) || ' token'
+                         || CAST(j AS VARCHAR) || ' ', 3 + doc_id % 4)
+                       || '</html>') AS html_len
+              FROM page)
+            SELECT warc_id, CAST(record_ord AS BIGINT) AS record_ord, warc_type,
+                   url, warc_ts, CAST(http_status AS INTEGER) AS http_status,
+                   CAST(n_bytes AS BIGINT) AS n_bytes
+            FROM (
+              SELECT doc_id AS warc_id, 0 AS record_ord,
+                     'warcinfo' AS warc_type, NULL AS url, NULL AS warc_ts,
+                     NULL AS http_status, 56 AS n_bytes
+              FROM ids
+              UNION ALL
+              SELECT doc_id, 1 + j * 2, 'request', url, ts, NULL, 0
+              FROM pg
+              UNION ALL
+              SELECT doc_id, 2 + j * 2, 'response', url, ts, status, html_len
+              FROM pg)
         """,
         "s9_sitemap_entries": """
             -- top-down expectation from the same closed forms the
