@@ -58,6 +58,9 @@ HEADLINE = [
     "multimodal_resize",
     "pdf_extraction_identity",
     "pdf_xref_stream_extraction_identity",
+    "s10_warc_ingest",
+    "s9_sitemap_entries",
+    "t6_recrawl_priority",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "ann_topk_pq",
