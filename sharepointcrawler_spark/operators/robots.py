@@ -170,6 +170,42 @@ def parse_robots_txt(
     return rows
 
 
+def parse_sitemap_directives(host: str, text: str) -> list[tuple[str, str]]:
+    """``Sitemap:`` lines (the sitemaps.org robots extension): GLOBAL
+    directives, valid anywhere in the file and independent of
+    user-agent groups — collected separately from the rule parse.
+    Returns (host, sitemap_url) rows; values keep their case (URLs are
+    case-sensitive past the host)."""
+    out: list[tuple[str, str]] = []
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, _, val = line.partition(":")  # first colon only: the URL's
+        if key.strip().lower() == "sitemap":  # own "://" stays in val
+            url = val.strip()
+            if url:
+                out.append((host, url))
+    return out
+
+
+def robots_sitemaps_df(texts: DataFrame) -> DataFrame:
+    """(host, robots_txt) -> (host, sitemap_url) rows for every
+    ``Sitemap:`` directive — the discovery feed
+    ``operators/sitemap.py`` consumes after the crawl loop fetches the
+    advertised files."""
+    import pandas as pd  # noqa: F811 (module-level import exists)
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for h, t in zip(pdf["host"], pdf["robots_txt"]):
+                rows.extend(parse_sitemap_directives(h, t))
+            yield pd.DataFrame(rows, columns=["host", "sitemap_url"])
+
+    return texts.select("host", "robots_txt").mapInPandas(
+        parse, "host string, sitemap_url string"
+    )
+
+
 def robots_rules_df(spark_or_df, texts: DataFrame | None = None, agent: str = "*") -> DataFrame:
     """(host, robots_txt) table -> ROBOTS_SCHEMA rule rows, parsed on the
     executors (mapInPandas over Arrow batches): at web scale robots

@@ -68,3 +68,34 @@ def test_rules_df_feeds_gate_end_to_end(spark):
     # crawl-delay reaches the politeness scheduler
     delays = {r.host: r.crawl_delay_s for r in gate.delays_df().collect()}
     assert delays == {"a.com": 2.5, "b.com": 7.0}
+
+
+def test_sitemap_directives(spark):
+    """Sitemap: lines are GLOBAL (sitemaps.org robots extension) —
+    collected regardless of user-agent group, first-colon split so the
+    URL's own :// survives, comments stripped, empty values dropped;
+    the Spark path yields (host, sitemap_url) rows."""
+    from sharepointcrawler_spark.operators.robots import (
+        parse_sitemap_directives,
+        robots_sitemaps_df,
+    )
+
+    txt = (
+        "User-agent: *\nDisallow: /private\n"
+        "Sitemap: https://a.example.com/sitemap.xml\n"
+        "User-agent: bot\n"
+        "Sitemap:https://a.example.com/s2.xml   # comment\n"
+        "sitemap: https://a.example.com/s3.xml\n"
+        "Sitemap:\n"
+    )
+    assert parse_sitemap_directives("a.example.com", txt) == [
+        ("a.example.com", "https://a.example.com/sitemap.xml"),
+        ("a.example.com", "https://a.example.com/s2.xml"),
+        ("a.example.com", "https://a.example.com/s3.xml"),
+    ]
+    df = spark.createDataFrame(
+        [("a.example.com", txt), ("b.example.com", "User-agent: *\nAllow: /")],
+        "host string, robots_txt string",
+    )
+    rows = robots_sitemaps_df(df).collect()
+    assert len(rows) == 3 and {r.host for r in rows} == {"a.example.com"}
