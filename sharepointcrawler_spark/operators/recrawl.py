@@ -68,11 +68,18 @@ def recrawl_priorities(
     """
     first = F.col(first_fetch_col).cast("double")
     last = F.col(last_fetch_col).cast("double")
-    observed_days = (last - first) / F.lit(SECONDS_PER_DAY)
+    # clamp malformed histories (last < first would make the +1-day
+    # smoothing denominator zero or negative; a future last_fetch would
+    # make age negative): both clamp to the well-defined boundary
+    observed_days = F.greatest(
+        (last - first) / F.lit(SECONDS_PER_DAY), F.lit(0.0)
+    )
     lam = (F.col(n_changes_col).cast("double") + F.lit(0.5)) / (
         observed_days + F.lit(1.0)
     )
-    age = (F.lit(float(now_s)) - last) / F.lit(SECONDS_PER_DAY)
+    age = F.greatest(
+        (F.lit(float(now_s)) - last) / F.lit(SECONDS_PER_DAY), F.lit(0.0)
+    )
     imp = (
         F.col(importance_col).cast("double")
         if importance_col is not None

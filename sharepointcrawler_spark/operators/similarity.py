@@ -536,9 +536,14 @@ def pq_topk(
         for pdf in batches:
             if not len(pdf):
                 continue
-            cm = np.frombuffer(
-                b"".join(pdf["pq_code"]), dtype=np.uint8
-            ).reshape(-1, m)
+            blob = b"".join(pdf["pq_code"].dropna())
+            if len(blob) != len(pdf) * m:
+                raise ValueError(
+                    f"pq_code table does not match m={m}: "
+                    f"{len(blob)} bytes for {len(pdf)} rows "
+                    "(nulls, or codes from different codebooks?)"
+                )
+            cm = np.frombuffer(blob, dtype=np.uint8).reshape(-1, m)
             scores = np.zeros((nq, len(pdf)))
             for s in range(m):
                 scores += luts[:, s, cm[:, s]]
@@ -658,9 +663,14 @@ def ivfpq_topk(
         for pdf in batches:
             if not len(pdf):
                 continue
-            cm = np.frombuffer(
-                b"".join(pdf["pq_code"]), dtype=np.uint8
-            ).reshape(-1, m)
+            blob = b"".join(pdf["pq_code"].dropna())
+            if len(blob) != len(pdf) * m:
+                raise ValueError(
+                    f"pq_code table does not match m={m}: "
+                    f"{len(blob)} bytes for {len(pdf)} rows "
+                    "(nulls, or codes from different codebooks?)"
+                )
+            cm = np.frombuffer(blob, dtype=np.uint8).reshape(-1, m)
             cells = pdf["cell"].to_numpy()
             ids = pdf[id_col].to_numpy()
             scores = np.zeros((nq, len(pdf)))

@@ -1051,3 +1051,28 @@ def test_ivfpq_residual_mode(spark):
         for r in ivfpq_encode(emb, cts, books, residual=True).collect()
     }
     assert a == b
+
+
+def test_pq_code_table_mismatch_flagged(spark):
+    """A codes table whose bytes do not match m (nulls, or codes built
+    with different codebooks) fails loudly with the mismatch message,
+    never silently mis-reshapes into wrong neighbors."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import PythonException
+
+    from sharepointcrawler_spark.operators.similarity import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=8, n_codes=16)
+    bad_codes = emb.select(
+        "vec_id", F.lit(bytearray(b"\x00\x01\x02")).alias("pq_code")  # 3 != m
+    )
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        (F.col("vec_id") + 10).alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    with pytest.raises(PythonException, match="does not match m=8"):
+        pq_topk(bad_codes, queries, books, k=3).collect()

@@ -218,3 +218,27 @@ def test_sitemap_entries_and_seed_frontier(spark):
         "https://a.example.com/p2",
     ]
     assert seeds[0].ord == 0  # keep-first won over the ord-3 duplicate
+
+
+def test_recrawl_clamps_malformed_history(spark):
+    """last < first (would zero the smoothing denominator) and a
+    future last_fetch (negative age) both clamp to the well-defined
+    boundary instead of producing inf/negative staleness."""
+    from sharepointcrawler_spark.operators.recrawl import recrawl_priorities
+
+    day = 86400
+    hist = spark.createDataFrame(
+        [
+            (1, 50 * day, 10 * day, 3, 2, "a", 1.0),  # last < first
+            (2, 0, 99 * day, 3, 2, "a", 1.0),         # fetched "in the future"
+        ],
+        "doc_id long, first_fetch_s long, last_fetch_s long, n_fetches long,"
+        " n_changes long, host string, importance double",
+    )
+    pr = {
+        r.doc_id: r
+        for r in recrawl_priorities(hist, now_s=60 * day, id_col="doc_id").collect()
+    }
+    assert pr[1].lambda_per_day == 2.5  # (2 + 0.5) / (0 + 1)
+    assert pr[1].age_days == 50.0 and pr[1].staleness == 125.0
+    assert pr[2].age_days == 0.0 and pr[2].staleness == 0.0 and not pr[2].due
