@@ -1076,3 +1076,47 @@ def test_pq_code_table_mismatch_flagged(spark):
     )
     with pytest.raises(PythonException, match="does not match m=8"):
         pq_topk(bad_codes, queries, books, k=3).collect()
+
+
+def test_ivfpq_partition_pruning_on_cell(spark, tmp_path):
+    """The 100 TB claim made concrete: an IVF-PQ index written
+    partitionBy("cell") is scanned with the probe-set IN filter as a
+    PARTITION filter — unprobed cells' files are never read (the scan's
+    partition count equals the probed-cell count, not the cell
+    count)."""
+    from pyspark.sql import functions as F
+
+    from sharepointcrawler_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cts = train_ivf_centroids(emb, n_centroids=8, seed=7)
+    books = train_pq_codebooks(emb, m=8, n_codes=16)
+    path = str(tmp_path / "ivfpq_index")
+    ivfpq_encode(emb, cts, books).write.partitionBy("cell").parquet(path)
+    index = spark.read.parquet(path)
+    n_cells = index.select("cell").distinct().count()
+    assert n_cells > 2
+
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        (F.col("vec_id") + 10).alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    res = ivfpq_topk(index, queries, cts, books, k=3, n_probe=1)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # (long tmp paths get truncated in the plan string, so key on the
+    # PartitionFilters clause itself, not the file location)
+    scan = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "PartitionFilters" in ln and "pq_code" in ln
+    ]
+    assert scan, plan
+    pf = scan[0].split("PartitionFilters: [")[1].split("]")[0]
+    assert "cell#" in pf and " IN " in pf, pf
+    # and the result is still correct over the pruned scan
+    top1 = {r.query_id: r.vec_id for r in res.filter("rank = 1").collect()}
+    assert top1 == {10: 0, 11: 1}
