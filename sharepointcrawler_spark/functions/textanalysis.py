@@ -227,6 +227,80 @@ LANG_SEED_TEXTS: dict[str, str] = {
         "por irse porque no habia mejor lugar que ese al final de un buen "
         "dia de trabajo"
     ),
+    "it": (
+        "la rapida volpe marrone salta sopra il cane pigro e la gente del "
+        "mondo disse che questo e il tempo in cui tutti gli uomini buoni "
+        "devono venire in aiuto del loro paese con la forza delle loro "
+        "mani e la saggezza che hanno raccolto negli anni della loro vita "
+        "c era una casa alla fine della strada dove viveva un vecchio con "
+        "sua figlia e ogni mattina scendevano insieme al fiume e "
+        "guardavano l acqua passare sulle pietre che stavano li da piu "
+        "tempo di quanto chiunque potesse ricordare quando arrivava l "
+        "inverno i giorni diventavano corti e la luce cadeva presto "
+        "dietro le colline ma il lavoro del paese continuava perche era "
+        "sempre stato cosi e cosi sarebbe sempre stato i bambini andavano "
+        "a scuola la mattina e tornavano a casa la sera e chiedevano cosa "
+        "ci fosse per cena e se potessero uscire a giocare prima che "
+        "facesse buio il piu delle volte la risposta era si quando "
+        "avevano gia fatto quello che era stato loro chiesto non e "
+        "difficile capire perche la gente sia rimasta cosi a lungo in "
+        "quel posto la terra era buona l acqua era pulita e i vicini si "
+        "conoscevano per nome quando qualcosa doveva essere fatto tutti "
+        "venivano e facevano la loro parte e quando era finito si "
+        "sedevano a una lunga tavola e mangiavano e parlavano delle cose "
+        "che erano successe e di quelle che dovevano ancora venire e "
+        "nessuno aveva fretta di andarsene perche non c era posto "
+        "migliore di quello alla fine di una buona giornata di lavoro"
+    ),
+    "pt": (
+        "a rapida raposa marrom salta sobre o cao preguicoso e as pessoas "
+        "do mundo disseram que este e o tempo para que todos os homens "
+        "bons venham em ajuda do seu pais com a forca das suas maos e a "
+        "sabedoria que reuniram ao longo dos anos das suas vidas havia "
+        "uma casa no fim do caminho onde vivia um homem velho com a sua "
+        "filha e todas as manhas desciam juntos ao rio e olhavam a agua "
+        "passar sobre as pedras que estavam ali ha mais tempo do que "
+        "alguem podia lembrar quando chegava o inverno os dias ficavam "
+        "curtos e a luz caia cedo atras das colinas mas o trabalho da "
+        "aldeia continuava porque sempre tinha sido assim e sempre seria "
+        "as criancas iam para a escola de manha e voltavam para casa a "
+        "tarde e perguntavam o que havia para o jantar e se podiam sair "
+        "para brincar antes de escurecer na maior parte das vezes a "
+        "resposta era sim quando ja tinham feito o que lhes tinha sido "
+        "pedido nao e dificil entender por que as pessoas ficaram tanto "
+        "tempo naquele lugar a terra era boa a agua era limpa e os "
+        "vizinhos conheciam se pelo nome quando algo tinha de ser feito "
+        "todos vinham e faziam a sua parte e quando estava terminado "
+        "sentavam se a uma mesa comprida e comiam e falavam das coisas "
+        "que tinham acontecido e das que estavam por vir e ninguem tinha "
+        "pressa de partir porque nao havia melhor lugar do que aquele no "
+        "fim de um bom dia de trabalho"
+    ),
+    "nl": (
+        "de snelle bruine vos springt over de luie hond en de mensen van "
+        "de wereld zeiden dat dit de tijd is waarin alle goede mannen hun "
+        "land te hulp moeten komen met de kracht van hun handen en de "
+        "wijsheid die zij in de jaren van hun leven hebben verzameld er "
+        "was eens een huis aan het einde van de weg waar een oude man met "
+        "zijn dochter woonde en elke ochtend liepen zij samen naar de "
+        "rivier en keken naar het water dat langs de stenen stroomde die "
+        "daar al langer lagen dan iemand zich kon herinneren toen de "
+        "winter kwam werden de dagen kort en viel het licht vroeg achter "
+        "de heuvels maar het werk in het dorp ging door want zo was het "
+        "altijd geweest en zo zou het altijd blijven de kinderen gingen "
+        "s ochtends naar school en kwamen s avonds thuis en vroegen wat "
+        "er te eten was en of ze nog buiten mochten spelen voordat het "
+        "donker werd meestal was het antwoord ja als ze eerst hadden "
+        "gedaan wat hun was gevraagd het is niet moeilijk te begrijpen "
+        "waarom de mensen zo lang op die plek zijn gebleven het land was "
+        "goed het water was schoon en de buren kenden elkaar bij naam "
+        "als er iets gedaan moest worden kwam iedereen en deed zijn deel "
+        "en als het klaar was gingen ze aan een lange tafel zitten en "
+        "aten en praatten over de dingen die gebeurd waren en de dingen "
+        "die nog komen zouden en niemand had haast om te vertrekken want "
+        "er was geen betere plek dan daar aan het einde van een goede "
+        "werkdag"
+    ),
 }
 
 NGRAM_PROFILE_K = 80

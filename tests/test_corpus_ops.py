@@ -392,8 +392,15 @@ def test_lang_id_ngram_clear_sentences_and_disagreement(spark):
         (2, "fr", "Le renard brun saute par dessus le chien paresseux et les gens de la ville sont la"),
         (3, "es", "El rapido zorro salta sobre el perro perezoso y la gente del mundo es una maravilla"),
     ]
+    # ngram-only languages (the marker gate stays the cheap 4-language
+    # heuristic; the trigram backend separates even the es/pt/it trio)
+    ngram_only = [
+        (4, "it", "La rapida volpe salta sopra il cane pigro e la gente della citta e molto felice di questo giorno"),
+        (5, "pt", "A rapida raposa salta sobre o cao preguicoso e as pessoas da cidade estao muito felizes com o dia"),
+        (6, "nl", "De snelle bruine vos springt over de luie hond en de mensen van de stad zijn erg blij met deze dag"),
+    ]
     docs = spark.createDataFrame(
-        [(i, t) for i, _, t in clear], "doc_id long, text string"
+        [(i, t) for i, _, t in clear + ngram_only], "doc_id long, text string"
     )
     ng = {r.doc_id: r.lang_pred for r in lang_id_ngram(docs).collect()}
     mk = {
@@ -403,6 +410,8 @@ def test_lang_id_ngram_clear_sentences_and_disagreement(spark):
     for i, want, _ in clear:
         assert ng[i] == want, f"ngram backend wrong on clear {want}"
         assert mk[i] == want, f"marker backend wrong on clear {want}"
+    for i, want, _ in ngram_only:
+        assert ng[i] == want, f"ngram backend wrong on clear {want}"
 
     fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     both = (
