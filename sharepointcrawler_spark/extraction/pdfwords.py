@@ -813,23 +813,75 @@ def _emit_words(st: _TextState, text: str, out: list[RawWord]) -> None:
         st.x -= CHAR_W * size
 
 
-_INLINE_IMG_RE = re.compile(
-    rb"(?<![A-Za-z0-9])BI\b.*?[\r\n ]EI(?![A-Za-z0-9])", re.S
-)
+_INLINE_BI_RE = re.compile(rb"(?<![A-Za-z0-9])BI(?![A-Za-z0-9])")
+_INLINE_EI_RE = re.compile(rb"[\r\n ]EI(?![A-Za-z0-9])")
+_INLINE_ID_RE = re.compile(rb"(?<![A-Za-z0-9])ID[\r\n ]", re.S)
+_INLINE_L_RE = re.compile(rb"/(?:L|Length)\s+(\d+)")
 
 
 def _strip_inline_images(content: bytes, issues: list[str]) -> bytes:
     """Remove BI..ID..EI inline-image blocks (§8.9.7) before token
     interpretation: the binary sample data between ID and EI would
-    otherwise desync the operator tokenizer into garbage words. The EI
-    scan requires a preceding whitespace and a following delimiter (the
-    spec's own framing); a BI left over after stripping means an
-    unterminated image — flagged, never interpreted."""
+    otherwise desync the operator tokenizer into garbage words.
+
+    When the image dict carries /L (or /Length), §8.9.5.1's sample-data
+    byte count, it is honored FIRST: the data is skipped verbatim and EI
+    is required right after it — binary data containing a spurious
+    ' EI' can no longer truncate the strip. Without /L the fallback is
+    the whitespace-framed EI scan; because that scan can terminate early
+    inside binary data, any standalone ID token left over AFTER
+    stripping is flagged as a suspect truncation instead of silently
+    tokenizing image bytes as operators (the 'never silent wrong text'
+    contract). An unterminated BI is likewise flagged."""
     if b"BI" not in content:
         return content
-    stripped = _INLINE_IMG_RE.sub(b" ", content)
-    if re.search(rb"(?<![A-Za-z0-9])BI\b", stripped):
-        issues.append("inline image (BI) without a matching EI")
+    out: list[bytes] = []
+    pos = 0
+    used_scan = False
+    while True:
+        mbi = _INLINE_BI_RE.search(content, pos)
+        if not mbi:
+            out.append(content[pos:])
+            break
+        out.append(content[pos : mbi.start()])
+        out.append(b" ")
+        mid = _INLINE_ID_RE.search(content, mbi.end())
+        if not mid:
+            issues.append("inline image (BI) without a matching EI")
+            pos = mbi.end()
+            continue
+        params = content[mbi.end() : mid.start()]
+        data_start = mid.end()
+        ml = _INLINE_L_RE.search(params)
+        end = None
+        if ml:
+            # /L declares the exact sample-data byte count: EI must sit
+            # immediately after it (optionally whitespace-separated)
+            after = data_start + int(ml.group(1))
+            mei = re.match(rb"[\r\n ]*EI(?![A-Za-z0-9])", content[after:])
+            if mei:
+                end = after + mei.end()
+            else:
+                issues.append(
+                    "inline image /L does not land on EI; falling back to scan"
+                )
+        if end is None:
+            used_scan = True
+            mei = _INLINE_EI_RE.search(content, data_start)
+            if not mei:
+                issues.append("inline image (BI) without a matching EI")
+                pos = len(content)
+                continue
+            end = mei.end()
+        pos = end
+    stripped = b"".join(out)
+    # the /L path cannot truncate; only the EI scan can — gate the
+    # stray-ID heuristic on it so '(ID )' in honest text never flags
+    if used_scan and _INLINE_ID_RE.search(stripped):
+        issues.append(
+            "stray ID after inline-image strip: image data may have been "
+            "truncated at a spurious EI inside binary samples"
+        )
     return stripped
 
 

@@ -921,6 +921,8 @@ def _prog_dc(br, block, ah: int, al: int, dc, pred: int) -> int:
     """DC portion of one block: first scan (Ah=0) diff-codes the
     point-transformed value; refinement adds bit Al."""
     if ah == 0:
+        if dc is None:
+            raise ValueError("JPEG scan references undefined DC Huffman table")
         size = dc.decode(br)
         pred += _extend(br.receive(size), size)
         block[0] = pred << al
@@ -933,6 +935,8 @@ def _prog_dc(br, block, ah: int, al: int, dc, pred: int) -> int:
 def _prog_ac_first(br, block, ss: int, se: int, al: int, ac, eobrun: int) -> int:
     """AC first scan (Ah=0) for one block: run-length coefficients into
     the band, EOBn codes start an end-of-band run spanning blocks."""
+    if ac is None:
+        raise ValueError("JPEG scan references undefined AC Huffman table")
     if eobrun > 0:
         return eobrun - 1
     k = ss
@@ -961,6 +965,8 @@ def _prog_ac_refine(br, block, ss: int, se: int, al: int, ac, eobrun: int) -> in
     significant +-1<<Al coefficients after r zero-history positions;
     inside an EOB run only correction bits are read (T.81 G.2.2 /
     the libjpeg decode_mcu_AC_refine procedure)."""
+    if ac is None:
+        raise ValueError("JPEG scan references undefined AC Huffman table")
     p1 = 1 << al
     m1 = -1 << al
 

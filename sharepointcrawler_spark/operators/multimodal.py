@@ -869,12 +869,13 @@ def split_mjpeg_frames(blob: bytes) -> list[bytes]:
     ]
 
 
-def frame_sample_stub(videos: DataFrame, every_n: int, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
+def frame_sample(videos: DataFrame, every_n: int, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
     """Frame sampling over two containers: MJPEG (concatenated REAL
     JPEGs — each emitted frame is a decodable image, so the sampled
     output feeds decode_images directly) and the SIMG fake container
-    (frames split on the magic marker — the stub dialect). Motion
-    formats (H.264 etc.) need ffmpeg and stay out of sandbox scope."""
+    (frames split on the magic marker — a deterministic test dialect).
+    Motion formats (H.264 etc.) need ffmpeg and stay out of sandbox
+    scope."""
     frame_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),

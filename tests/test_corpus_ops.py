@@ -24,7 +24,7 @@ from sharepointcrawler_spark.operators.corpus import (
 )
 from sharepointcrawler_spark.operators.multimodal import (
     decode_images,
-    frame_sample_stub,
+    frame_sample,
     make_fake_image,
     resize_array,
     resize_images,
@@ -182,7 +182,7 @@ def test_multimodal_plumbing(spark):
         [(9, b"".join(make_fake_image(8, 8, 3, seed=s) for s in range(6)))],
         "doc_id long, blob binary",
     )
-    frames = frame_sample_stub(video, every_n=2).collect()
+    frames = frame_sample(video, every_n=2).collect()
     assert [f.frame_idx for f in frames] == [0, 2, 4]
 
 
@@ -792,7 +792,7 @@ def test_mjpeg_frame_sampling_yields_decodable_frames(spark):
     from sharepointcrawler_spark.operators.jpeg import write_jpeg
     from sharepointcrawler_spark.operators.multimodal import (
         decode_images,
-        frame_sample_stub,
+        frame_sample,
     )
 
     frames = [
@@ -802,7 +802,7 @@ def test_mjpeg_frame_sampling_yields_decodable_frames(spark):
     video = spark.createDataFrame(
         [(9, bytearray(b"".join(frames)))], "doc_id long, blob binary"
     )
-    sampled = frame_sample_stub(video, every_n=2).collect()
+    sampled = frame_sample(video, every_n=2).collect()
     assert [f.frame_idx for f in sampled] == [0, 2, 4]
     assert [bytes(f.frame) for f in sampled] == [frames[0], frames[2], frames[4]]
     fdf = spark.createDataFrame(

@@ -1,0 +1,121 @@
+"""Round-6 hardening regressions (r5 ADVICE closures).
+
+1. A progressive JPEG whose scan references an undefined Huffman table
+   must raise inside the DECODE_ERRORS envelope (flagged NULL-stat row),
+   never an AttributeError that crashes the Spark task.
+2. Inline images honor the /L sample-data length parameter, so binary
+   data containing a spurious ' EI' no longer truncates the strip; the
+   scan fallback flags a stray ID token instead of silently tokenizing
+   image bytes as text operators.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pytest
+
+from sharepointcrawler_spark.extraction.pdfwords import (
+    UnsupportedPdfError,
+    _strip_inline_images,
+    append_pdf_update,
+    layout_words,
+    parse_pdf_word_pages,
+    write_pdf,
+)
+from sharepointcrawler_spark.operators.jpeg import (
+    decode_jpeg,
+    write_jpeg_progressive,
+)
+from sharepointcrawler_spark.operators.multimodal import DECODE_ERRORS
+
+
+def test_progressive_jpeg_missing_dht_flags_not_crashes():
+    """Excising the DHT segment ahead of the first progressive scan
+    leaves huffs.get(...) == None at decode time; the decoder must
+    raise a DECODE_ERRORS member (ValueError/KeyError), not
+    AttributeError (r5 ADVICE medium, jpeg.py:875)."""
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(24, 24), dtype=np.uint8)
+    blob = write_jpeg_progressive(img, 75)
+    first_sos = blob.find(b"\xff\xda")
+    i = blob.find(b"\xff\xc4")
+    assert 0 < i < first_sos, "fixture must define DHT before the first scan"
+    # drop every DHT that precedes the first SOS (tables may arrive in
+    # one combined or several segments)
+    out = blob
+    while True:
+        j = out.find(b"\xff\xc4")
+        if j < 0 or j > out.find(b"\xff\xda"):
+            break
+        seglen = int.from_bytes(out[j + 2 : j + 4], "big")
+        out = out[:j] + out[j + 2 + seglen :]
+    with pytest.raises(DECODE_ERRORS) as exc:
+        decode_jpeg(out)
+    assert not isinstance(exc.value, AttributeError)
+
+
+def _content_obj(raw: bytes) -> bytes:
+    fl = zlib.compress(raw)
+    return (
+        b"<< /Length " + str(len(fl)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + fl + b"\nendstream"
+    )
+
+
+_SPURIOUS = b"\x01\x02 EI\x03 ID \x04\x05"  # 12 bytes; ' EI' mid-data
+
+
+def _pdf_with_inline(img: bytes) -> bytes:
+    text = "1.0 Heading One\n\nSome plain paragraph here for layout baseline.\n"
+    pages, heights = layout_words(text)
+    base = write_pdf(pages, heights)
+    around = (
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (before) Tj ET\n" + img
+        + b"\nBT /F1 12 Tf 1 0 0 1 72 680 Tm (after) Tj ET"
+    )
+    return append_pdf_update(base, {3: _content_obj(around)})
+
+
+def test_inline_image_length_param_survives_spurious_ei():
+    """/L declares the sample-data byte count (§8.9.5.1): the strip
+    skips it verbatim, so a spurious ' EI' inside the data cannot
+    truncate the image and desync the tokenizer (r5 ADVICE low)."""
+    img = (
+        b"BI /W 4 /H 3 /BPC 8 /CS /G /L "
+        + str(len(_SPURIOUS)).encode()
+        + b" ID "
+        + _SPURIOUS
+        + b"\nEI"
+    )
+    got, _ = parse_pdf_word_pages(_pdf_with_inline(img), strict=True)
+    assert [w.text for w in got[0]] == ["before", "after"]
+
+
+def test_inline_image_spurious_ei_without_length_flags_stray_id():
+    """Without /L the EI scan terminates at the spurious ' EI'; the
+    leftover image bytes contain a standalone ID token, which must be
+    flagged (strict) instead of silently emitting garbage words."""
+    img = b"BI /W 4 /H 3 /BPC 8 /CS /G ID " + _SPURIOUS + b"\nEI"
+    with pytest.raises(UnsupportedPdfError, match="stray ID"):
+        parse_pdf_word_pages(_pdf_with_inline(img), strict=True)
+    # lenient mode still survives and keeps the honest words
+    got, _ = parse_pdf_word_pages(_pdf_with_inline(img), strict=False)
+    texts = [w.text for w in got[0]]
+    assert "before" in texts and "after" in texts
+    issues: list[str] = []
+    _strip_inline_images(b"(t) Tj " + img, issues)
+    assert any("stray ID" in i for i in issues)
+
+
+def test_inline_image_bad_length_falls_back_to_scan():
+    """A lying /L (does not land on EI) falls back to the EI scan with
+    an explicit issue, never a parse abort."""
+    img = b"BI /W 4 /H 3 /BPC 8 /CS /G /L 3 ID " + bytes(range(240, 248)) + b"\nEI"
+    got, _ = parse_pdf_word_pages(_pdf_with_inline(img), strict=False)
+    assert [w.text for w in got[0]] == ["before", "after"]
+    issues: list[str] = []
+    stripped = _strip_inline_images(img, issues)
+    assert any("does not land on EI" in i for i in issues)
+    assert b"EI" not in stripped or stripped.strip() in (b"", b" ")
