@@ -1360,6 +1360,170 @@ def q_recrawl_batch(spark, sf_dir):
     return batch.select("doc_id", "host", F.col("refresh_rank").cast("long").alias("refresh_rank"))
 
 
+def q_crawl_sitemap_discovery(spark, sf_dir):
+    """The INTEGRATED discovery topology (r5 VERDICT item 1): robots
+    ``Sitemap:`` directive -> sitemap-index recursion -> page entries ->
+    frontier seed rows ordered AFTER the explicit seed -> two gated
+    crawl waves over a link graph whose orphan subtrees have NO link
+    edge from the seed component — exactly the chain ``run_crawl`` now
+    wires (plans/crawl.py), minus the snapshot store. 24 orphan roots
+    live in two child sitemaps (even doc_ids in sm_0, odd in sm_1);
+    orphan7 is robots-denied, so its subtree must be absent and consume
+    no crawl sequence. The oracle restates the reachable set and the
+    exact pre-order crawl sequence top-down from the same formulas."""
+    from sharepointcrawler_spark.operators import dedup as dd
+    from sharepointcrawler_spark.operators import frontier as fr
+    from sharepointcrawler_spark.operators.robots import (
+        RobotsGate,
+        apply_robots_gate,
+        robots_rules_df,
+        robots_sitemaps_df,
+    )
+    from sharepointcrawler_spark.operators.sitemap import (
+        expand_sitemap_tree,
+        sitemap_frontier_rows,
+    )
+
+    H = "https://smap.example.com"
+    texts = spark.createDataFrame(
+        [
+            (
+                "smap.example.com",
+                "User-agent: *\nDisallow: /orphan7\n"
+                f"Sitemap: {H}/sm_index.xml\n",
+            )
+        ],
+        "host string, robots_txt string",
+    )
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long"))
+        .filter(F.col("doc_id") < 24)
+    )
+    # child sitemap k holds orphan roots with doc_id % 2 == k, ascending
+    child_xml = (
+        docs.withColumn("k", (F.col("doc_id") % 2).cast("int"))
+        .groupBy("k")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda d: F.concat(
+                            F.lit(f"<url><loc>{H}/orphan"),
+                            d.cast("string"),
+                            F.lit("</loc></url>"),
+                        ),
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+        .select(
+            F.concat(
+                F.lit(f"{H}/sm_"), F.col("k").cast("string"), F.lit(".xml")
+            ).alias("sitemap_url"),
+            "xml",
+        )
+    )
+    index_xml = spark.createDataFrame(
+        [
+            (
+                f"{H}/sm_index.xml",
+                "<sitemapindex>"
+                f"<sitemap><loc>{H}/sm_0.xml</loc></sitemap>"
+                f"<sitemap><loc>{H}/sm_1.xml</loc></sitemap>"
+                "</sitemapindex>",
+            )
+        ],
+        "sitemap_url string, xml string",
+    )
+    xml_table = index_xml.unionByName(child_xml)
+
+    def fetch(urls_df):
+        return urls_df.join(xml_table, "sitemap_url", "inner")
+
+    # link edges: the seed's two files, and two files under each orphan
+    seed_edges = spark.createDataFrame(
+        [(f"{H}/root", f"{H}/root/p0", "file", 0), (f"{H}/root", f"{H}/root/p1", "file", 1)],
+        "parent_url string, child_url string, kind string, sibling_idx int",
+    )
+    orphan = F.concat(F.lit(f"{H}/orphan"), F.col("doc_id").cast("string"))
+    orphan_edges = docs.select(
+        orphan.alias("parent_url"),
+        F.concat(orphan, F.lit("/c0")).alias("child_url"),
+        F.lit("file").alias("kind"),
+        F.lit(0).alias("sibling_idx"),
+    ).unionByName(
+        docs.select(
+            orphan.alias("parent_url"),
+            F.concat(orphan, F.lit("/c1")).alias("child_url"),
+            F.lit("file").alias("kind"),
+            F.lit(1).alias("sibling_idx"),
+        )
+    )
+    expander = fr.graph_expander(seed_edges.unionByName(orphan_edges))
+
+    seeds = fr.seed_frontier(spark, [(f"{H}/root", 0)])
+    pages = expand_sitemap_tree(
+        robots_sitemaps_df(texts).select("sitemap_url"), fetch
+    )
+    sm_seeds = sitemap_frontier_rows(pages, start_idx=1).join(
+        seeds.select("url_canon"), "url_canon", "left_anti"
+    )
+    frontier0 = seeds.unionByName(
+        sm_seeds.select([f.name for f in fr.FRONTIER_SCHEMA.fields])
+    )
+    gate = RobotsGate(spark, robots_rules_df(texts))
+    seen = frontier0.select("url_key", "url_canon")
+    wave = frontier0
+    fetched = None
+    for wave_id in (1, 2):
+        allowed, denied = apply_robots_gate(wave, gate)
+        fetched = allowed if fetched is None else fetched.unionByName(allowed)
+        children = fr.expand_wave(allowed, expander, wave_id=wave_id)
+        new_rows = dd.anti_join_unseen(children, seen).localCheckpoint(eager=True)
+        seen = seen.unionByName(new_rows.select("url_key", "url_canon"))
+        wave = new_rows
+    ordered = fr.global_sequence(
+        fetched.select("url_canon", "depth", "path_key"), "path_key", out_col="seq"
+    )
+    return ordered.select(
+        "url_canon", F.col("depth").cast("long").alias("depth"), F.col("seq")
+    )
+
+
+def q_recrawl_update(spark, sf_dir):
+    """History fold-forward after a refresh round
+    (operators/recrawl.py apply_refresh_outcome — the 'fetch-history
+    updates' half of the integrated refresh chain): even doc_ids were
+    refreshed (every third of them observed a change), odd ones pass
+    through untouched. Pure integer upsert arithmetic, so the oracle
+    recomputes every column exactly."""
+    from sharepointcrawler_spark.operators.recrawl import apply_refresh_outcome
+
+    hist = _recrawl_history(spark, sf_dir).withColumn(
+        "url_canon",
+        F.concat(
+            F.lit("https://"), F.col("host"), F.lit(".example.com/d"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    outcomes = (
+        hist.filter(F.col("doc_id") % 2 == 0)
+        .select("url_canon", (F.col("doc_id") % 3 == 0).alias("changed"))
+    )
+    upd = apply_refresh_outcome(hist, outcomes, now_s=_RECRAWL_NOW_S)
+    return upd.select(
+        "doc_id",
+        F.col("last_fetch_s").cast("long").alias("last_fetch_s"),
+        F.col("n_fetches").cast("long").alias("n_fetches"),
+        F.col("n_changes").cast("long").alias("n_changes"),
+    )
+
+
 def q_pdf_incremental_extraction(spark, sf_dir):
     """Byte-identity through INCREMENTALLY-UPDATED PDFs (§7.5.6 — the
     signed/annotated-file shape): 12 base documents each get an
@@ -1456,6 +1620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s10_warc_ingest": q_warc_ingest,
         "t6_recrawl_priority": q_recrawl_priority,
         "t6_recrawl_batch": q_recrawl_batch,
+        "t6_recrawl_update": q_recrawl_update,
+        "crawl_sitemap_discovery": q_crawl_sitemap_discovery,
         "a1_count_by_state": q_count_by_state,
         "a2_running_metrics": q_running_metrics,
         "a3_groupby_having": q_groupby_having_threshold,
@@ -2371,6 +2537,55 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
               FROM due)
             SELECT doc_id, host, refresh_rank FROM ranked
             WHERE refresh_rank <= 5
+        """,
+        "t6_recrawl_update": """
+            -- history fold-forward: even doc_ids refreshed at the fixed
+            -- instant (every third observed a change); odd rows pass
+            -- through the original closed forms untouched
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 1712275200
+                        ELSE 1704067200 + (doc_id % 7) * 86400
+                             + 30 * 86400 + (doc_id % 11) * 3600 END
+                        AS BIGINT) AS last_fetch_s,
+                   CAST(3 + doc_id % 9
+                        + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_fetches,
+                   CAST(doc_id % 5
+                        + CASE WHEN doc_id % 2 = 0 AND doc_id % 3 = 0
+                               THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_changes
+            FROM documents
+        """,
+        "crawl_sitemap_discovery": """
+            -- the integrated discovery topology restated top-down: the
+            -- explicit seed's subtree takes crawl sequence 1..3, then
+            -- each sitemap-advertised orphan (even doc_ids in sm_0
+            -- before odd in sm_1, ascending within a file) contributes
+            -- (root, c0, c1) in pre-order; robots-denied orphan7 is
+            -- absent and consumes no sequence
+            WITH orph AS (
+              SELECT doc_id AS j,
+                     row_number() OVER (ORDER BY doc_id % 2, doc_id) AS r
+              FROM documents WHERE doc_id < 24 AND doc_id <> 7)
+            SELECT url_canon, CAST(depth AS BIGINT) AS depth,
+                   CAST(seq AS BIGINT) AS seq
+            FROM (
+              SELECT 'https://smap.example.com/root' AS url_canon,
+                     0 AS depth, 1 AS seq
+              UNION ALL
+              SELECT 'https://smap.example.com/root/p0', 1, 2
+              UNION ALL
+              SELECT 'https://smap.example.com/root/p1', 1, 3
+              UNION ALL
+              SELECT 'https://smap.example.com/orphan' || CAST(j AS VARCHAR),
+                     0, 3 + (r - 1) * 3 + 1 FROM orph
+              UNION ALL
+              SELECT 'https://smap.example.com/orphan' || CAST(j AS VARCHAR)
+                       || '/c0', 1, 3 + (r - 1) * 3 + 2 FROM orph
+              UNION ALL
+              SELECT 'https://smap.example.com/orphan' || CAST(j AS VARCHAR)
+                       || '/c1', 1, 3 + (r - 1) * 3 + 3 FROM orph
+            )
         """,
         "pdf_incremental_extraction_identity": """
             -- every incrementally-updated PDF must extract the UPDATED

@@ -61,6 +61,7 @@ HEADLINE = [
     "s10_warc_ingest",
     "s9_sitemap_entries",
     "t6_recrawl_priority",
+    "crawl_sitemap_discovery",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "ann_topk_pq",

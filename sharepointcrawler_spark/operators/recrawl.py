@@ -115,3 +115,52 @@ def select_refresh_batch(
         .withColumn("refresh_rank", F.row_number().over(w))
         .filter(F.col("refresh_rank") <= per_host)
     )
+
+
+def apply_refresh_outcome(
+    history: DataFrame,
+    outcomes: DataFrame,
+    now_s: int,
+    id_col: str = "url_canon",
+    changed_col: str = "changed",
+) -> DataFrame:
+    """Fold one refresh round's fetch outcomes back into the history
+    table: for each refreshed URL ``last_fetch_s`` moves to ``now_s``,
+    ``n_fetches`` bumps, and ``n_changes`` bumps when the fetch observed
+    a change (content hash differed). Untouched URLs pass through
+    unchanged — the history is an upsert target, exactly the frontier's
+    merge-on-read shape, so at scale this is one broadcast (or bucketed)
+    left join over the history scan, no shuffle of the big side beyond
+    the join itself.
+
+    ``outcomes``: (id_col, changed bool). Rows in ``outcomes`` missing
+    from ``history`` are ignored (a refresh can only touch known URLs).
+    """
+    o = outcomes.select(
+        F.col(id_col),
+        F.col(changed_col).cast("boolean").alias("_refreshed_changed"),
+    ).withColumn("_refreshed", F.lit(True))
+    joined = history.join(o, id_col, "left")
+    hit = F.col("_refreshed").isNotNull()
+    return (
+        joined.withColumn(
+            "last_fetch_s",
+            F.when(hit, F.lit(int(now_s)).cast("long")).otherwise(
+                F.col("last_fetch_s").cast("long")
+            ),
+        )
+        .withColumn(
+            "n_fetches",
+            F.when(hit, F.col("n_fetches") + F.lit(1)).otherwise(
+                F.col("n_fetches")
+            ),
+        )
+        .withColumn(
+            "n_changes",
+            F.when(
+                hit & F.coalesce(F.col("_refreshed_changed"), F.lit(False)),
+                F.col("n_changes") + F.lit(1),
+            ).otherwise(F.col("n_changes")),
+        )
+        .drop("_refreshed", "_refreshed_changed")
+    )

@@ -16,7 +16,9 @@ DataFrame-in/DataFrame-out operator with no driver loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Callable
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -83,4 +85,131 @@ def sitemap_seed_frontier(
         entries.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(id_col, "ord", "loc", "lastmod", "priority")
+    )
+
+
+def expand_sitemap_tree(
+    sitemap_urls: DataFrame,
+    sitemap_fetch: Callable[[DataFrame], DataFrame],
+    max_depth: int = 3,
+    url_col: str = "sitemap_url",
+) -> DataFrame:
+    """Resolve a set of advertised sitemap URLs — including
+    ``<sitemapindex>`` files, whose children are fetched and parsed in
+    further rounds — into one page-entry table
+    ``(sitemap_id, ord, loc, lastmod, priority)``.
+
+    ``sitemap_fetch(df)`` receives a one-column ``sitemap_url`` frame
+    and returns ``(sitemap_url, xml)`` rows (the crawl loop's fetch
+    analog; a fixture table lookup in tests). The index recursion is a
+    bounded driver loop exactly like the crawl's wave loop (sitemaps.org
+    caps nesting in practice; ``max_depth`` defaults to 3); all parsing
+    stays JVM-side in :func:`sitemap_entries`. Already-fetched sitemap
+    URLs are anti-joined out, so an index cycle cannot loop."""
+    pending = sitemap_urls.select(F.col(url_col).alias("sitemap_url")).distinct()
+    fetched: DataFrame | None = None
+    pages: DataFrame | None = None
+    for _ in range(max_depth):
+        if pending.isEmpty():
+            break
+        xml = sitemap_fetch(pending).withColumnRenamed("sitemap_url", "sitemap_id")
+        entries = sitemap_entries(xml, xml_col="xml", id_col="sitemap_id").persist()
+        level_pages = entries.filter(~F.col("is_index")).select(
+            "sitemap_id", "ord", "loc", "lastmod", "priority"
+        )
+        pages = level_pages if pages is None else pages.unionByName(level_pages)
+        fetched = (
+            pending if fetched is None else fetched.unionByName(pending)
+        ).distinct()
+        pending = (
+            entries.filter(F.col("is_index"))
+            .select(F.col("loc").alias("sitemap_url"))
+            .distinct()
+            .join(fetched, "sitemap_url", "left_anti")
+        )
+    if pages is None:
+        return sitemap_urls.sparkSession.createDataFrame(
+            [],
+            "sitemap_id string, ord long, loc string, lastmod string, priority double",
+        )
+    # keep-first dedup across files: smallest (sitemap_id, ord) wins
+    w = Window.partitionBy("loc").orderBy("sitemap_id", "ord")
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def sitemap_frontier_rows(
+    pages: DataFrame, start_idx: int = 0, priority: int = 0
+) -> DataFrame:
+    """Page entries from :func:`expand_sitemap_tree` -> frontier seed
+    rows (FRONTIER_SCHEMA) appended AFTER the crawl's explicit seeds:
+    seed index ``start_idx + rank`` where rank orders by (sitemap_id,
+    ord) — a deterministic total order, assigned scale-safely with the
+    same range-partitioned sequence the crawl order uses (sitemaps cap
+    at 50k URLs per FILE but a large site ships thousands of files).
+
+    Entries are canonicalized and deduplicated by canonical URL before
+    ranking; ``kind`` is 'folder' like explicit seeds (the expander
+    decides whether anything hangs below them)."""
+    from sharepointcrawler_spark.operators.frontier import (
+        FRONTIER_SCHEMA,
+        PENDING,
+        global_sequence,
+    )
+    from sharepointcrawler_spark.functions.urlnorm import (
+        canonicalize_url,
+        url_host,
+        url_key,
+    )
+
+    canon = (
+        pages.withColumn("url_canon", canonicalize_url("loc"))
+        .filter(F.col("url_canon").isNotNull())
+    )
+    w = Window.partitionBy("url_canon").orderBy("sitemap_id", "ord")
+    uniq = canon.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    # single synthetic order column for the global sequence: ord is
+    # 8-hex fixed width; '\n' can't appear in a URL, so the concat's
+    # lexicographic order == (sitemap_id, ord)
+    ordered = global_sequence(
+        uniq.withColumn(
+            "_ok",
+            F.concat(
+                F.col("sitemap_id"),
+                F.lit("\n"),
+                F.lpad(F.conv(F.col("ord").cast("string"), 10, 16), 8, "0"),
+            ),
+        ),
+        "_ok",
+        out_col="_seq",
+    )
+    return (
+        ordered.withColumn("url", F.col("loc"))
+        .withColumn("url_key", url_key("url_canon"))
+        .withColumn("host", url_host("url_canon"))
+        .withColumn("parent_canon", F.lit(None).cast("string"))
+        .withColumn("depth", F.lit(0))
+        .withColumn("priority", F.lit(priority))
+        .withColumn("kind", F.lit("folder"))
+        .withColumn(
+            "path_key",
+            F.lpad(
+                F.conv(
+                    (F.lit(start_idx) + F.col("_seq") - F.lit(1)).cast("string"),
+                    10,
+                    16,
+                ),
+                8,
+                "0",
+            ),
+        )
+        .withColumn("state", F.lit(PENDING))
+        .withColumn("wave_id", F.lit(0))
+        .withColumn("attempt", F.lit(0))
+        .select([f.name for f in FRONTIER_SCHEMA.fields])
     )

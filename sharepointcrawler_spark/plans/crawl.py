@@ -45,7 +45,20 @@ from pyspark.sql import functions as F
 from sharepointcrawler_spark.operators import frontier as fr
 from sharepointcrawler_spark.operators import dedup as dd
 from sharepointcrawler_spark.operators.politeness import assign_fetch_slots, top_k_per_host
-from sharepointcrawler_spark.operators.robots import RobotsGate, apply_robots_gate
+from sharepointcrawler_spark.operators.recrawl import (
+    recrawl_priorities,
+    select_refresh_batch,
+)
+from sharepointcrawler_spark.operators.robots import (
+    RobotsGate,
+    apply_robots_gate,
+    robots_rules_df,
+    robots_sitemaps_df,
+)
+from sharepointcrawler_spark.operators.sitemap import (
+    expand_sitemap_tree,
+    sitemap_frontier_rows,
+)
 from sharepointcrawler_spark.plans.snapshot import SnapshotStore
 
 # storage-only column marking which wave last touched a frontier row;
@@ -66,6 +79,8 @@ class CrawlConfig:
     default_crawl_delay_s: float = 1.0
     max_fetch_attempts: int = 2  # bounded retry (reference has none: :283-293)
     compact_every: int = 8  # frontier base rewrite cadence (merge-on-read)
+    max_sitemap_depth: int = 3  # sitemapindex recursion bound (discovery)
+    sitemap_seed_priority: int = 0  # priority for sitemap-discovered seeds
     extra: dict = field(default_factory=dict)
 
 
@@ -119,6 +134,8 @@ def run_crawl(
     resume: bool = True,
     stop_after_wave: int | None = None,
     fetch_probe: Callable[[DataFrame], DataFrame] | None = None,
+    robots_texts_df: DataFrame | None = None,
+    sitemap_fetch: Callable[[DataFrame], DataFrame] | None = None,
 ) -> CrawlResult:
     """Run (or resume) a crawl to frontier exhaustion.
 
@@ -131,8 +148,22 @@ def run_crawl(
     ``cfg.max_fetch_attempts`` (state stays pending, attempt bumps),
     then marked 'failed'; every failure appends a row to the ``errors``
     table (ErrorLogger analog, S6).
+
+    ``robots_texts_df`` — raw ``(host, robots_txt)`` bodies. When given,
+    the rule cache is distilled from them (``robots_rules_df``) unless
+    an explicit ``robots_df`` overrides it, and their ``Sitemap:``
+    directives drive seed discovery. ``sitemap_fetch(df(sitemap_url))
+    -> (sitemap_url, xml)`` is the sitemap fetch analog; with both
+    present, a FRESH crawl resolves the advertised sitemap tree
+    (``<sitemapindex>`` recursion bounded by ``cfg.max_sitemap_depth``)
+    and unions the discovered pages into the seed frontier — URLs a
+    link-following crawl would never reach (the sitemaps.org discovery
+    channel). On resume the frontier already holds them, so discovery
+    is skipped.
     """
     cfg = config or CrawlConfig()
+    if robots_df is None and robots_texts_df is not None:
+        robots_df = robots_rules_df(robots_texts_df)
     gate = RobotsGate(spark, robots_df)
     geometry = dd.bloom_params(
         max(cfg.bloom_capacity // cfg.n_bloom_shards, 64), cfg.bloom_fp_rate
@@ -168,6 +199,25 @@ def run_crawl(
         if not seeds:
             raise ValueError("fresh crawl needs seeds")
         frontier0 = fr.seed_frontier(spark, seeds)
+        if robots_texts_df is not None and sitemap_fetch is not None:
+            # sitemap discovery chain: robots 'Sitemap:' directives ->
+            # fetch + parse the advertised tree -> frontier seed rows
+            # appended after the explicit seeds (which win duplicates)
+            sm_pages = expand_sitemap_tree(
+                robots_sitemaps_df(robots_texts_df).select("sitemap_url"),
+                sitemap_fetch,
+                max_depth=cfg.max_sitemap_depth,
+            )
+            sm_seeds = sitemap_frontier_rows(
+                sm_pages,
+                start_idx=len(seeds),
+                priority=cfg.sitemap_seed_priority,
+            ).join(
+                frontier0.select("url_canon"), "url_canon", "left_anti"
+            )
+            frontier0 = frontier0.unionByName(
+                sm_seeds.select([f.name for f in fr.FRONTIER_SCHEMA.fields])
+            )
         # seeds enter the seen-set immediately (they are scheduled)
         seed_seen = frontier0.select("url_key", "url_canon")
         shards = dd.build_bloom_shards(
@@ -435,6 +485,82 @@ def run_crawl(
         metrics=metrics_all,
         errors=store.read_appended("errors", wave),
     )
+
+
+def enqueue_refresh(
+    spark: SparkSession,
+    store: SnapshotStore,
+    history: DataFrame,
+    now_s: int,
+    per_host: int,
+    config: CrawlConfig | None = None,
+    importance_col: str | None = None,
+) -> int:
+    """Post-crawl refresh enqueue (the Cho & Garcia-Molina scheduling
+    chain wired into the crawl state): score ``history`` with
+    :func:`recrawl_priorities`, take the top-``per_host`` DUE URLs per
+    host, and flip their frontier rows back to ``pending`` with ONE
+    upsert delta committed as a new wave manifest. A following
+    ``run_crawl(..., resume=True)`` then re-fetches exactly that batch:
+    their children are already in the seen-set, so a refresh wave
+    re-fetches without re-discovering.
+
+    ``history`` columns: ``url_canon, first_fetch_s, last_fetch_s,
+    n_fetches, n_changes`` (epoch seconds) plus ``importance_col`` if
+    given — the metrics sidecar a production crawl maintains; tests
+    derive it from the fetch log plus a change probe.
+
+    The delta is O(batch); the manifest copies ONLY the state tables
+    (frontier/seen/bloom) from the previous wave — append-style tables
+    (fetch_log, errors, metrics) are per-wave and must not repeat in a
+    manifest or ``read_appended`` would double-count them. Returns the
+    number of URLs enqueued.
+
+    Monotone-state note: a refresh delta intentionally moves fetched ->
+    pending. The pending-partition prune stays sound because the prune
+    drops base TERMINAL rows only; the refresh row lives in a LATER
+    delta, which the merge-on-read latest-wins window keeps.
+    """
+    cfg = config or CrawlConfig()
+    last = store.latest_wave()
+    if last is None:
+        raise ValueError("refresh needs a committed crawl snapshot to enqueue into")
+    manifest = store.manifest(last)
+    base_path = manifest["tables"]["frontier_base"]
+    delta_paths = list(manifest["tables"].get("frontier_deltas", []))
+
+    from sharepointcrawler_spark.functions.urlnorm import url_host
+
+    pri = recrawl_priorities(history, now_s, importance_col=importance_col)
+    batch = select_refresh_batch(
+        pri.withColumn("host", url_host("url_canon")), per_host
+    )
+    merged = _merged_frontier(spark, base_path, delta_paths)
+    sel = [f.name for f in fr.FRONTIER_SCHEMA.fields]
+    refresh_rows = (
+        merged.join(batch.select("url_canon"), "url_canon", "left_semi")
+        # only previously-fetched pages refresh; denied/failed stay terminal
+        .filter(F.col("state") == fr.FETCHED)
+        .withColumn("state", F.lit(fr.PENDING))
+        .withColumn("attempt", F.lit(0))
+        .select(sel)
+    )
+    wave = last + 1
+    delta = refresh_rows.withColumn(DELTA_WAVE, F.lit(wave))
+    delta_path = store.write(delta, "frontier_delta", wave)
+    n = spark.read.parquet(delta_path).count()
+    tables = {
+        "frontier_base": base_path,
+        "frontier_deltas": delta_paths + [delta_path],
+        "bloom_shards": manifest["tables"]["bloom_shards"],
+    }
+    # copy the seen state; the append-style 'seen' per-wave key is NOT
+    # copied (read_appended over it would double-count the path)
+    for key in ("seen_base", "seen_deltas"):
+        if key in manifest["tables"]:
+            tables[key] = manifest["tables"][key]
+    store.commit(wave, tables, {"wave": wave, "refresh_enqueued": n})
+    return n
 
 
 def crawl_order(frontier_df: DataFrame) -> DataFrame:
