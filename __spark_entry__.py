@@ -1096,6 +1096,60 @@ def q_pdf_extraction(spark, sf_dir):
     )
 
 
+def q_pdf_encrypted_extraction(spark, sf_dir):
+    """Byte-identity through RC4-ENCRYPTED PDFs (standard security
+    handler, PDF 32000-1 §7.6.3, EMPTY user password — the shape PdfPig
+    opens transparently for the reference via PdfDocument.Open,
+    PdfToMarkdownConverter.cs:88-93): 12 documents alternate revision 2
+    (RC4-40, /V 1) and revision 3 (RC4-128, /V 2); every stream payload
+    is RC4-encrypted under its per-object key, so extraction must
+    derive the file key from the empty password, verify it against /U,
+    and decrypt before inflating. The golden is the UNENCRYPTED
+    document's markdown — any key-derivation/RC4/verification bug
+    yields garbage or zero words and flips rows false."""
+    from sharepointcrawler_spark.extraction.converter import (
+        ConvertOptions,
+        build_lines,
+        convert_pages_to_markdown,
+    )
+    from sharepointcrawler_spark.extraction.pdfwords import (
+        encrypt_pdf,
+        layout_words,
+        write_pdf,
+    )
+    from sharepointcrawler_spark.extraction.udfs import extract_text_udf
+
+    opt = ConvertOptions()
+    rows = []
+    for i in range(12):
+        body = "\n".join(
+            f"Paragraph {j} of encrypted document {i} has deterministic words "
+            f"e{(i * 29 + j * 11) % 83}f and g{(i * 17 + j) % 71}h in it."
+            for j in range(4 + (i * 7) % 24)
+        )
+        text = f"{i % 9}.0 Crypt Heading {i}\n\n{body}\n\n{i % 9}.1 Scope\n{body[:180]}\n"
+        pages, heights = layout_words(text)
+        built = [
+            build_lines(ws, n + 1, heights[n], opt.line_y_tolerance)
+            for n, ws in enumerate(pages)
+        ]
+        golden = convert_pages_to_markdown(built, f"enc{i}", opt)
+        blob = encrypt_pdf(
+            write_pdf(pages, heights),
+            r=2 if i % 2 == 0 else 3,
+            p=-4 - i,
+            file_id=bytes((i * 7 + k) % 256 for k in range(16)),
+        )
+        rows.append((i, bytearray(blob), f"enc{i}", golden))
+    df = spark.createDataFrame(rows, "doc_id long, pdf binary, name string, golden string")
+    return df.select(
+        F.col("doc_id"),
+        (extract_text_udf(F.col("pdf"), F.col("name")) == F.col("golden")).alias(
+            "byte_identical"
+        ),
+    )
+
+
 def q_pdf_type0_extraction(spark, sf_dir):
     """Byte-identity through Type0/Identity-H COMPOSITE-font PDFs: 12
     deterministic documents laid out with Helvetica metrics, written as
@@ -1679,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_extraction_identity": q_text_extraction,
         "pdf_extraction_identity": q_pdf_extraction,
         "pdf_type0_extraction_identity": q_pdf_type0_extraction,
+        "pdf_encrypted_extraction_identity": q_pdf_encrypted_extraction,
         "pdf_xref_stream_extraction_identity": q_pdf_xref_stream_extraction,
         "pdf_incremental_extraction_identity": q_pdf_incremental_extraction,
     }
@@ -2409,6 +2464,12 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
             -- byte-identically through the %PDF- dispatch path
             SELECT i AS doc_id, true AS byte_identical
             FROM (SELECT unnest(generate_series(0, 23)) AS i)
+        """,
+        "pdf_encrypted_extraction_identity": """
+            -- every RC4-encrypted (standard handler, empty user
+            -- password) PDF must decrypt and extract byte-identically
+            SELECT i AS doc_id, true AS byte_identical
+            FROM (SELECT unnest(generate_series(0, 11)) AS i)
         """,
         "pdf_type0_extraction_identity": """
             -- every composite-font (Type0/Identity-H) PDF must extract

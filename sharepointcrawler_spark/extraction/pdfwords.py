@@ -510,14 +510,18 @@ def write_pdf_modern(
     return bytes(out)
 
 
-def append_pdf_update(pdf: bytes, replacements: dict[int, bytes]) -> bytes:
+def append_pdf_update(
+    pdf: bytes, replacements: dict[int, bytes], trailer_extra: bytes = b""
+) -> bytes:
     """Append an incremental-update section (PDF 32000-1 §7.5.6 — the
     file shape digital signatures and annotations produce): replacement
     object bodies, a classic xref section with one subsection per
     replaced object, and a trailer chaining to the previous xref via
     /Prev. The original bytes are untouched (append-only), so the
     NEWEST definition of each object is the one nearest the end —
-    exactly the precedence the parser's last-wins object scan applies."""
+    exactly the precedence the parser's last-wins object scan applies.
+    ``trailer_extra`` injects additional trailer entries (the
+    encryption fixture adds /Encrypt + /ID this way)."""
     m = re.search(rb"startxref\s+(\d+)\s*%%EOF\s*$", pdf)
     prev_xref = int(m.group(1)) if m else 0
     rm = re.search(rb"/Root\s+(\d+)\s+\d+\s+R", pdf)
@@ -540,10 +544,97 @@ def append_pdf_update(pdf: bytes, replacements: dict[int, bytes]) -> bytes:
     out += (
         b"trailer\n<< /Size " + str(size).encode()
         + b" /Root " + str(root).encode() + b" 0 R"
-        + b" /Prev " + str(prev_xref).encode() + b" >>\n"
+        + b" /Prev " + str(prev_xref).encode()
+        + trailer_extra + b" >>\n"
         + b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
     )
     return bytes(out)
+
+
+def encrypt_pdf(
+    pdf: bytes,
+    user_pwd: bytes = b"",
+    owner_pwd: bytes = b"owner",
+    r: int = 3,
+    length_bits: int = 128,
+    p: int = -4,
+    file_id: bytes = bytes(range(16)),
+) -> bytes:
+    """Fixture encryptor: standard security handler §7.6.3, revision 2
+    (RC4-40, /V 1) or 3 (RC4-128, /V 2). Every stream payload is
+    RC4-encrypted IN PLACE with its per-object key (RC4 preserves
+    length, so existing xref offsets stay valid), then an incremental
+    update appends the /Encrypt dictionary and a trailer carrying
+    /Encrypt + /ID. /O is computed properly from the owner password
+    (Algorithm 3) and /U from the file key (Algorithm 4/5), so a
+    spec-faithful reader opens ``user_pwd=b""`` files transparently and
+    rejects others."""
+    import hashlib
+
+    if r not in (2, 3):
+        raise ValueError("only standard-handler revisions 2 and 3 supported")
+    v = 1 if r == 2 else 2
+    n = 5 if r == 2 else length_bits // 8
+    # Algorithm 3: /O from the owner password
+    h = hashlib.md5((owner_pwd + _PAD)[:32]).digest()
+    if r == 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    okey = h[:n]
+    o = _rc4(okey, (user_pwd + _PAD)[:32])
+    if r == 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in okey), o)
+    key = _std_file_key(user_pwd, o, p, file_id, r, n)
+    u = _std_user_check(key, file_id, r)
+    if r == 3:
+        u = u + b"\x00" * 16  # §7.6.3.4: last 16 bytes arbitrary
+    out = bytearray(pdf)
+    pos = 0
+    while True:
+        m = _OBJ_HEAD_RE.search(out, pos)
+        if m is None:
+            break
+        num, gen, body_start = int(m.group(1)), int(m.group(2)), m.end()
+        em = out.find(b"endobj", body_start)
+        sm = _STREAM_KW_RE.search(out, body_start, em if em != -1 else len(out))
+        if sm is None:
+            pos = em + 6 if em != -1 else len(out)
+            continue
+        head = bytes(out[body_start : sm.start()])
+        ll = _LENGTH_LIT_RE.search(head)
+        if ll is None:
+            raise ValueError(
+                "encrypt_pdf fixture requires literal /Length stream dicts"
+            )
+        length, data_start = int(ll.group(1)), sm.end()
+        if b"/XRef" not in head:  # xref streams are never encrypted
+            enc = _rc4(
+                _object_key(key, num, gen),
+                bytes(out[data_start : data_start + length]),
+            )
+            out[data_start : data_start + length] = enc
+        after = out.find(b"endobj", data_start + length)
+        pos = after + 6 if after != -1 else data_start + length
+    sm2 = re.search(rb"/Size\s+(\d+)", pdf)
+    enc_num = (int(sm2.group(1)) if sm2 else 50) + 10
+    enc_body = (
+        b"<< /Filter /Standard /V " + str(v).encode()
+        + b" /R " + str(r).encode()
+        + b" /Length " + str(n * 8).encode()
+        + b" /P " + str(p).encode()
+        + b" /O <" + o.hex().encode() + b">"
+        + b" /U <" + u.hex().encode() + b"> >>"
+    )
+    idhex = file_id.hex().encode()
+    return append_pdf_update(
+        bytes(out),
+        {enc_num: enc_body},
+        trailer_extra=(
+            b" /Encrypt " + str(enc_num).encode() + b" 0 R"
+            + b" /ID [<" + idhex + b"> <" + idhex + b">]"
+        ),
+    )
 
 
 def write_pdf_type0(
@@ -667,7 +758,7 @@ def write_pdf_type0(
 # ------------------------------------------------------------- parser
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
-_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _STREAM_KW_RE = re.compile(rb"stream\r?\n")
 _LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
 _LENGTH_LIT_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
@@ -953,6 +1044,210 @@ def _interpret(
         stack.clear()
 
 
+# -------------------------------------------- standard security handler
+#
+# PDF 32000-1 §7.6.3 (the RC4 "standard security handler", revisions
+# 2/3 = RC4-40/RC4-128): the overwhelmingly common case in document
+# libraries is an OWNER-password-protected file with an EMPTY user
+# password — viewers (and PdfPig, which the reference relies on via
+# PdfDocument.Open, PdfToMarkdownConverter.cs:88-93) open these
+# transparently by deriving the file key from the empty password. We do
+# the same; files whose user password is NOT empty (verification fails)
+# or that use newer handlers (AES /V 4+) are strict-flagged with a
+# clear "encrypted PDF" issue instead of an opaque filter error.
+
+_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R")
+_ID_FIRST_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>")
+_NAME_VAL_RE = rb"\s*(-?\d+)"
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (the cipher §7.6.3 prescribes for /V 1-2). Pure python
+    is fine: fixtures and per-document decode are KB-scale."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) % 256
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, b in enumerate(data):
+        i = (i + 1) % 256
+        j = (j + s[i]) % 256
+        s[i], s[j] = s[j], s[i]
+        out[n] = b ^ s[(s[i] + s[j]) % 256]
+    return bytes(out)
+
+
+def _crypt_string(body: bytes, name: bytes) -> bytes | None:
+    """The /O or /U entry: a 32-byte string, hex or literal form."""
+    m = re.search(rb"/" + name + rb"\s*<([0-9A-Fa-f\s]*)>", body)
+    if m:
+        return bytes.fromhex(m.group(1).decode("ascii").replace(" ", ""))
+    m = re.search(rb"/" + name + rb"\s*(\((?:\\.|[^\\()])*\))", body, re.S)
+    if m:
+        return _unescape_bytes(m.group(1))
+    return None
+
+
+def _unescape_bytes(tok: bytes) -> bytes:
+    """Literal-string unescape yielding RAW bytes (the crypt entries are
+    binary, not text): octal escapes, the two-char escapes, and pass-
+    through for everything else."""
+    body = tok[1:-1]
+    out = bytearray()
+    i = 0
+    esc = {ord("n"): 10, ord("r"): 13, ord("t"): 9, ord("b"): 8, ord("f"): 12}
+    while i < len(body):
+        c = body[i]
+        if c == 0x5C and i + 1 < len(body):  # backslash
+            n = body[i + 1]
+            if 0x30 <= n <= 0x37:  # octal, up to 3 digits
+                j = i + 1
+                oct_digits = b""
+                while j < len(body) and len(oct_digits) < 3 and 0x30 <= body[j] <= 0x37:
+                    oct_digits += bytes([body[j]])
+                    j += 1
+                out.append(int(oct_digits, 8) & 0xFF)
+                i = j
+                continue
+            out.append(esc.get(n, n))
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return bytes(out)
+
+
+def _std_file_key(
+    password: bytes, o: bytes, p: int, file_id: bytes, r: int, n: int
+) -> bytes:
+    """Algorithm 2: the file encryption key from a (padded) user
+    password, the /O entry, /P and the first /ID string."""
+    import hashlib
+    import struct as _struct
+
+    padded = (password + _PAD)[:32]
+    h = hashlib.md5(
+        padded + o + _struct.pack("<I", p & 0xFFFFFFFF) + file_id
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    return h[:n]
+
+
+def _std_user_check(key: bytes, file_id: bytes, r: int) -> bytes:
+    """Algorithm 4 (R2) / 5 (R3): the expected /U value for ``key``
+    (R3 compares the first 16 bytes only)."""
+    import hashlib
+
+    if r == 2:
+        return _rc4(key, _PAD)
+    x = hashlib.md5(_PAD + file_id).digest()
+    x = _rc4(key, x)
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    return x
+
+
+def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1's per-object RC4 key: MD5(file key + 3 low bytes of
+    the object number + 2 low bytes of the generation), truncated to
+    min(n+5, 16)."""
+    import hashlib
+
+    h = hashlib.md5(
+        file_key
+        + (num & 0xFFFFFF).to_bytes(3, "little")
+        + (gen & 0xFFFF).to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
+_ENC_BLOCKED = "blocked"
+
+
+def _setup_decryption(pdf: bytes, issues: list[str]):
+    """Detect /Encrypt and build the stream decryptor.
+
+    Returns ``(None, -1)`` for unencrypted files,
+    ``(_ENC_BLOCKED, num)`` when the file is encrypted but NOT
+    decryptable here (non-Standard handler, AES revisions, or a real
+    user password) — with a clear issue appended — or
+    ``(callable(num, gen, payload) -> bytes, num)`` when the empty-
+    password key verified against /U."""
+    refs = list(_ENCRYPT_REF_RE.finditer(pdf))
+    if not refs:
+        return None, -1
+    enc_num, enc_gen = int(refs[-1].group(1)), int(refs[-1].group(2))
+    body = None
+    for m in re.finditer(
+        rb"(?<![0-9])" + str(enc_num).encode() + rb"\s+"
+        + str(enc_gen).encode() + rb"\s+obj\b(.*?)endobj",
+        pdf,
+        re.S,
+    ):
+        body = m.group(1)  # last definition wins (§7.5.6)
+    if body is None:
+        issues.append("encrypted PDF: /Encrypt dictionary not found")
+        return _ENC_BLOCKED, enc_num
+    fm = re.search(rb"/Filter\s*/([A-Za-z0-9]+)", body)
+    handler = fm.group(1).decode("ascii", "replace") if fm else "?"
+    if handler != "Standard":
+        issues.append(f"encrypted PDF: unsupported security handler /{handler}")
+        return _ENC_BLOCKED, enc_num
+    def _int_of(name: bytes, default: int | None = None) -> int | None:
+        m2 = re.search(rb"/" + name + rb"(?![A-Za-z])" + _NAME_VAL_RE, body)
+        return int(m2.group(1)) if m2 else default
+    v = _int_of(b"V", 0)
+    r = _int_of(b"R", 0)
+    p = _int_of(b"P")
+    length_bits = _int_of(b"Length", 40)
+    o = _crypt_string(body, b"O")
+    u = _crypt_string(body, b"U")
+    if v not in (1, 2) or r not in (2, 3):
+        issues.append(
+            f"encrypted PDF: unsupported standard-handler revision V={v} R={r}"
+            " (AES/V4+ not implemented)"
+        )
+        return _ENC_BLOCKED, enc_num
+    if p is None or o is None or u is None or len(o) < 32 or len(u) < 32:
+        issues.append("encrypted PDF: malformed /Encrypt dictionary (O/U/P)")
+        return _ENC_BLOCKED, enc_num
+    idm = None
+    for m2 in _ID_FIRST_RE.finditer(pdf):
+        idm = m2  # last trailer wins
+    file_id = (
+        bytes.fromhex(idm.group(1).decode("ascii")) if idm is not None else b""
+    )
+    n = 5 if v == 1 else max(5, min(16, (length_bits or 40) // 8))
+    key = _std_file_key(b"", o, p, file_id, r, n)
+    expect = _std_user_check(key, file_id, r)
+    stored = u[:32]
+    ok = expect == stored if r == 2 else expect[:16] == stored[:16]
+    if not ok:
+        issues.append(
+            "encrypted PDF: password required (empty user password failed"
+            " /U verification)"
+        )
+        return _ENC_BLOCKED, enc_num
+
+    def decrypt(num: int, gen: int, payload: bytes) -> bytes:
+        return _rc4(_object_key(key, num, gen), payload)
+
+    return decrypt, enc_num
+
+
 def _scan_objects(
     pdf: bytes,
 ) -> tuple[dict[int, bytes], dict[int, bytes], list[str]]:
@@ -967,6 +1262,12 @@ def _scan_objects(
     never scanned for markers; the marker scan survives only as the
     fallback for a missing/unresolvable /Length."""
     issues: list[str] = []
+    decryptor, enc_num = _setup_decryption(pdf, issues)
+    if decryptor is _ENC_BLOCKED:
+        # encrypted but not decryptable: never interpret ciphertext as
+        # content (it would tokenize into garbage words) — empty object
+        # table + the explicit issue; strict mode raises it verbatim
+        return {}, {}, issues
     # pre-pass: integer-valued objects (indirect /Length targets). The
     # naive regex is safe here — int objects never contain streams.
     int_objs: dict[int, int] = {}
@@ -985,6 +1286,7 @@ def _scan_objects(
         if m is None:
             break
         num, body_start = int(m.group(1)), m.end()
+        gen = int(m.group(2))
         em = pdf.find(b"endobj", body_start)
         sm = _STREAM_KW_RE.search(pdf, body_start, em if em != -1 else len(pdf))
         if sm is None:
@@ -1023,6 +1325,12 @@ def _scan_objects(
                 payload = pdf[data_start : endm.start()]
                 after = pdf.find(b"endobj", endm.end())
                 pos = after + 6 if after != -1 else endm.end()
+        if (
+            decryptor is not None
+            and num != enc_num
+            and b"/XRef" not in head  # §7.5.8.2: xref streams never encrypt
+        ):
+            payload = decryptor(num, gen, payload)
         payload = _apply_stream_filters(num, head, payload, issues)
         if b"/ObjStm" in head:
             _expand_objstm(num, payload, head, bodies, objstm_members, issues)

@@ -189,6 +189,62 @@ def test_inline_image_spurious_ei_without_length_flags_stray_id():
     assert any("stray ID" in i for i in issues)
 
 
+def test_encrypted_pdf_empty_user_password_roundtrips():
+    """Standard security handler (§7.6.3) with an EMPTY user password —
+    the common owner-protected document-library shape PdfPig opens
+    transparently: both RC4-40 (R2) and RC4-128 (R3) files must decrypt
+    and reproduce the plaintext word boxes EXACTLY."""
+    from sharepointcrawler_spark.extraction.pdfwords import encrypt_pdf
+
+    text = (
+        "1.0 Policy Overview\n\n"
+        "This encrypted document describes the corporate retention policy "
+        "and responsibilities of all staff when archiving records.\n\n"
+        "1.1 Scope\nThe policy applies to every full time employee.\n"
+    )
+    pages, heights = layout_words(text)
+    plain = write_pdf(pages, heights)
+    want, _ = parse_pdf_word_pages(plain, strict=True)
+    for r, bits in ((2, 40), (3, 128)):
+        enc = encrypt_pdf(plain, r=r, length_bits=bits)
+        assert enc != plain and b"/Encrypt" in enc
+        got, _ = parse_pdf_word_pages(enc, strict=True)
+        assert [
+            (w.text, w.left, w.bottom) for p in got for w in p
+        ] == [(w.text, w.left, w.bottom) for p in want for w in p], f"R{r}"
+
+
+def test_encrypted_pdf_password_protected_flags_clearly():
+    """A REAL user password (not empty) fails the /U check: strict mode
+    raises a clear 'encrypted PDF' issue — never an opaque filter error
+    or silent garbage words — and lenient mode yields zero pages."""
+    from sharepointcrawler_spark.extraction.pdfwords import encrypt_pdf
+
+    pages, heights = layout_words("1.0 Secret\n\nHidden body text here.\n")
+    plain = write_pdf(pages, heights)
+    locked = encrypt_pdf(plain, user_pwd=b"secret123")
+    with pytest.raises(UnsupportedPdfError, match="password required"):
+        parse_pdf_word_pages(locked, strict=True)
+    got, _ = parse_pdf_word_pages(locked, strict=False)
+    assert got == [] or all(not p for p in got)
+
+
+def test_encrypted_pdf_unsupported_handler_flags_clearly():
+    """AES (/V 4+) and non-Standard handlers are out of scope: the
+    issue names the construct instead of failing inside a filter."""
+    from sharepointcrawler_spark.extraction.pdfwords import encrypt_pdf
+
+    pages, heights = layout_words("1.0 Title\n\nBody words here.\n")
+    plain = write_pdf(pages, heights)
+    enc = encrypt_pdf(plain)
+    aes = enc.replace(b"/Filter /Standard /V 2 /R 3", b"/Filter /Standard /V 4 /R 4")
+    with pytest.raises(UnsupportedPdfError, match="unsupported standard-handler"):
+        parse_pdf_word_pages(aes, strict=True)
+    custom = enc.replace(b"/Filter /Standard", b"/Filter /MyCrypto")
+    with pytest.raises(UnsupportedPdfError, match="unsupported security handler"):
+        parse_pdf_word_pages(custom, strict=True)
+
+
 def test_inline_image_bad_length_falls_back_to_scan():
     """A lying /L (does not land on EI) falls back to the EI scan with
     an explicit issue, never a parse abort."""
