@@ -1150,6 +1150,55 @@ def q_pdf_encrypted_extraction(spark, sf_dir):
     )
 
 
+def q_docx_extraction(spark, sf_dir):
+    """Byte-identity through REAL DOCX packages (the OpenXML surface
+    the reference declares, SharePointClient.cs:14-19): 12 deterministic
+    documents — Title/Heading styles, multi-run paragraphs with
+    markdown-escapable characters, and w:tbl grids — are written as
+    valid ZIP+WordprocessingML packages and extracted through the SAME
+    pandas UDF via the PK magic dispatch. The golden is stated top-down
+    from the block spec under the shared markdown conventions, so any
+    zip/XML/run-concatenation/table bug flips a row false."""
+    from sharepointcrawler_spark.extraction.docxwords import (
+        expected_docx_markdown,
+        write_docx,
+    )
+    from sharepointcrawler_spark.extraction.udfs import extract_text_udf
+
+    rows = []
+    for i in range(12):
+        blocks: list[tuple] = []
+        for s in range(1 + i % 3):
+            blocks.append(("h", 1 + (i + s) % 3, f"{i}.{s} Section {i * 7 + s}"))
+            blocks.append(
+                (
+                    "p",
+                    f"Paragraph for section {s} of docx {i} has pipe-free "
+                    f"words m{(i * 19 + s) % 73}n and special o{i}_p{s}*q.",
+                )
+            )
+        blocks.append(
+            (
+                "tbl",
+                [
+                    ["Field", "Value"],
+                    [f"Doc No", f"SOP-{i:03d}"],
+                    [f"Rev | tier", f"{i % 5}"],
+                ],
+            )
+        )
+        title = f"Docx Fixture {i}"
+        golden = expected_docx_markdown(title, blocks)
+        rows.append((i, bytearray(write_docx(title, blocks)), f"dx{i}", golden))
+    df = spark.createDataFrame(rows, "doc_id long, docx binary, name string, golden string")
+    return df.select(
+        F.col("doc_id"),
+        (extract_text_udf(F.col("docx"), F.col("name")) == F.col("golden")).alias(
+            "byte_identical"
+        ),
+    )
+
+
 def q_pdf_type0_extraction(spark, sf_dir):
     """Byte-identity through Type0/Identity-H COMPOSITE-font PDFs: 12
     deterministic documents laid out with Helvetica metrics, written as
@@ -1734,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extraction_identity": q_pdf_extraction,
         "pdf_type0_extraction_identity": q_pdf_type0_extraction,
         "pdf_encrypted_extraction_identity": q_pdf_encrypted_extraction,
+        "docx_extraction_identity": q_docx_extraction,
         "pdf_xref_stream_extraction_identity": q_pdf_xref_stream_extraction,
         "pdf_incremental_extraction_identity": q_pdf_incremental_extraction,
     }
@@ -2468,6 +2518,12 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
         "pdf_encrypted_extraction_identity": """
             -- every RC4-encrypted (standard handler, empty user
             -- password) PDF must decrypt and extract byte-identically
+            SELECT i AS doc_id, true AS byte_identical
+            FROM (SELECT unnest(generate_series(0, 11)) AS i)
+        """,
+        "docx_extraction_identity": """
+            -- every OpenXML package must extract byte-identically
+            -- through the PK-magic dispatch path
             SELECT i AS doc_id, true AS byte_identical
             FROM (SELECT unnest(generate_series(0, 11)) AS i)
         """,

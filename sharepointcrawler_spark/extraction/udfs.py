@@ -19,6 +19,11 @@ from sharepointcrawler_spark.extraction.converter import (
     build_lines,
     convert_pages_to_markdown,
 )
+from sharepointcrawler_spark.extraction.docxwords import (
+    UnsupportedDocxError,
+    docx_to_markdown,
+    is_docx,
+)
 from sharepointcrawler_spark.extraction.htmlwords import extract_links, parse_word_pages
 from sharepointcrawler_spark.extraction.pdfwords import (
     UnsupportedPdfError,
@@ -48,9 +53,19 @@ def _extract_one_with_err(
     """(markdown, error): markdown is None for a null input OR an input
     flagged undecodable (error carries the issue list then) — a null in
     the output column marks rows needing a real PDF renderer, never
-    conflated with legitimately empty documents (empty string)."""
+    conflated with legitimately empty documents (empty string).
+
+    Dispatch: ``%PDF-`` -> the PDF interpreter (word boxes), ``PK..``
+    with a word/document.xml member -> the OpenXML flow extractor
+    (markdown directly — flow XML has no page geometry), anything else
+    -> the synthetic html word-box dialect."""
     if html is None:
         return None, None
+    if is_docx(html):
+        try:
+            return docx_to_markdown(html, name or "document", strict=True), None
+        except UnsupportedDocxError as e:
+            return None, str(e)
     try:
         page_words, heights = word_pages_of(html)
     except UnsupportedPdfError as e:

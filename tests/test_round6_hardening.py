@@ -245,6 +245,64 @@ def test_encrypted_pdf_unsupported_handler_flags_clearly():
         parse_pdf_word_pages(custom, strict=True)
 
 
+def test_docx_extraction_roundtrip_and_flags():
+    """DOCX packages (ECMA-376 WordprocessingML) extract to markdown
+    under the converter's conventions via the PK-magic dispatch:
+    Title/Heading styles, multi-run paragraph concatenation, escaping,
+    and tables; malformed packages flag (strict) instead of yielding
+    silent empties."""
+    from sharepointcrawler_spark.extraction.docxwords import (
+        UnsupportedDocxError,
+        docx_to_markdown,
+        expected_docx_markdown,
+        is_docx,
+        write_docx,
+    )
+    from sharepointcrawler_spark.extraction.udfs import _extract_one_with_err
+
+    title = "Telecommuting Policy"
+    blocks: list[tuple] = [
+        ("h", 1, "1.0 Purpose"),
+        ("p", "This document defines the corporate telecommuting process "
+              "with special chars like a|b and c*d and e_f in it."),
+        ("h", 2, "1.1 Scope"),
+        ("p", "Applies to all full time employees."),
+        ("tbl", [["Field", "Value"], ["Doc No", "SOP-042"], ["Rev | x", "3"]]),
+    ]
+    blob = write_docx(title, blocks)
+    assert is_docx(blob) and not is_docx(b"%PDF-1.4") and not is_docx(None)
+    got = docx_to_markdown(blob, "ignored-name", strict=True)
+    assert got == expected_docx_markdown(title, blocks)
+    assert got.startswith("# Telecommuting Policy\n\n## 1.0 Purpose\n")
+    assert "a\\|b and c\\*d and e\\_f" in got
+    assert "| Rev \\| x | 3 |" in got
+    # write/extract determinism at the byte level
+    assert write_docx(title, blocks) == blob
+
+    # the UDF dispatch seam: same bytes through _extract_one_with_err
+    md, err = _extract_one_with_err(blob, "dispatchname")
+    assert err is None and md == got
+
+    # malformed: truncated zip flags, docx without document.xml flags
+    with pytest.raises(UnsupportedDocxError, match="ZIP"):
+        docx_to_markdown(blob[:40] + b"word/document.xml", strict=True)
+    import io as _io
+    import zipfile as _zf
+
+    buf = _io.BytesIO()
+    with _zf.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml.bak", b"x")
+        z.writestr("word/document.xml_not_really", b"y")
+    fake = buf.getvalue()
+    if is_docx(fake):
+        with pytest.raises(UnsupportedDocxError, match="missing"):
+            docx_to_markdown(fake, strict=True)
+    # empty body flags as zero text
+    empty = write_docx("T", [])
+    md2 = docx_to_markdown(empty, strict=False)
+    assert md2.startswith("# T\n")  # title alone still counts as text
+
+
 def test_inline_image_bad_length_falls_back_to_scan():
     """A lying /L (does not land on EI) falls back to the EI scan with
     an explicit issue, never a parse abort."""
