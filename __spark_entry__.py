@@ -356,6 +356,27 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C / The Pile): flag
+    training docs sharing any 13-gram with a held-out eval set (here the
+    deterministic doc_id % 17 == 3 subset stands in for a benchmark
+    suite — eval members trivially self-collide, so the planted signal
+    is exact). One broadcast semi-join over the shared shingle operator;
+    the oracle recomputes the n-gram collision counts independently."""
+    from sharepointcrawler_spark.operators.corpus import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 17 == 3).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    return decontaminate(docs, evals, n=13).select(
+        F.col("doc_id").cast("long"),
+        "n_shingles",
+        "n_collisions",
+        "contaminated",
+    )
+
+
 def q_corpus_curate(spark, sf_dir):
     """Composed C4-style curation: language gate + quality floor +
     token bounds + stopword-ratio fluency band + exact-dedup keep-first
@@ -1748,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline layer
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_decontaminate": q_dedup_decontaminate,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_twophase": q_dedup_clusters_twophase,
@@ -2120,6 +2142,35 @@ def _oracle_sql_base() -> dict[str, str]:
         + _SHINGLES
         + ","
         + _JACCARD_TAIL.replace("{CANDS}", ""),
+        "dedup_decontaminate": """
+            -- independent 13-gram collision recount: eval set = the
+            -- doc_id % 17 = 3 subset; collisions = corpus shingles
+            -- matching any distinct eval shingle
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+              FROM documents),
+            words AS (
+              SELECT doc_id, regexp_split_to_array(t, ' ') AS w FROM norm),
+            shing AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(w, i, i + 12), ' ') AS shingle
+              FROM words,
+                   unnest(generate_series(1, greatest(len(w) - 12, 1))) AS t(i)),
+            ev AS (
+              SELECT DISTINCT shingle FROM shing WHERE doc_id % 17 = 3),
+            agg AS (
+              SELECT s.doc_id,
+                     count(*) AS n_sh,
+                     count(e.shingle) AS n_col
+              FROM shing s LEFT JOIN ev e ON e.shingle = s.shingle
+              GROUP BY s.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_sh, 0) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(a.n_col, 0) AS BIGINT) AS n_collisions,
+                   coalesce(a.n_col, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        """,
         "dedup_minhash_lsh": "WITH "
         + _SHINGLES
         + ","

@@ -178,6 +178,57 @@ def word_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    eval_set: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    eval_id_col: str = "eval_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag — never drop — training documents
+    sharing any word n-gram with a held-out evaluation set (the 13-gram
+    collision method of GPT-3 appendix C / The Pile; flagging preserves
+    the curation pipeline's audit trail and lets thresholds be tuned
+    downstream).
+
+    Plan shape: both sides shingle with the SAME :func:`word_shingles`
+    operator (distinct n-grams per doc); the eval side distills to its
+    DISTINCT shingles — eval suites are small and fixed, so this side
+    broadcasts — and one broadcast LEFT join + one groupBy(id) computes
+    per-doc totals and collision counts together (no second aggregation
+    pass). Output: every input doc with (n_shingles, n_collisions,
+    contaminated). At 100 TB the corpus shingle explosion is the only
+    big term and it never shuffles for the join; if an eval set ever
+    outgrows broadcast, bucket both sides by a shingle hash instead."""
+    corpus_sh = word_shingles(docs, text_col=text_col, id_col=id_col, n=n)
+    eval_sh = (
+        word_shingles(eval_set, text_col=eval_text_col, id_col=eval_id_col, n=n)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    agg = (
+        corpus_sh.join(F.broadcast(eval_sh), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("n_collisions"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_collisions", F.lit(0)).cast("long").alias("n_collisions"),
+            (F.coalesce("n_collisions", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 # ----------------------------------------------------------- minhash LSH
 
 

@@ -245,6 +245,41 @@ def test_encrypted_pdf_unsupported_handler_flags_clearly():
         parse_pdf_word_pages(custom, strict=True)
 
 
+def test_decontaminate_flags_planted_overlap(spark):
+    """Planted contamination: a training doc embedding a verbatim
+    13-gram from an eval question is flagged with the exact collision
+    count; clean docs pass with zero collisions; flag-don't-drop (every
+    input row present)."""
+    from sharepointcrawler_spark.operators.corpus import decontaminate
+
+    eval_q = (
+        "what is the boiling point of water at sea level in degrees "
+        "celsius under standard atmospheric pressure conditions today"
+    )  # 19 words -> 7 distinct 13-grams
+    docs = spark.createDataFrame(
+        [
+            # doc 1: contains the full eval question verbatim mid-text
+            (1, f"As every student knows {eval_q} which is basic physics."),
+            # doc 2: clean — no shared 13-gram
+            (2, "completely unrelated text about crawling parquet tables "
+                "with spark executors and shuffle partitions in a cluster "
+                "deployment scenario for web scale data processing"),
+            # doc 3: shares only a 5-word fragment (below n) — clean
+            (3, "the boiling point of water is interesting but this "
+                "sentence diverges immediately into other topics entirely "
+                "unrelated to the evaluation suite"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame([(100, eval_q)], "eval_id long, text string")
+    out = {r["doc_id"]: r for r in decontaminate(docs, evals, n=13).collect()}
+    assert set(out) == {1, 2, 3}, "flag-don't-drop: all docs present"
+    assert out[1]["contaminated"] and out[1]["n_collisions"] == 7
+    assert not out[2]["contaminated"] and out[2]["n_collisions"] == 0
+    assert not out[3]["contaminated"] and out[3]["n_collisions"] == 0
+    assert all(out[i]["n_shingles"] > 0 for i in (1, 2, 3))
+
+
 def test_docx_extraction_roundtrip_and_flags():
     """DOCX packages (ECMA-376 WordprocessingML) extract to markdown
     under the converter's conventions via the PK-magic dispatch:
