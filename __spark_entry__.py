@@ -1121,13 +1121,15 @@ def q_pdf_encrypted_extraction(spark, sf_dir):
     """Byte-identity through RC4-ENCRYPTED PDFs (standard security
     handler, PDF 32000-1 §7.6.3, EMPTY user password — the shape PdfPig
     opens transparently for the reference via PdfDocument.Open,
-    PdfToMarkdownConverter.cs:88-93): 12 documents alternate revision 2
-    (RC4-40, /V 1) and revision 3 (RC4-128, /V 2); every stream payload
-    is RC4-encrypted under its per-object key, so extraction must
-    derive the file key from the empty password, verify it against /U,
-    and decrypt before inflating. The golden is the UNENCRYPTED
-    document's markdown — any key-derivation/RC4/verification bug
-    yields garbage or zero words and flips rows false."""
+    PdfToMarkdownConverter.cs:88-93): 12 documents cycle revision 2
+    (RC4-40, /V 1), revision 3 (RC4-128, /V 2) and revision 4
+    (AES-128-CBC via the /StdCF /AESV2 crypt filter, /V 4); every
+    stream payload is encrypted under its per-object key, so extraction
+    must derive the file key from the empty password, verify it against
+    /U, and decrypt (RC4 or AES-CBC with IV + padding) before
+    inflating. The golden is the UNENCRYPTED document's markdown — any
+    key-derivation/cipher/verification bug yields garbage or zero words
+    and flips rows false."""
     from sharepointcrawler_spark.extraction.converter import (
         ConvertOptions,
         build_lines,
@@ -1157,7 +1159,7 @@ def q_pdf_encrypted_extraction(spark, sf_dir):
         golden = convert_pages_to_markdown(built, f"enc{i}", opt)
         blob = encrypt_pdf(
             write_pdf(pages, heights),
-            r=2 if i % 2 == 0 else 3,
+            r=(2, 3, 4)[i % 3],
             p=-4 - i,
             file_id=bytes((i * 7 + k) % 256 for k in range(16)),
         )
@@ -1198,6 +1200,8 @@ def q_docx_extraction(spark, sf_dir):
                     f"words m{(i * 19 + s) % 73}n and special o{i}_p{s}*q.",
                 )
             )
+        for j in range(2 + i % 3):
+            blocks.append(("li", j % 2, f"list item {i}.{j} with v{(i + j) % 41}w"))
         blocks.append(
             (
                 "tbl",

@@ -83,6 +83,26 @@ def _para_style(p) -> str | None:
     return st.get(W_NS + "val")
 
 
+def _para_ilvl(p) -> int | None:
+    """List nesting level when the paragraph carries ``<w:numPr>``
+    (numbered/bulleted list membership), else None. The concrete
+    bullet/number FORMAT lives in numbering.xml; markdown has one list
+    marker, so membership + level is the faithful projection."""
+    ppr = p.find(W_NS + "pPr")
+    if ppr is None:
+        return None
+    numpr = ppr.find(W_NS + "numPr")
+    if numpr is None:
+        return None
+    ilvl = numpr.find(W_NS + "ilvl")
+    if ilvl is None:
+        return 0
+    try:
+        return int(ilvl.get(W_NS + "val") or 0)
+    except ValueError:
+        return 0
+
+
 def docx_to_markdown(
     blob: bytes, logical_name: str = "document", strict: bool = False
 ) -> str:
@@ -128,10 +148,13 @@ def docx_to_markdown(
             had_text = True
             style = _para_style(el) or ""
             hm = _HEADING_RE.match(style)
+            lvl = _para_ilvl(el)
             if style == "Title" and title is None:
                 title = text
             elif hm:
                 blocks.append(("h", (int(hm.group(1)), text)))
+            elif lvl is not None:
+                blocks.append(("li", (lvl, text)))
             else:
                 blocks.append(("p", text))
         elif el.tag == W_NS + "tbl":
@@ -161,7 +184,15 @@ def docx_to_markdown(
 
     md.append("# " + escape_md(title if title is not None else logical_name) + "\n")
     md.append("\n")
-    for kind, payload in blocks:
+    _emit_blocks(md, blocks)
+    return "".join(md)
+
+
+def _emit_blocks(md: list[str], blocks: list[tuple[str, object]]) -> None:
+    """Shared emission for extractor and golden builder: consecutive
+    list items form one markdown list (no blank lines inside, one
+    after); every other block is followed by a blank line."""
+    for i, (kind, payload) in enumerate(blocks):
         if kind == "h":
             level, text = payload  # type: ignore[misc]
             md.append("#" * min(6, level + 1) + " " + escape_md(text) + "\n")
@@ -169,10 +200,14 @@ def docx_to_markdown(
         elif kind == "p":
             md.append(escape_md(payload) + "\n")  # type: ignore[arg-type]
             md.append("\n")
+        elif kind == "li":
+            lvl, text = payload  # type: ignore[misc]
+            md.append("  " * lvl + "- " + escape_md(text) + "\n")
+            if i + 1 >= len(blocks) or blocks[i + 1][0] != "li":
+                md.append("\n")
         else:
             md.append(render_table(payload) + "\n")  # type: ignore[arg-type]
             md.append("\n")
-    return "".join(md)
 
 
 # ------------------------------------------------------- fixture writer
@@ -184,11 +219,19 @@ def _xesc(s: str) -> str:
     return "".join(_XML_ESC.get(c, c) for c in s)
 
 
-def _p_xml(text: str, style: str | None = None) -> str:
+def _p_xml(text: str, style: str | None = None, ilvl: int | None = None) -> str:
     """One paragraph, text split across multiple runs at word
     boundaries (proves run concatenation; ``xml:space='preserve'``
-    keeps the inter-run spaces)."""
-    ppr = f'<w:pPr><w:pStyle w:val="{style}"/></w:pPr>' if style else ""
+    keeps the inter-run spaces). ``ilvl`` adds list membership
+    (``w:numPr``)."""
+    props = []
+    if style:
+        props.append(f'<w:pStyle w:val="{style}"/>')
+    if ilvl is not None:
+        props.append(
+            f'<w:numPr><w:ilvl w:val="{ilvl}"/><w:numId w:val="1"/></w:numPr>'
+        )
+    ppr = f"<w:pPr>{''.join(props)}</w:pPr>" if props else ""
     words = text.split(" ")
     runs = []
     for i, wd in enumerate(words):
@@ -205,7 +248,8 @@ def write_docx(
     package ([Content_Types].xml + _rels/.rels + word/document.xml,
     fixed zip timestamps so bytes are reproducible).
 
-    ``blocks``: ("h", level, text) | ("p", text) | ("tbl", rows)."""
+    ``blocks``: ("h", level, text) | ("p", text) | ("li", ilvl, text) |
+    ("tbl", rows)."""
     parts = [
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>',
         '<w:document xmlns:w="http://schemas.openxmlformats.org/'
@@ -217,6 +261,8 @@ def write_docx(
             parts.append(_p_xml(b[2], style=f"Heading{b[1]}"))
         elif b[0] == "p":
             parts.append(_p_xml(b[1]))
+        elif b[0] == "li":
+            parts.append(_p_xml(b[2], ilvl=b[1]))
         elif b[0] == "tbl":
             rows_xml = []
             for row in b[1]:
@@ -269,14 +315,15 @@ def expected_docx_markdown(title: str, blocks: list[tuple]) -> str:
     (escape_md / render_table), independent of the zip/XML round
     trip, so any package/parse/run-concatenation bug diverges."""
     md = ["# " + escape_md(title) + "\n", "\n"]
+    norm: list[tuple[str, object]] = []
     for b in blocks:
         if b[0] == "h":
-            md.append("#" * min(6, b[1] + 1) + " " + escape_md(b[2]) + "\n")
-            md.append("\n")
+            norm.append(("h", (b[1], b[2])))
         elif b[0] == "p":
-            md.append(escape_md(b[1]) + "\n")
-            md.append("\n")
+            norm.append(("p", b[1]))
+        elif b[0] == "li":
+            norm.append(("li", (b[1], b[2])))
         else:
-            md.append(render_table(b[1]) + "\n")
-            md.append("\n")
+            norm.append(("tbl", b[1]))
+    _emit_blocks(md, norm)
     return "".join(md)

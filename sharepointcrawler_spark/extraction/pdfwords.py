@@ -571,24 +571,26 @@ def encrypt_pdf(
     rejects others."""
     import hashlib
 
-    if r not in (2, 3):
-        raise ValueError("only standard-handler revisions 2 and 3 supported")
-    v = 1 if r == 2 else 2
+    if r not in (2, 3, 4):
+        raise ValueError("only standard-handler revisions 2, 3 and 4 supported")
+    v = {2: 1, 3: 2, 4: 4}[r]
     n = 5 if r == 2 else length_bits // 8
     # Algorithm 3: /O from the owner password
     h = hashlib.md5((owner_pwd + _PAD)[:32]).digest()
-    if r == 3:
+    if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h).digest()
     okey = h[:n]
     o = _rc4(okey, (user_pwd + _PAD)[:32])
-    if r == 3:
+    if r >= 3:
         for i in range(1, 20):
             o = _rc4(bytes(b ^ i for b in okey), o)
     key = _std_file_key(user_pwd, o, p, file_id, r, n)
     u = _std_user_check(key, file_id, r)
-    if r == 3:
+    if r >= 3:
         u = u + b"\x00" * 16  # §7.6.3.4: last 16 bytes arbitrary
+    if r == 4:
+        return _encrypt_pdf_aes_rebuild(pdf, key, o, u, p, file_id, n)
     out = bytearray(pdf)
     pos = 0
     while True:
@@ -635,6 +637,99 @@ def encrypt_pdf(
             + b" /ID [<" + idhex + b"> <" + idhex + b">]"
         ),
     )
+
+
+def _encrypt_pdf_aes_rebuild(
+    pdf: bytes,
+    key: bytes,
+    o: bytes,
+    u: bytes,
+    p: int,
+    file_id: bytes,
+    n: int,
+) -> bytes:
+    """AES fixture path: AES-CBC grows every stream (16-byte IV +
+    padding), so unlike RC4 the file cannot be patched in place — the
+    whole body is re-emitted with updated /Length literals, a fresh
+    classic xref over the REAL offsets, and a trailer carrying the
+    crypt-filter /Encrypt dictionary (/V 4 /R 4 /StdCF /AESV2). IVs are
+    deterministic (md5 of the object id) so fixture bytes reproduce."""
+    import hashlib
+
+    from sharepointcrawler_spark.extraction.aes import aes_cbc_encrypt
+
+    objs: list[tuple[int, int, bytes | None, bytes]] = []
+    pos = 0
+    while True:
+        m = _OBJ_HEAD_RE.search(pdf, pos)
+        if m is None:
+            break
+        num, gen, body_start = int(m.group(1)), int(m.group(2)), m.end()
+        em = pdf.find(b"endobj", body_start)
+        sm = _STREAM_KW_RE.search(pdf, body_start, em if em != -1 else len(pdf))
+        if sm is None:
+            objs.append((num, gen, None, pdf[body_start:em]))
+            pos = em + 6
+            continue
+        head = pdf[body_start : sm.start()]
+        ll = _LENGTH_LIT_RE.search(head)
+        if ll is None:
+            raise ValueError(
+                "encrypt_pdf fixture requires literal /Length stream dicts"
+            )
+        length, data_start = int(ll.group(1)), sm.end()
+        objs.append((num, gen, head, pdf[data_start : data_start + length]))
+        after = pdf.find(b"endobj", data_start + length)
+        pos = after + 6 if after != -1 else data_start + length
+    rm = re.search(rb"/Root\s+(\d+)\s+\d+\s+R", pdf)
+    root = int(rm.group(1)) if rm else 1
+    enc_num = max(num for num, _, _, _ in objs) + 1
+
+    out = bytearray(b"%PDF-1.6\n")
+    offsets: dict[int, int] = {}
+    for num, gen, head, payload in objs:
+        offsets[num] = len(out)
+        if head is None:
+            out += b"%d %d obj" % (num, gen) + payload + b"endobj\n"
+            continue
+        if b"/XRef" not in head:
+            iv = hashlib.md5(b"iv%d_%d" % (num, gen) + file_id).digest()
+            payload = aes_cbc_encrypt(
+                _object_key(key, num, gen, aes=True), iv, payload
+            )
+        ll = _LENGTH_LIT_RE.search(head)
+        head = (
+            head[: ll.start()]
+            + b"/Length " + str(len(payload)).encode()
+            + head[ll.end() :]
+        )
+        out += (
+            b"%d %d obj" % (num, gen) + head + b"stream\n" + payload
+            + b"\nendstream\nendobj\n"
+        )
+    offsets[enc_num] = len(out)
+    out += (
+        b"%d 0 obj<< /Filter /Standard /V 4 /R 4 /Length %d /P %d"
+        % (enc_num, n * 8, p)
+        + b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >>"
+        + b" /StmF /StdCF /StrF /StdCF"
+        + b" /O <" + o.hex().encode() + b">"
+        + b" /U <" + u.hex().encode() + b"> >>endobj\n"
+    )
+    xref_at = len(out)
+    size = enc_num + 1
+    out += b"xref\n0 %d\n" % size + b"0000000000 65535 f \n"
+    for num in range(1, size):
+        if num in offsets:
+            out += b"%010d 00000 n \n" % offsets[num]
+        else:
+            out += b"0000000000 65535 f \n"
+    idhex = file_id.hex().encode()
+    out += (
+        b"trailer\n<< /Size %d /Root %d 0 R /Encrypt %d 0 R /ID [<" % (size, root, enc_num)
+        + idhex + b"> <" + idhex + b">] >>\nstartxref\n%d\n%%%%EOF\n" % xref_at
+    )
+    return bytes(out)
 
 
 def write_pdf_type0(
@@ -1129,16 +1224,25 @@ def _unescape_bytes(tok: bytes) -> bytes:
 
 
 def _std_file_key(
-    password: bytes, o: bytes, p: int, file_id: bytes, r: int, n: int
+    password: bytes,
+    o: bytes,
+    p: int,
+    file_id: bytes,
+    r: int,
+    n: int,
+    encrypt_metadata: bool = True,
 ) -> bytes:
     """Algorithm 2: the file encryption key from a (padded) user
-    password, the /O entry, /P and the first /ID string."""
+    password, the /O entry, /P and the first /ID string. For R4 with
+    /EncryptMetadata false the spec appends 0xFFFFFFFF to the hash
+    input."""
     import hashlib
     import struct as _struct
 
     padded = (password + _PAD)[:32]
+    extra = b"\xff\xff\xff\xff" if (r >= 4 and not encrypt_metadata) else b""
     h = hashlib.md5(
-        padded + o + _struct.pack("<I", p & 0xFFFFFFFF) + file_id
+        padded + o + _struct.pack("<I", p & 0xFFFFFFFF) + file_id + extra
     ).digest()
     if r >= 3:
         for _ in range(50):
@@ -1160,16 +1264,17 @@ def _std_user_check(key: bytes, file_id: bytes, r: int) -> bytes:
     return x
 
 
-def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
-    """Algorithm 1's per-object RC4 key: MD5(file key + 3 low bytes of
-    the object number + 2 low bytes of the generation), truncated to
-    min(n+5, 16)."""
+def _object_key(file_key: bytes, num: int, gen: int, aes: bool = False) -> bytes:
+    """Algorithm 1's per-object key: MD5(file key + 3 low bytes of the
+    object number + 2 low bytes of the generation [+ 'sAlT' for AES
+    crypt filters]), truncated to min(n+5, 16)."""
     import hashlib
 
     h = hashlib.md5(
         file_key
         + (num & 0xFFFFFF).to_bytes(3, "little")
         + (gen & 0xFFFF).to_bytes(2, "little")
+        + (b"sAlT" if aes else b"")
     ).digest()
     return h[: min(len(file_key) + 5, 16)]
 
@@ -1215,15 +1320,32 @@ def _setup_decryption(pdf: bytes, issues: list[str]):
     length_bits = _int_of(b"Length", 40)
     o = _crypt_string(body, b"O")
     u = _crypt_string(body, b"U")
-    if v not in (1, 2) or r not in (2, 3):
+    use_aes = False
+    if v == 4 and r == 4:
+        # crypt-filter layer (§7.6.5): the stream filter named by /StmF
+        # must be the /StdCF standard filter with /CFM /V2 (RC4) or
+        # /AESV2 (AES-128-CBC); /Identity or custom filters are out
+        stmf = re.search(rb"/StmF\s*/([A-Za-z0-9]+)", body)
+        cfm = re.search(rb"/StdCF\s*<<[^>]*?/CFM\s*/([A-Za-z0-9]+)", body, re.S)
+        stmf_name = stmf.group(1).decode("ascii", "replace") if stmf else "StdCF"
+        cfm_name = cfm.group(1).decode("ascii", "replace") if cfm else "?"
+        if stmf_name != "StdCF" or cfm_name not in ("V2", "AESV2"):
+            issues.append(
+                "encrypted PDF: unsupported crypt filter "
+                f"/StmF /{stmf_name} /CFM /{cfm_name}"
+            )
+            return _ENC_BLOCKED, enc_num
+        use_aes = cfm_name == "AESV2"
+    elif v not in (1, 2) or r not in (2, 3):
         issues.append(
             f"encrypted PDF: unsupported standard-handler revision V={v} R={r}"
-            " (AES/V4+ not implemented)"
+            " (AESV3/V5+ not implemented)"
         )
         return _ENC_BLOCKED, enc_num
     if p is None or o is None or u is None or len(o) < 32 or len(u) < 32:
         issues.append("encrypted PDF: malformed /Encrypt dictionary (O/U/P)")
         return _ENC_BLOCKED, enc_num
+    encrypt_metadata = not re.search(rb"/EncryptMetadata\s+false", body)
     idm = None
     for m2 in _ID_FIRST_RE.finditer(pdf):
         idm = m2  # last trailer wins
@@ -1231,7 +1353,7 @@ def _setup_decryption(pdf: bytes, issues: list[str]):
         bytes.fromhex(idm.group(1).decode("ascii")) if idm is not None else b""
     )
     n = 5 if v == 1 else max(5, min(16, (length_bits or 40) // 8))
-    key = _std_file_key(b"", o, p, file_id, r, n)
+    key = _std_file_key(b"", o, p, file_id, r, n, encrypt_metadata)
     expect = _std_user_check(key, file_id, r)
     stored = u[:32]
     ok = expect == stored if r == 2 else expect[:16] == stored[:16]
@@ -1242,8 +1364,21 @@ def _setup_decryption(pdf: bytes, issues: list[str]):
         )
         return _ENC_BLOCKED, enc_num
 
-    def decrypt(num: int, gen: int, payload: bytes) -> bytes:
-        return _rc4(_object_key(key, num, gen), payload)
+    if use_aes:
+        from sharepointcrawler_spark.extraction.aes import aes_cbc_decrypt
+
+        def decrypt(num: int, gen: int, payload: bytes) -> bytes:
+            try:
+                return aes_cbc_decrypt(
+                    _object_key(key, num, gen, aes=True), payload
+                )
+            except ValueError as e:
+                issues.append(f"object {num}: AES decrypt failed ({e})")
+                return b""
+    else:
+
+        def decrypt(num: int, gen: int, payload: bytes) -> bytes:
+            return _rc4(_object_key(key, num, gen), payload)
 
     return decrypt, enc_num
 

@@ -205,13 +205,45 @@ def test_encrypted_pdf_empty_user_password_roundtrips():
     pages, heights = layout_words(text)
     plain = write_pdf(pages, heights)
     want, _ = parse_pdf_word_pages(plain, strict=True)
-    for r, bits in ((2, 40), (3, 128)):
+    for r, bits in ((2, 40), (3, 128), (4, 128)):
         enc = encrypt_pdf(plain, r=r, length_bits=bits)
         assert enc != plain and b"/Encrypt" in enc
+        if r == 4:
+            assert b"/AESV2" in enc  # crypt-filter layer, not bare RC4
         got, _ = parse_pdf_word_pages(enc, strict=True)
         assert [
             (w.text, w.left, w.bottom) for p in got for w in p
         ] == [(w.text, w.left, w.bottom) for p in want for w in p], f"R{r}"
+
+
+def test_aes_fips_vectors_and_password_gate():
+    """The AES core anchors to the FIPS-197 appendix C known-answer
+    vectors; an AES-encrypted PDF with a real user password still
+    flags clearly."""
+    from sharepointcrawler_spark.extraction.aes import (
+        aes_cbc_decrypt,
+        aes_cbc_encrypt,
+        aes_encrypt_block,
+    )
+    from sharepointcrawler_spark.extraction.pdfwords import encrypt_pdf
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    k128 = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    assert aes_encrypt_block(k128, pt).hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    k256 = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+    )
+    assert aes_encrypt_block(k256, pt).hex() == "8ea2b7ca516745bfeafc49904b496089"
+    for ln in (0, 1, 15, 16, 17, 100):
+        data = bytes(range(256))[:ln]
+        assert aes_cbc_decrypt(k128, aes_cbc_encrypt(k128, bytes(16), data)) == data
+    with pytest.raises(ValueError, match="padding"):
+        aes_cbc_decrypt(k128, bytes(48))
+
+    pages, heights = layout_words("1.0 Locked\n\nSecret body text here.\n")
+    locked = encrypt_pdf(write_pdf(pages, heights), r=4, user_pwd=b"secret")
+    with pytest.raises(UnsupportedPdfError, match="password required"):
+        parse_pdf_word_pages(locked, strict=True)
 
 
 def test_encrypted_pdf_password_protected_flags_clearly():
@@ -237,12 +269,18 @@ def test_encrypted_pdf_unsupported_handler_flags_clearly():
     pages, heights = layout_words("1.0 Title\n\nBody words here.\n")
     plain = write_pdf(pages, heights)
     enc = encrypt_pdf(plain)
-    aes = enc.replace(b"/Filter /Standard /V 2 /R 3", b"/Filter /Standard /V 4 /R 4")
+    v5 = enc.replace(b"/Filter /Standard /V 2 /R 3", b"/Filter /Standard /V 5 /R 6")
     with pytest.raises(UnsupportedPdfError, match="unsupported standard-handler"):
-        parse_pdf_word_pages(aes, strict=True)
+        parse_pdf_word_pages(v5, strict=True)
     custom = enc.replace(b"/Filter /Standard", b"/Filter /MyCrypto")
     with pytest.raises(UnsupportedPdfError, match="unsupported security handler"):
         parse_pdf_word_pages(custom, strict=True)
+    # V4 with an unknown crypt filter method flags the filter, not a
+    # generic revision error
+    aes4 = encrypt_pdf(plain, r=4)
+    weird = aes4.replace(b"/CFM /AESV2", b"/CFM /AESV3")
+    with pytest.raises(UnsupportedPdfError, match="unsupported crypt filter"):
+        parse_pdf_word_pages(weird, strict=True)
 
 
 def test_bucketed_seen_confirm_prunes_partitions(spark, tmp_path):
@@ -396,6 +434,9 @@ def test_docx_extraction_roundtrip_and_flags():
               "with special chars like a|b and c*d and e_f in it."),
         ("h", 2, "1.1 Scope"),
         ("p", "Applies to all full time employees."),
+        ("li", 0, "step one"),
+        ("li", 1, "nested detail with a*star"),
+        ("li", 0, "step two"),
         ("tbl", [["Field", "Value"], ["Doc No", "SOP-042"], ["Rev | x", "3"]]),
     ]
     blob = write_docx(title, blocks)
@@ -405,6 +446,7 @@ def test_docx_extraction_roundtrip_and_flags():
     assert got.startswith("# Telecommuting Policy\n\n## 1.0 Purpose\n")
     assert "a\\|b and c\\*d and e\\_f" in got
     assert "| Rev \\| x | 3 |" in got
+    assert "- step one\n  - nested detail with a\\*star\n- step two\n\n" in got
     # write/extract determinism at the byte level
     assert write_docx(title, blocks) == blob
 
