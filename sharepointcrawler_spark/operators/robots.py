@@ -18,6 +18,7 @@ re-considered) but are never fetched.
 
 from __future__ import annotations
 
+import re
 from urllib.parse import urlsplit
 
 import pandas as pd
@@ -28,21 +29,46 @@ from pyspark.sql import types as T
 ROBOTS_SCHEMA = "host string, rule_type string, path_prefix string, crawl_delay_s double"
 
 
+def compile_robots_pattern(pattern: str):
+    """RFC 9309 §2.2.3 path matching: ``*`` matches any octet sequence
+    and a trailing ``$`` anchors the end. Returns None for plain
+    prefixes (the dominant case — matched with startswith, no regex
+    cost) or a compiled regex for wildcard rules."""
+    if "*" not in pattern and not pattern.endswith("$"):
+        return None
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "".join(".*" if c == "*" else re.escape(c) for c in body)
+    return re.compile("^" + rx + ("$" if anchored else ""))
+
+
+def robots_path_matches(path: str, pattern: str, compiled=None) -> bool:
+    """One rule match (pure helper, unit-testable without Spark)."""
+    c = compiled if compiled is not None else compile_robots_pattern(pattern)
+    if c is None:
+        return path.startswith(pattern)
+    return c.match(path) is not None
+
+
 class RobotsGate:
     """Driver-side holder: build once per crawl, probe per wave."""
 
     def __init__(self, spark: SparkSession, robots_df: DataFrame | None):
-        rules: dict[str, list[tuple[str, bool]]] = {}
+        rules: dict[str, list[tuple[str, bool, object]]] = {}
         delays: dict[str, float] = {}
         if robots_df is not None:
             for r in robots_df.collect():
                 h = r["host"].lower()
+                pat = r["path_prefix"] or ""
                 rules.setdefault(h, []).append(
-                    (r["path_prefix"] or "", r["rule_type"] == "allow")
+                    # compiled wildcard matcher rides in the broadcast
+                    # (re.Pattern pickles); None = plain-prefix fast path
+                    (pat, r["rule_type"] == "allow", compile_robots_pattern(pat))
                 )
                 if r["crawl_delay_s"] is not None:
                     delays[h] = float(r["crawl_delay_s"])
-        # longest prefix first so the first match wins; allow beats deny on ties
+        # RFC 9309 §2.2.2: most specific (longest pattern in octets)
+        # wins; allow beats deny on ties
         for h in rules:
             rules[h].sort(key=lambda t: (-len(t[0]), not t[1]))
         self._b_rules = spark.sparkContext.broadcast(rules)
@@ -67,8 +93,12 @@ class RobotsGate:
                 if not host_rules:
                     return True
                 path = parts.path or "/"
-                for prefix, allow in host_rules:
-                    if path.startswith(prefix):
+                for prefix, allow, compiled in host_rules:
+                    if (
+                        path.startswith(prefix)
+                        if compiled is None
+                        else compiled.match(path) is not None
+                    ):
                         return allow
                 return True
 
@@ -100,16 +130,16 @@ def parse_robots_txt(
 ) -> list[tuple[str, str, str, float | None]]:
     """Parse one robots.txt body into ROBOTS_SCHEMA rows for ``agent``.
 
-    RFC 9309 group selection, simplified to the crawl cache's prefix
-    model: consecutive ``User-agent`` lines open a group; the group
-    whose agent token is the longest case-insensitive substring match of
-    ``agent`` wins, with ``*`` as fallback. ``Allow``/``Disallow`` carry
-    path prefixes (an empty Disallow means allow-everything and emits no
-    rule); ``Crawl-delay`` rides on every emitted row for the host (the
-    RobotsGate keeps one delay per host). ``$``/``*`` path wildcards are
-    NOT interpreted — the gate is longest-PREFIX match (the dominant
-    pattern in real robots files); wildcard semantics belong in the
-    matcher UDF if ever needed.
+    RFC 9309 group selection: consecutive ``User-agent`` lines open a
+    group; the group whose agent token is the longest case-insensitive
+    substring match of ``agent`` wins, with ``*`` as fallback.
+    ``Allow``/``Disallow`` carry path patterns VERBATIM (an empty
+    Disallow means allow-everything and emits no rule); ``Crawl-delay``
+    rides on every emitted row for the host (the RobotsGate keeps one
+    delay per host). ``$``/``*`` wildcards pass through to the gate,
+    which matches them per §2.2.3 (``compile_robots_pattern``); plain
+    prefixes — the dominant real-world shape — keep the startswith fast
+    path.
     """
     agent_l = agent.lower()
     groups: list[tuple[list[str], list[tuple[str, str]], float | None]] = []

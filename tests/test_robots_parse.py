@@ -99,3 +99,69 @@ def test_sitemap_directives(spark):
     )
     rows = robots_sitemaps_df(df).collect()
     assert len(rows) == 3 and {r.host for r in rows} == {"a.example.com"}
+
+
+def test_wildcard_rules_pure():
+    """RFC 9309 §2.2.3 wildcards: * matches any octet run, trailing $
+    anchors; plain prefixes keep the startswith fast path (compiled
+    matcher is None)."""
+    from sharepointcrawler_spark.operators.robots import (
+        compile_robots_pattern,
+        robots_path_matches,
+    )
+
+    assert compile_robots_pattern("/private") is None
+    assert compile_robots_pattern("/a/*.pdf$") is not None
+    cases = [
+        ("/docs/x.pdf", "/*.pdf$", True),
+        ("/docs/x.pdf?y", "/*.pdf$", False),   # $ anchors the end
+        ("/docs/x.pdf", "/*.pdf", True),
+        ("/a/b/c", "/a/*/c", True),
+        ("/a//c", "/a/*/c", True),             # * may match empty
+        ("/a/c", "/a/*/c", False),             # the slashes around * are literal
+        ("/a/b/d", "/a/*/c", False),
+        ("/exact", "/exact$", True),
+        ("/exactly", "/exact$", False),
+        ("/exactly", "/exact", True),          # plain prefix
+        ("/x%2Fy", "/x%2F", True),
+    ]
+    for path, pat, want in cases:
+        assert robots_path_matches(path, pat) is want, (path, pat)
+
+
+def test_wildcard_rules_through_gate(spark):
+    """Wildcard Disallow/Allow rules flow parse -> rule rows -> gate:
+    most-specific (longest pattern) wins, allow beats deny on ties."""
+    from sharepointcrawler_spark.operators.robots import (
+        RobotsGate,
+        apply_robots_gate,
+        robots_rules_df,
+    )
+
+    texts = spark.createDataFrame(
+        [(
+            "w.com",
+            "User-agent: *\n"
+            "Disallow: /*.pdf$\n"
+            "Allow: /public/*.pdf$\n"
+            "Disallow: /tmp/*\n",
+        )],
+        "host string, robots_txt string",
+    )
+    gate = RobotsGate(spark, robots_rules_df(texts))
+    wave = spark.createDataFrame(
+        [
+            ("https://w.com/a.pdf",),          # denied: /*.pdf$
+            ("https://w.com/public/a.pdf",),   # allowed: longer Allow wins
+            ("https://w.com/a.pdfx",),         # allowed: $ anchored
+            ("https://w.com/tmp/scratch",),    # denied: /tmp/*
+            ("https://w.com/ok.html",),        # allowed: no rule
+        ],
+        ["url_canon"],
+    )
+    allowed, denied = apply_robots_gate(wave, gate)
+    assert {r.url_canon for r in denied.collect()} == {
+        "https://w.com/a.pdf",
+        "https://w.com/tmp/scratch",
+    }
+    assert allowed.count() == 3
