@@ -1420,6 +1420,42 @@ def q_sitemap_entries(spark, sf_dir):
     )
 
 
+def q_sitemap_priors(spark, sf_dir):
+    """Cold-start refresh priors from sitemap metadata (the composition
+    of the s9 discovery and t6 recrawl features): <changefreq> -> λ
+    events/day via the spec's vocabulary, <lastmod> -> age in DATE
+    days, staleness = λ·age, due at ln 2 — all IEEE-exact, so the
+    oracle recomputes every double bit-identically. Fixture cycles all
+    seven changefreq values plus a junk one and a missing lastmod."""
+    from sharepointcrawler_spark.operators.sitemap import sitemap_refresh_priors
+
+    d = F.col("doc_id")
+    freqs = F.array(
+        *[F.lit(x) for x in (
+            "always", "hourly", "daily", "weekly", "monthly", "yearly",
+            "never", "sometimes",
+        )]
+    )
+    entries = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(d < 200)
+        .select(
+            F.concat(F.lit("https://pr.example.com/p"), d.cast("string")).alias("loc"),
+            F.when(
+                d % 11 != 10,
+                F.concat(
+                    F.lit("2024-0"), ((d % 3) + 1).cast("string"),
+                    F.lit("-"), F.lpad(((d % 27) + 1).cast("string"), 2, "0"),
+                ),
+            ).alias("lastmod"),
+            F.element_at(freqs, (d % 8 + 1).cast("int")).alias("changefreq"),
+        )
+    )
+    pr = sitemap_refresh_priors(entries, now_date="2024-04-05")
+    return pr.select("loc", "lambda_per_day", "age_days", "staleness", "due")
+
+
 def _recrawl_history(spark, sf_dir):
     """Deterministic fetch-history fixture from doc_id closed forms
     (epoch-second timestamps; every derived feature below is IEEE-exact
@@ -1749,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t6_recrawl_priority": q_recrawl_priority,
         "t6_recrawl_batch": q_recrawl_batch,
         "t6_recrawl_update": q_recrawl_update,
+        "s9_sitemap_priors": q_sitemap_priors,
         "crawl_sitemap_discovery": q_crawl_sitemap_discovery,
         "a1_count_by_state": q_count_by_state,
         "a2_running_metrics": q_running_metrics,
@@ -2709,6 +2746,38 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
               FROM due)
             SELECT doc_id, host, refresh_rank FROM ranked
             WHERE refresh_rank <= 5
+        """,
+        "s9_sitemap_priors": """
+            -- cold-start refresh priors recomputed from the same
+            -- closed forms: changefreq -> events/day, DATE day-diff
+            -- age, staleness = lambda * age (all IEEE-exact)
+            WITH e AS (
+              SELECT doc_id,
+                     'https://pr.example.com/p' || CAST(doc_id AS VARCHAR) AS loc,
+                     CASE WHEN doc_id % 11 <> 10 THEN
+                       '2024-0' || CAST((doc_id % 3) + 1 AS VARCHAR) || '-'
+                         || lpad(CAST((doc_id % 27) + 1 AS VARCHAR), 2, '0')
+                     END AS lastmod,
+                     CASE doc_id % 8
+                       WHEN 0 THEN 'always' WHEN 1 THEN 'hourly'
+                       WHEN 2 THEN 'daily' WHEN 3 THEN 'weekly'
+                       WHEN 4 THEN 'monthly' WHEN 5 THEN 'yearly'
+                       WHEN 6 THEN 'never' ELSE 'sometimes' END AS cf
+              FROM documents WHERE doc_id < 200),
+            f AS (
+              SELECT loc,
+                     CASE cf WHEN 'always' THEN 48.0 WHEN 'hourly' THEN 24.0
+                        WHEN 'daily' THEN 1.0 WHEN 'weekly' THEN 1.0 / 7.0
+                        WHEN 'monthly' THEN 1.0 / 30.0
+                        WHEN 'yearly' THEN 1.0 / 365.0
+                        WHEN 'never' THEN 0.0 ELSE 1.0 / 30.0 END AS lam,
+                     CAST(date_diff('day', CAST(lastmod AS DATE),
+                                    DATE '2024-04-05') AS DOUBLE) AS age
+              FROM e)
+            SELECT loc, lam AS lambda_per_day, age AS age_days,
+                   lam * age AS staleness,
+                   coalesce(lam * age >= 0.6931471805599453, false) AS due
+            FROM f
         """,
         "t6_recrawl_update": """
             -- history fold-forward: even doc_ids refreshed at the fixed

@@ -88,6 +88,55 @@ def sitemap_seed_frontier(
     )
 
 
+def sitemap_refresh_priors(
+    entries: DataFrame,
+    now_date: str,
+    loc_col: str = "loc",
+    lastmod_col: str = "lastmod",
+    changefreq_col: str = "changefreq",
+) -> DataFrame:
+    """Bootstrap refresh priorities from sitemap metadata — the cold-
+    start composition of the discovery and recrawl features: before any
+    fetch history exists, ``<changefreq>`` is the site's own declared
+    change rate and ``<lastmod>`` its last known change, so the Cho &
+    Garcia-Molina staleness ranking applies immediately with
+    λ = the changefreq as events/day and age = days since lastmod.
+
+    Output matches :func:`operators.recrawl.recrawl_priorities`
+    (lambda_per_day, age_days, staleness, due), so
+    ``select_refresh_batch`` composes unchanged. All arithmetic is
+    IEEE-exact (+ * / of literals) and age uses DATE day-diffs (no
+    timezone-dependent epoch math), so the whole surface is
+    hash-oracle-safe. Unknown/missing changefreq defaults to the
+    monthly prior; 'never' pins λ=0 (never due); missing lastmod
+    yields NULL age/staleness and due=false (no evidence — history,
+    not priors, must schedule it)."""
+    from sharepointcrawler_spark.operators.recrawl import LN2
+
+    freq = F.lower(F.col(changefreq_col))
+    lam = (
+        F.when(freq == "always", F.lit(48.0))
+        .when(freq == "hourly", F.lit(24.0))
+        .when(freq == "daily", F.lit(1.0))
+        .when(freq == "weekly", F.lit(1.0) / F.lit(7.0))
+        .when(freq == "monthly", F.lit(1.0) / F.lit(30.0))
+        .when(freq == "yearly", F.lit(1.0) / F.lit(365.0))
+        .when(freq == "never", F.lit(0.0))
+        .otherwise(F.lit(1.0) / F.lit(30.0))
+    )
+    age = F.datediff(
+        F.to_date(F.lit(now_date)), F.to_date(F.col(lastmod_col))
+    ).cast("double")
+    lam_age = lam * age
+    return entries.select(
+        F.col(loc_col),
+        lam.alias("lambda_per_day"),
+        age.alias("age_days"),
+        lam_age.alias("staleness"),
+        F.coalesce(lam_age >= F.lit(LN2), F.lit(False)).alias("due"),
+    )
+
+
 def expand_sitemap_tree(
     sitemap_urls: DataFrame,
     sitemap_fetch: Callable[[DataFrame], DataFrame],

@@ -165,6 +165,37 @@ def test_sitemap_crawl_resume_skips_rediscovery(spark, tmp_path):
     assert states.get(f"{B}/orphan/sub/d1.pdf") == "fetched"
 
 
+def test_sitemap_priors_compose_with_refresh_batch(spark):
+    """Cold-start composition: sitemap <changefreq>/<lastmod> priors
+    produce the same feature shape as recrawl_priorities, so
+    select_refresh_batch consumes them unchanged; 'never' pages are
+    never due, missing lastmod yields no evidence (not due)."""
+    from sharepointcrawler_spark.functions.urlnorm import url_host
+    from sharepointcrawler_spark.operators.recrawl import select_refresh_batch
+    from sharepointcrawler_spark.operators.sitemap import sitemap_refresh_priors
+
+    entries = spark.createDataFrame(
+        [
+            ("https://s.example.com/hot", "2024-03-01", "daily"),     # 35 days stale
+            ("https://s.example.com/cold", "2024-04-04", "yearly"),   # fresh
+            ("https://s.example.com/frozen", "2020-01-01", "never"),  # lambda 0
+            ("https://s.example.com/mystery", None, "daily"),         # no lastmod
+        ],
+        "loc string, lastmod string, changefreq string",
+    )
+    pr = sitemap_refresh_priors(entries, now_date="2024-04-05")
+    rows = {r["loc"]: r for r in pr.collect()}
+    assert rows["https://s.example.com/hot"]["due"]
+    assert not rows["https://s.example.com/cold"]["due"]
+    assert not rows["https://s.example.com/frozen"]["due"]
+    assert not rows["https://s.example.com/mystery"]["due"]
+    assert rows["https://s.example.com/mystery"]["staleness"] is None
+    batch = select_refresh_batch(
+        pr.withColumn("host", url_host("loc")), per_host=2, id_col="loc"
+    )
+    assert [r["loc"] for r in batch.collect()] == ["https://s.example.com/hot"]
+
+
 def test_refresh_wave_refetches_due_urls(spark, integrated):
     store, res = integrated
     now_s = 1_700_000_000
