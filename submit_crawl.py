@@ -54,12 +54,43 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--crawl-delay", type=float, default=1.0)
     ap.add_argument("--no-bloom", action="store_true")
     ap.add_argument("--local-cpus", type=int, default=None, help="force local[N] (smoke runs)")
+    ap.add_argument(
+        "--robots-txt",
+        help="parquet of (host, robots_txt) bodies: rules are distilled "
+        "from them and their Sitemap: directives drive seed discovery",
+    )
+    ap.add_argument(
+        "--sitemaps",
+        help="parquet of (sitemap_url, xml) — the fetch table sitemap "
+        "discovery resolves advertised URLs against (with --robots-txt)",
+    )
+    ap.add_argument(
+        "--seen-buckets", type=int, default=None,
+        help="bucket-partition the seen table by pmod(url_key, N) so the "
+        "per-wave exact-confirm join prunes its scan",
+    )
+    ap.add_argument(
+        "--refresh-history",
+        help="parquet fetch history (url_canon, first_fetch_s, "
+        "last_fetch_s, n_fetches, n_changes): after the crawl drains, "
+        "due URLs are re-enqueued and drained as a refresh wave",
+    )
+    ap.add_argument("--refresh-per-host", type=int, default=8)
+    ap.add_argument(
+        "--refresh-now-s", type=int, default=None,
+        help="refresh evaluation instant (epoch seconds; default: now)",
+    )
     args = ap.parse_args(argv)
 
     spark = build_session("sharepointcrawler-spark-crawl", args.local_cpus)
 
     from sharepointcrawler_spark.extraction.udfs import pages_expander
-    from sharepointcrawler_spark.plans.crawl import CrawlConfig, crawl_order, run_crawl
+    from sharepointcrawler_spark.plans.crawl import (
+        CrawlConfig,
+        crawl_order,
+        enqueue_refresh,
+        run_crawl,
+    )
     from sharepointcrawler_spark.plans.snapshot import SnapshotStore
     from sharepointcrawler_spark.sources.pages import pages_df_distributed
 
@@ -82,17 +113,49 @@ def main(argv: list[str] | None = None) -> int:
         per_host_wave_budget=args.per_host_budget,
         default_crawl_delay_s=args.crawl_delay,
         use_bloom=not args.no_bloom,
+        seen_buckets=args.seen_buckets,
     )
+    robots_texts_df = (
+        spark.read.parquet(args.robots_txt) if args.robots_txt else None
+    )
+    sitemap_fetch = None
+    if args.sitemaps:
+        sitemap_table = spark.read.parquet(args.sitemaps)
+
+        def sitemap_fetch(urls_df, _t=sitemap_table):
+            return urls_df.join(_t, "sitemap_url", "inner")
+
+    expander = pages_expander(pages)
     result = run_crawl(
         spark,
         store,
-        pages_expander(pages),
+        expander,
         seeds=[(u, 0) for u in seeds] if not resume else None,
         config=cfg,
         resume=resume,
+        robots_texts_df=robots_texts_df,
+        sitemap_fetch=sitemap_fetch,
     )
     for m in result.metrics:
         print(json.dumps({"wave_metrics": m}))
+
+    refreshed = 0
+    if args.refresh_history:
+        import time
+
+        now_s = args.refresh_now_s or int(time.time())
+        refreshed = enqueue_refresh(
+            spark,
+            store,
+            spark.read.parquet(args.refresh_history),
+            now_s,
+            per_host=args.refresh_per_host,
+            config=cfg,
+        )
+        if refreshed:
+            result = run_crawl(spark, store, expander, config=cfg, resume=True)
+            for m in result.metrics:
+                print(json.dumps({"refresh_wave_metrics": m}))
 
     crawl_order(result.frontier).write.mode("overwrite").parquet(f"{args.out}/crawl_order")
     result.seen.write.mode("overwrite").parquet(f"{args.out}/seen")
@@ -101,6 +164,7 @@ def main(argv: list[str] | None = None) -> int:
         "resumed": resume,
         "fetched": result.fetch_log.count(),
         "seen": result.seen.count(),
+        "refresh_enqueued": refreshed,
         "out": args.out,
     }
     print(json.dumps(summary))
