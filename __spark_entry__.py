@@ -1224,6 +1224,56 @@ def q_docx_extraction(spark, sf_dir):
     )
 
 
+def q_xlsx_extraction(spark, sf_dir):
+    """Byte-identity through REAL XLSX packages (the SpreadsheetML half
+    of the reference's OpenXml surface): 12 deterministic workbooks —
+    shared-string text cells, numeric cells, sparse gaps, multiple
+    sheets with markdown-escapable names — written as valid ZIP
+    packages and extracted through the same pandas UDF via the PK
+    dispatch. The golden is stated top-down from the sheet spec."""
+    from sharepointcrawler_spark.extraction.xlsxcells import (
+        expected_xlsx_markdown,
+        write_xlsx,
+    )
+    from sharepointcrawler_spark.extraction.udfs import extract_text_udf
+
+    rows = []
+    for i in range(12):
+        sheets = [
+            (
+                f"Summary {i}",
+                [
+                    ["Field", "Value"],
+                    ["Doc No", f"SOP-{i:03d}"],
+                    ["Count", 10 + i * 3],
+                    ["Ratio", f"{i}.5"],
+                ],
+            ),
+            (
+                f"Data|{i}",
+                [
+                    [f"h{j}*" for j in range(2 + i % 3)],
+                ]
+                + [
+                    [
+                        (None if (r + c + i) % 5 == 0 else f"v{i}_{r}_{c}")
+                        for c in range(2 + i % 3)
+                    ]
+                    for r in range(3 + i % 4)
+                ],
+            ),
+        ]
+        golden = expected_xlsx_markdown(f"wb{i}", sheets)
+        rows.append((i, bytearray(write_xlsx(sheets)), f"wb{i}", golden))
+    df = spark.createDataFrame(rows, "doc_id long, xlsx binary, name string, golden string")
+    return df.select(
+        F.col("doc_id"),
+        (extract_text_udf(F.col("xlsx"), F.col("name")) == F.col("golden")).alias(
+            "byte_identical"
+        ),
+    )
+
+
 def q_pdf_type0_extraction(spark, sf_dir):
     """Byte-identity through Type0/Identity-H COMPOSITE-font PDFs: 12
     deterministic documents laid out with Helvetica metrics, written as
@@ -1524,6 +1574,24 @@ def q_recrawl_batch(spark, sf_dir):
     return batch.select("doc_id", "host", F.col("refresh_rank").cast("long").alias("refresh_rank"))
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher repetition signals (Rae et al. 2021 A1.1): duplicate-line
+    fractions and top-2-gram character coverage — the standard
+    pre-training repetition filters, all exact-integer sums and IEEE
+    divisions, recomputed independently by the oracle (including the
+    deterministic cnt/length/lexicographic bigram tie-break)."""
+    from sharepointcrawler_spark.functions.textanalysis import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_signals(docs).select(
+        F.col("doc_id").cast("long"),
+        "n_lines",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top_bigram_char_frac",
+    )
+
+
 def q_crawl_sitemap_discovery(spark, sf_dir):
     """The INTEGRATED discovery topology (r5 VERDICT item 1): robots
     ``Sitemap:`` directive -> sitemap-index recursion -> page entries ->
@@ -1811,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_decontaminate": q_dedup_decontaminate,
+        "text_repetition": q_text_repetition,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_twophase": q_dedup_clusters_twophase,
@@ -1847,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_type0_extraction_identity": q_pdf_type0_extraction,
         "pdf_encrypted_extraction_identity": q_pdf_encrypted_extraction,
         "docx_extraction_identity": q_docx_extraction,
+        "xlsx_extraction_identity": q_xlsx_extraction,
         "pdf_xref_stream_extraction_identity": q_pdf_xref_stream_extraction,
         "pdf_incremental_extraction_identity": q_pdf_incremental_extraction,
     }
@@ -2619,6 +2689,12 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
             SELECT i AS doc_id, true AS byte_identical
             FROM (SELECT unnest(generate_series(0, 11)) AS i)
         """,
+        "xlsx_extraction_identity": """
+            -- every SpreadsheetML workbook must extract its sheet
+            -- tables byte-identically through the PK-magic dispatch
+            SELECT i AS doc_id, true AS byte_identical
+            FROM (SELECT unnest(generate_series(0, 11)) AS i)
+        """,
         "pdf_type0_extraction_identity": """
             -- every composite-font (Type0/Identity-H) PDF must extract
             -- byte-identically: CID decode + /W widths + ToUnicode
@@ -2746,6 +2822,67 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
               FROM due)
             SELECT doc_id, host, refresh_rank FROM ranked
             WHERE refresh_rank <= 5
+        """,
+        "text_repetition": """
+            -- Gopher repetition signals recomputed from scratch:
+            -- line multiplicity sums + the deterministic top-bigram
+            -- (cnt desc, length desc, lexicographic desc)
+            WITH lines AS (
+              SELECT doc_id, trim(l) AS line FROM (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                FROM documents)
+              WHERE trim(l) <> ''),
+            per_line AS (
+              SELECT doc_id, line, count(*) AS cnt
+              FROM lines GROUP BY 1, 2),
+            la AS (
+              SELECT doc_id, sum(cnt) AS n_lines, sum(cnt - 1) AS dup_lines,
+                     sum(cnt * length(line)) AS line_chars,
+                     sum((cnt - 1) * length(line)) AS dup_line_chars
+              FROM per_line GROUP BY 1),
+            words AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\W+'),
+                       x -> x <> '') AS w
+              FROM documents),
+            wch AS (
+              SELECT doc_id,
+                     coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+                       AS word_chars,
+                     len(w) AS nw
+              FROM words),
+            bg AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(w, i, i + 1), ' ') AS bigram
+              FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i)
+              WHERE len(w) >= 2),
+            bgc AS (
+              SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+            top AS (
+              SELECT doc_id, cnt, length(bigram) AS blen FROM (
+                SELECT doc_id, bigram, cnt,
+                       row_number() OVER (
+                         PARTITION BY doc_id
+                         ORDER BY cnt DESC, length(bigram) DESC, bigram DESC
+                       ) AS rn
+                FROM bgc)
+              WHERE rn = 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(la.n_lines, 0) AS BIGINT) AS n_lines,
+                   CASE WHEN coalesce(la.n_lines, 0) = 0 THEN 0.0
+                        ELSE la.dup_lines / la.n_lines END AS dup_line_frac,
+                   CASE WHEN coalesce(la.line_chars, 0) = 0 THEN 0.0
+                        ELSE la.dup_line_chars / la.line_chars
+                   END AS dup_line_char_frac,
+                   CASE WHEN top.cnt IS NULL OR coalesce(wch.word_chars, 0) = 0
+                        THEN 0.0
+                        ELSE (top.cnt * (top.blen - 1)) / wch.word_chars
+                   END AS top_bigram_char_frac
+            FROM documents d
+            LEFT JOIN la ON la.doc_id = d.doc_id
+            LEFT JOIN wch ON wch.doc_id = d.doc_id
+            LEFT JOIN top ON top.doc_id = d.doc_id
         """,
         "s9_sitemap_priors": """
             -- cold-start refresh priors recomputed from the same

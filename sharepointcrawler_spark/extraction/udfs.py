@@ -25,6 +25,11 @@ from sharepointcrawler_spark.extraction.docxwords import (
     is_docx,
 )
 from sharepointcrawler_spark.extraction.htmlwords import extract_links, parse_word_pages
+from sharepointcrawler_spark.extraction.xlsxcells import (
+    UnsupportedXlsxError,
+    is_xlsx,
+    xlsx_to_markdown,
+)
 from sharepointcrawler_spark.extraction.pdfwords import (
     UnsupportedPdfError,
     is_pdf,
@@ -57,14 +62,20 @@ def _extract_one_with_err(
 
     Dispatch: ``%PDF-`` -> the PDF interpreter (word boxes), ``PK..``
     with a word/document.xml member -> the OpenXML flow extractor
-    (markdown directly — flow XML has no page geometry), anything else
-    -> the synthetic html word-box dialect."""
+    (markdown directly — flow XML has no page geometry), ``PK..`` with
+    xl/workbook.xml -> the SpreadsheetML table extractor, anything
+    else -> the synthetic html word-box dialect."""
     if html is None:
         return None, None
     if is_docx(html):
         try:
             return docx_to_markdown(html, name or "document", strict=True), None
         except UnsupportedDocxError as e:
+            return None, str(e)
+    if is_xlsx(html):
+        try:
+            return xlsx_to_markdown(html, name or "workbook", strict=True), None
+        except UnsupportedXlsxError as e:
             return None, str(e)
     try:
         page_words, heights = word_pages_of(html)

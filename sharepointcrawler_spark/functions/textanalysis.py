@@ -521,3 +521,99 @@ def winnowing_fingerprints(
     return staged.select(
         F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp")
     )
+
+
+def repetition_signals(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    appendix A1.1 — the standard pre-training repetition filters; also
+    used by Dolma/RedPajama): per document,
+
+    * ``n_lines`` — non-empty trimmed lines,
+    * ``dup_line_frac`` — fraction of lines that are repeats of an
+      earlier line (occurrences beyond the first / total lines),
+    * ``dup_line_char_frac`` — fraction of line characters carried by
+      those repeated occurrences,
+    * ``top_bigram_char_frac`` — word characters covered by the most
+      frequent word 2-gram / total word characters (ties broken by
+      bigram length then lexicographically — deterministic in both
+      engines).
+
+    Plan shape: the line family is one explode + groupBy(doc, line) +
+    groupBy(doc) (map-side partial aggs on both); the bigram family is
+    one staged word-array projection (lambda-CSE-safe), one explode,
+    one groupBy(doc, bigram) and a struct-max per doc. All divisions
+    are exact-int-over-exact-int IEEE doubles, so the whole surface is
+    hash-oracle-safe. Docs with no lines / fewer than two words score
+    zero (flag-side neutral), never NULL."""
+    from pyspark.sql import DataFrame  # noqa: F401 (signature clarity)
+
+    text = F.col(text_col)
+    lines_arr = F.filter(
+        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    lines = docs.select(F.col(id_col), lines_arr.alias("_lines")).select(
+        id_col, F.explode("_lines").alias("line")
+    )
+    per_line = lines.groupBy(id_col, "line").agg(F.count("*").alias("cnt"))
+    line_agg = per_line.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_lines"),
+        F.sum(F.col("cnt") - 1).alias("dup_lines"),
+        F.sum(F.col("cnt") * F.length("line")).alias("line_chars"),
+        F.sum((F.col("cnt") - 1) * F.length("line")).alias("dup_line_chars"),
+    )
+
+    words = F.filter(
+        F.split(F.lower(F.trim(text)), r"\W+"), lambda x: x != F.lit("")
+    )
+    wstaged = docs.select(F.col(id_col), words.alias("_w"))
+    wchars = wstaged.select(
+        id_col,
+        F.size("_w").alias("n_words"),
+        F.aggregate(
+            "_w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("word_chars"),
+    )
+    bigrams = F.when(
+        F.size("_w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - 1),
+            lambda i: F.concat_ws(" ", F.slice("_w", i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = wstaged.select(id_col, F.explode(bigrams).alias("bigram"))
+    bgc = bg.groupBy(id_col, "bigram").agg(F.count("*").alias("cnt"))
+    top = bgc.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("cnt").alias("cnt"),
+                F.length("bigram").alias("blen"),
+                F.col("bigram").alias("bigram"),
+            )
+        ).alias("_t")
+    )
+
+    out = (
+        docs.select(F.col(id_col))
+        .join(line_agg, id_col, "left")
+        .join(wchars, id_col, "left")
+        .join(top, id_col, "left")
+    )
+    n_lines = F.coalesce("n_lines", F.lit(0))
+    wc = F.coalesce("word_chars", F.lit(0))
+    return out.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        F.when(
+            n_lines > 0, F.col("dup_lines") / F.col("n_lines")
+        ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        F.when(
+            F.coalesce("line_chars", F.lit(0)) > 0,
+            F.col("dup_line_chars") / F.col("line_chars"),
+        ).otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+        F.when(
+            F.col("_t").isNotNull() & (wc > 0),
+            # bigram chars = len("w1 w2") - 1 separator, per occurrence
+            (F.col("_t.cnt") * (F.col("_t.blen") - 1)) / wc.cast("double"),
+        ).otherwise(F.lit(0.0)).alias("top_bigram_char_frac"),
+    )

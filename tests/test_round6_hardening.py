@@ -377,6 +377,32 @@ def test_crawl_with_bucketed_seen_matches_flat(spark, tmp_path):
     assert results["flat"] == results["bucketed"]
 
 
+def test_repetition_signals_planted(spark):
+    """Gopher repetition signals against hand-computed values: repeated
+    lines, a dominant bigram, and the empty/one-word degenerate cases
+    (zeros, never NULL)."""
+    from sharepointcrawler_spark.functions.textanalysis import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\nalpha beta\ngamma delta\n\n  alpha beta  \n"),
+            (2, ""),
+            (3, "single"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    r1 = out[1]
+    assert r1["n_lines"] == 4
+    assert r1["dup_line_frac"] == 2 / 4
+    assert r1["dup_line_char_frac"] == 20 / 41  # 2 extra "alpha beta" lines
+    assert r1["top_bigram_char_frac"] == (3 * 9) / 37  # "alpha beta" x3
+    for d in (2, 3):
+        assert out[d]["n_lines"] in (0, 1)
+        assert out[d]["dup_line_frac"] == 0.0
+        assert out[d]["top_bigram_char_frac"] == 0.0
+
+
 def test_decontaminate_flags_planted_overlap(spark):
     """Planted contamination: a training doc embedding a verbatim
     13-gram from an eval question is flagged with the exact collision
@@ -472,6 +498,61 @@ def test_docx_extraction_roundtrip_and_flags():
     empty = write_docx("T", [])
     md2 = docx_to_markdown(empty, strict=False)
     assert md2.startswith("# T\n")  # title alone still counts as text
+
+
+def test_xlsx_extraction_roundtrip_and_flags():
+    """XLSX workbooks (SpreadsheetML) extract sheet tables under the
+    shared markdown conventions via the PK dispatch: shared strings,
+    numerics, sparse cells, multiple sheets; malformed packages flag."""
+    from sharepointcrawler_spark.extraction.udfs import _extract_one_with_err
+    from sharepointcrawler_spark.extraction.xlsxcells import (
+        UnsupportedXlsxError,
+        expected_xlsx_markdown,
+        is_xlsx,
+        write_xlsx,
+        xlsx_to_markdown,
+    )
+
+    sheets = [
+        ("Summary", [["Field", "Value"], ["Doc No", "SOP-042"], ["Count", 17]]),
+        ("Data | raw", [["a*b", None, "c_d"], [1, 2, None], [None, "x", "y"]]),
+    ]
+    blob = write_xlsx(sheets)
+    assert is_xlsx(blob) and not is_xlsx(b"%PDF-1.4")
+    got = xlsx_to_markdown(blob, "wb", strict=True)
+    assert got == expected_xlsx_markdown("wb", sheets)
+    assert "## Data \\| raw\n" in got and "| a\\*b |  | c\\_d |" in got
+    assert write_xlsx(sheets) == blob  # byte determinism
+    md, err = _extract_one_with_err(blob, "wb")
+    assert err is None and md == got
+    with pytest.raises(UnsupportedXlsxError):
+        xlsx_to_markdown(blob[:50] + b"xl/workbook.xml", strict=True)
+    # a shared-string index out of range flags, never silently blanks
+    # (members are deflated, so build the malformed package directly)
+    import io as _io
+    import zipfile as _zf
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    buf = _io.BytesIO()
+    with _zf.ZipFile(buf, "w") as z:
+        z.writestr(
+            "xl/workbook.xml",
+            f'<workbook xmlns="{ns}" xmlns:r="{rns}">'
+            '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets>'
+            "</workbook>",
+        )
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{ns}"><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>99</v></c></row>'
+            "</sheetData></worksheet>",
+        )
+        z.writestr(
+            "xl/sharedStrings.xml", f'<sst xmlns="{ns}"><si><t>x</t></si></sst>'
+        )
+    with pytest.raises(UnsupportedXlsxError, match="shared-string"):
+        xlsx_to_markdown(buf.getvalue(), strict=True)
 
 
 def test_inline_image_bad_length_falls_back_to_scan():
