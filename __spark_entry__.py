@@ -1672,7 +1672,10 @@ def q_crawl_sitemap_discovery(spark, sf_dir):
         ],
         "sitemap_url string, xml string",
     )
-    xml_table = index_xml.unionByName(child_xml)
+    # the fixture xml build (a groupBy over documents) feeds one fetch
+    # join per recursion level plus the loop's emptiness probes —
+    # persist it once instead of recomputing the aggregation each time
+    xml_table = index_xml.unionByName(child_xml).persist()
 
     def fetch(urls_df):
         return urls_df.join(xml_table, "sitemap_url", "inner")
@@ -1712,11 +1715,14 @@ def q_crawl_sitemap_discovery(spark, sf_dir):
     seen = frontier0.select("url_key", "url_canon")
     wave = frontier0
     fetched = None
+    # two bounded waves: lineage stays shallow, so no per-wave eager
+    # checkpoint (each one is an extra materialization job; the long
+    # crawl_wave entry keeps them because its plans nest per wave)
     for wave_id in (1, 2):
         allowed, denied = apply_robots_gate(wave, gate)
         fetched = allowed if fetched is None else fetched.unionByName(allowed)
         children = fr.expand_wave(allowed, expander, wave_id=wave_id)
-        new_rows = dd.anti_join_unseen(children, seen).localCheckpoint(eager=True)
+        new_rows = dd.anti_join_unseen(children, seen)
         seen = seen.unionByName(new_rows.select("url_key", "url_canon"))
         wave = new_rows
     ordered = fr.global_sequence(

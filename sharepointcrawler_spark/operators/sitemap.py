@@ -155,10 +155,14 @@ def expand_sitemap_tree(
     caps nesting in practice; ``max_depth`` defaults to 3); all parsing
     stays JVM-side in :func:`sitemap_entries`. Already-fetched sitemap
     URLs are anti-joined out, so an index cycle cannot loop."""
-    pending = sitemap_urls.select(F.col(url_col).alias("sitemap_url")).distinct()
+    pending = sitemap_urls.select(
+        F.col(url_col).alias("sitemap_url")
+    ).distinct().persist()
     fetched: DataFrame | None = None
     pages: DataFrame | None = None
     for _ in range(max_depth):
+        # pending is persisted, so the isEmpty probe and the fetch join
+        # below share one evaluation instead of recomputing the level
         if pending.isEmpty():
             break
         xml = sitemap_fetch(pending).withColumnRenamed("sitemap_url", "sitemap_id")
@@ -170,12 +174,15 @@ def expand_sitemap_tree(
         fetched = (
             pending if fetched is None else fetched.unionByName(pending)
         ).distinct()
+        prev_pending = pending
         pending = (
             entries.filter(F.col("is_index"))
             .select(F.col("loc").alias("sitemap_url"))
             .distinct()
             .join(fetched, "sitemap_url", "left_anti")
+            .persist()
         )
+        prev_pending.unpersist()
     if pages is None:
         return sitemap_urls.sparkSession.createDataFrame(
             [],
