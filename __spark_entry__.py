@@ -1574,6 +1574,35 @@ def q_recrawl_batch(spark, sf_dir):
     return batch.select("doc_id", "host", F.col("refresh_rank").cast("long").alias("refresh_rank"))
 
 
+def q_w4_pagerank(spark, sf_dir):
+    """Integer-scaled PageRank over the synthetic link graph (Cho,
+    Garcia-Molina & Page 1998 — PageRank-ordered crawling): the binary
+    tree children(i) = {2i+1, 2i+2} plus every page's back-link to the
+    root, 4 power iterations at scale 10^12 with damping 85/100. Every
+    operation is 64-bit integer division/multiply/add, so the oracle
+    replays the same unrolled iterations BIT-exactly — no float
+    summation-order escape hatch."""
+    from sharepointcrawler_spark.operators.ranking import pagerank
+
+    i = F.col("doc_id")
+    ids = (
+        _t(spark, sf_dir, "documents").select(i.cast("long").alias("i")).filter(F.col("i") < 127)
+    )
+    ii = F.col("i")
+    edges = (
+        ids.filter(2 * ii + 1 < 127).select(ii.alias("src"), (2 * ii + 1).alias("dst"))
+        .unionByName(
+            ids.filter(2 * ii + 2 < 127).select(ii.alias("src"), (2 * ii + 2).alias("dst"))
+        )
+        .unionByName(
+            ids.filter(ii > 0).select(ii.alias("src"), F.lit(0).cast("long").alias("dst"))
+        )
+    )
+    return pagerank(edges, n_iters=4).select(
+        F.col("node").cast("long").alias("node"), "score"
+    )
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher repetition signals (Rae et al. 2021 A1.1): duplicate-line
     fractions and top-2-gram character coverage — the standard
@@ -1886,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_decontaminate": q_dedup_decontaminate,
         "text_repetition": q_text_repetition,
+        "w4_pagerank": q_w4_pagerank,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_twophase": q_dedup_clusters_twophase,
@@ -2828,6 +2858,48 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
               FROM due)
             SELECT doc_id, host, refresh_rank FROM ranked
             WHERE refresh_rank <= 5
+        """,
+        "w4_pagerank": """
+            -- the same 4 integer power iterations, unrolled: score' =
+            -- 150000000000 + (85 * sum(score // outdeg)) // 100
+            WITH ids AS (
+              SELECT CAST(doc_id AS BIGINT) AS i FROM documents
+              WHERE doc_id < 127),
+            edges AS (
+              SELECT i AS src, 2 * i + 1 AS dst FROM ids WHERE 2 * i + 1 < 127
+              UNION ALL
+              SELECT i, 2 * i + 2 FROM ids WHERE 2 * i + 2 < 127
+              UNION ALL
+              SELECT i, 0 FROM ids WHERE i > 0),
+            nodes AS (
+              SELECT src AS n FROM edges UNION SELECT dst FROM edges),
+            deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+            s0 AS (SELECT n, CAST(1000000000000 AS BIGINT) AS s FROM nodes),
+            c1 AS (SELECT e.dst AS n, sum(s0.s // deg.d) AS c
+                   FROM edges e JOIN deg ON deg.src = e.src
+                   JOIN s0 ON s0.n = e.src GROUP BY 1),
+            s1 AS (SELECT nodes.n,
+                          150000000000 + (85 * coalesce(c1.c, 0)) // 100 AS s
+                   FROM nodes LEFT JOIN c1 ON c1.n = nodes.n),
+            c2 AS (SELECT e.dst AS n, sum(s1.s // deg.d) AS c
+                   FROM edges e JOIN deg ON deg.src = e.src
+                   JOIN s1 ON s1.n = e.src GROUP BY 1),
+            s2 AS (SELECT nodes.n,
+                          150000000000 + (85 * coalesce(c2.c, 0)) // 100 AS s
+                   FROM nodes LEFT JOIN c2 ON c2.n = nodes.n),
+            c3 AS (SELECT e.dst AS n, sum(s2.s // deg.d) AS c
+                   FROM edges e JOIN deg ON deg.src = e.src
+                   JOIN s2 ON s2.n = e.src GROUP BY 1),
+            s3 AS (SELECT nodes.n,
+                          150000000000 + (85 * coalesce(c3.c, 0)) // 100 AS s
+                   FROM nodes LEFT JOIN c3 ON c3.n = nodes.n),
+            c4 AS (SELECT e.dst AS n, sum(s3.s // deg.d) AS c
+                   FROM edges e JOIN deg ON deg.src = e.src
+                   JOIN s3 ON s3.n = e.src GROUP BY 1),
+            s4 AS (SELECT nodes.n,
+                          150000000000 + (85 * coalesce(c4.c, 0)) // 100 AS s
+                   FROM nodes LEFT JOIN c4 ON c4.n = nodes.n)
+            SELECT n AS node, CAST(s AS BIGINT) AS score FROM s4
         """,
         "text_repetition": """
             -- Gopher repetition signals recomputed from scratch:

@@ -1,0 +1,105 @@
+"""Link-graph ranking for crawl prioritization (the T4/W4 family's
+global signal): PageRank over the discovered link graph decides which
+frontier URLs deserve budget first — the classic crawl-ordering result
+(Cho, Garcia-Molina & Page 1998: ordering by PageRank finds important
+pages far sooner than BFS).
+
+INTEGER-SCALED power iteration: scores are maintained as 64-bit
+integers at a fixed scale (default 10^12) and the damping factor is an
+exact integer ratio (85/100), so every operation is integer division /
+multiplication / addition — bit-exact, engine-portable (the DuckDB
+oracle replays the same unrolled iterations), and immune to the
+float-summation-order nondeterminism a double-based PageRank has under
+varying partitioning. Production systems use the same trick to make
+ranking runs reproducible.
+
+Plan shape per iteration: one join of the edge list (pre-joined with
+out-degrees ONCE and persisted) against the current scores on ``src``,
+one groupBy(``dst``) sum (map-side partial agg), one left join back to
+the node set. All shuffles hash on the node id; with the edge table
+bucketed by src the score join co-locates. Dangling nodes (no
+out-links) keep receiving the teleport term but their mass is not
+redistributed — the standard simplification; at 10^10 nodes the
+redistribution would be one extra scalar aggregate per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 4,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = SCALE,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(src, dst) edge list -> (node, score) after ``n_iters`` integer
+    power iterations:
+
+        score'(v) = ((den - num) * scale) // den
+                  + (num * Σ_{u->v} score(u) // outdeg(u)) // den
+
+    Scores start at ``scale`` per node. Everything is 64-bit integer
+    arithmetic (sums are bounded by n_nodes * scale — overflow-safe to
+    ~9·10^6 nodes at the default scale; lower ``scale`` for more)."""
+    src = F.col(src_col)
+    dst = F.col(dst_col)
+    e = edges.select(src.alias("src"), dst.alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    edges_deg = e.join(deg, "src").persist()
+    teleport = ((damping_den - damping_num) * scale) // damping_den
+
+    scores = nodes.select("node", F.lit(scale).cast("long").alias("score"))
+    for _ in range(n_iters):
+        contrib = (
+            edges_deg.join(
+                scores.select(F.col("node").alias("src"), "score"), "src"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("score div _deg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_sum"))
+        )
+        scores = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr(
+                    f"({damping_num} * coalesce(_sum, 0L)) div {damping_den}"
+                )
+            ).cast("long").alias("score"),
+        )
+    # nodes/edges_deg appear once PER ITERATION in the final lazy plan —
+    # they stay persisted so the caller's action materializes each once
+    # (unpersisting here, before any action, would just void the cache)
+    return scores
+
+
+def pagerank_priorities(
+    frontier: DataFrame,
+    scores: DataFrame,
+    id_col: str = "url_canon",
+    node_col: str = "node",
+) -> DataFrame:
+    """Attach PageRank scores to frontier rows (missing nodes get the
+    teleport-only floor of 0 — never crawled links rank last), ready
+    for the politeness scheduler's priority ordering."""
+    s = scores.select(F.col(node_col).alias(id_col), "score")
+    return frontier.join(s, id_col, "left").withColumn(
+        "score", F.coalesce("score", F.lit(0)).cast("long")
+    )

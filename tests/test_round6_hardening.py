@@ -377,6 +377,45 @@ def test_crawl_with_bucketed_seen_matches_flat(spark, tmp_path):
     assert results["flat"] == results["bucketed"]
 
 
+def test_pagerank_integer_power_iteration(spark):
+    """Integer-scaled PageRank: a symmetric 2-cycle stays at the scale
+    fixpoint (teleport + damped full score), a star center accumulates
+    its leaves' mass, and frontier rows without a score get the 0
+    floor. All arithmetic 64-bit integer — deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from sharepointcrawler_spark.operators.ranking import (
+        SCALE,
+        pagerank,
+        pagerank_priorities,
+    )
+
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    s = {r["node"]: r["score"] for r in pagerank(cyc, n_iters=4).collect()}
+    # each node always receives the other's full score: 15% + 85% of
+    # SCALE stays SCALE at every iteration (the exact fixpoint)
+    assert s == {1: SCALE, 2: SCALE}
+
+    star = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)], "src long, dst long"
+    )
+    st = {r["node"]: r["score"] for r in pagerank(star, n_iters=3).collect()}
+    assert st[0] > 4 * st[1], st  # the hub dominates its leaves
+    assert all(st[i] == st[1] for i in range(2, 6))  # leaves identical
+    # leaves get teleport only after iteration 1 (no in-links)
+    assert st[1] == (15 * SCALE) // 100
+
+    frontier = spark.createDataFrame(
+        [("a",), ("b",)], ["url_canon"]
+    )
+    scores = spark.createDataFrame([("a", 7)], "node string, score long")
+    pri = {
+        r["url_canon"]: r["score"]
+        for r in pagerank_priorities(frontier, scores).collect()
+    }
+    assert pri == {"a": 7, "b": 0}
+
+
 def test_repetition_signals_planted(spark):
     """Gopher repetition signals against hand-computed values: repeated
     lines, a dominant bigram, and the empty/one-word degenerate cases
