@@ -62,6 +62,11 @@ HEADLINE = [
     "s9_sitemap_entries",
     "t6_recrawl_priority",
     "crawl_sitemap_discovery",
+    "dedup_decontaminate",
+    "text_repetition",
+    "w4_pagerank",
+    "docx_extraction_identity",
+    "xlsx_extraction_identity",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "ann_topk_pq",
