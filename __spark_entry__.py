@@ -1274,6 +1274,41 @@ def q_xlsx_extraction(spark, sf_dir):
     )
 
 
+def q_pptx_extraction(spark, sf_dir):
+    """Byte-identity through REAL PPTX packages (PresentationML — the
+    third leg of the reference's OpenXml surface): 12 deterministic
+    decks — title placeholders, multi-run paragraphs, nested bullet
+    levels, escapable characters — extracted through the same pandas
+    UDF via the PK dispatch; golden stated top-down from the slide
+    spec."""
+    from sharepointcrawler_spark.extraction.pptxslides import (
+        expected_pptx_markdown,
+        write_pptx,
+    )
+    from sharepointcrawler_spark.extraction.udfs import extract_text_udf
+
+    rows = []
+    for i in range(12):
+        slides = []
+        for s in range(1 + i % 3):
+            body: list = [(None, f"Overview paragraph {s} of deck {i} with word "
+                                 f"t{(i * 13 + s) % 67}u and mark v{i}*w{s}.")]
+            for j in range(2 + (i + s) % 3):
+                body.append((j % 2, f"bullet {i}.{s}.{j} point p{(i + j) % 29}q"))
+            slides.append(
+                (f"Deck {i} Part {s} | section" if s % 2 == 0 else None, body)
+            )
+        golden = expected_pptx_markdown(f"deck{i}", slides)
+        rows.append((i, bytearray(write_pptx(slides)), f"deck{i}", golden))
+    df = spark.createDataFrame(rows, "doc_id long, pptx binary, name string, golden string")
+    return df.select(
+        F.col("doc_id"),
+        (extract_text_udf(F.col("pptx"), F.col("name")) == F.col("golden")).alias(
+            "byte_identical"
+        ),
+    )
+
+
 def q_pdf_type0_extraction(spark, sf_dir):
     """Byte-identity through Type0/Identity-H COMPOSITE-font PDFs: 12
     deterministic documents laid out with Helvetica metrics, written as
@@ -1953,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_encrypted_extraction_identity": q_pdf_encrypted_extraction,
         "docx_extraction_identity": q_docx_extraction,
         "xlsx_extraction_identity": q_xlsx_extraction,
+        "pptx_extraction_identity": q_pptx_extraction,
         "pdf_xref_stream_extraction_identity": q_pdf_xref_stream_extraction,
         "pdf_incremental_extraction_identity": q_pdf_incremental_extraction,
     }
@@ -2728,6 +2764,12 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
         "xlsx_extraction_identity": """
             -- every SpreadsheetML workbook must extract its sheet
             -- tables byte-identically through the PK-magic dispatch
+            SELECT i AS doc_id, true AS byte_identical
+            FROM (SELECT unnest(generate_series(0, 11)) AS i)
+        """,
+        "pptx_extraction_identity": """
+            -- every PresentationML deck must extract byte-identically
+            -- through the PK-magic dispatch
             SELECT i AS doc_id, true AS byte_identical
             FROM (SELECT unnest(generate_series(0, 11)) AS i)
         """,

@@ -25,6 +25,11 @@ from sharepointcrawler_spark.extraction.docxwords import (
     is_docx,
 )
 from sharepointcrawler_spark.extraction.htmlwords import extract_links, parse_word_pages
+from sharepointcrawler_spark.extraction.pptxslides import (
+    UnsupportedPptxError,
+    is_pptx,
+    pptx_to_markdown,
+)
 from sharepointcrawler_spark.extraction.xlsxcells import (
     UnsupportedXlsxError,
     is_xlsx,
@@ -76,6 +81,11 @@ def _extract_one_with_err(
         try:
             return xlsx_to_markdown(html, name or "workbook", strict=True), None
         except UnsupportedXlsxError as e:
+            return None, str(e)
+    if is_pptx(html):
+        try:
+            return pptx_to_markdown(html, name or "presentation", strict=True), None
+        except UnsupportedPptxError as e:
             return None, str(e)
     try:
         page_words, heights = word_pages_of(html)

@@ -594,6 +594,40 @@ def test_xlsx_extraction_roundtrip_and_flags():
         xlsx_to_markdown(buf.getvalue(), strict=True)
 
 
+def test_pptx_extraction_roundtrip_and_flags():
+    """PPTX decks (PresentationML) extract via the PK dispatch: slide
+    order from relationship ids, title placeholders, multi-run
+    paragraph concatenation, nested bullet levels; malformed packages
+    flag."""
+    from sharepointcrawler_spark.extraction.pptxslides import (
+        UnsupportedPptxError,
+        expected_pptx_markdown,
+        is_pptx,
+        pptx_to_markdown,
+        write_pptx,
+    )
+    from sharepointcrawler_spark.extraction.udfs import _extract_one_with_err
+
+    slides = [
+        ("Quarterly Review | 2024",
+         [(None, "Intro paragraph with a*star."),
+          (0, "first bullet"), (1, "nested b_ullet"), (0, "second bullet")]),
+        (None, [(None, "Slide two plain text only.")]),
+    ]
+    blob = write_pptx(slides)
+    assert is_pptx(blob) and not is_pptx(b"%PDF-")
+    got = pptx_to_markdown(blob, "deck", strict=True)
+    assert got == expected_pptx_markdown("deck", slides)
+    assert "## Slide 1: Quarterly Review \\| 2024\n" in got
+    assert "- first bullet\n  - nested b\\_ullet\n- second bullet\n\n" in got
+    assert "## Slide 2\n" in got
+    assert write_pptx(slides) == blob
+    md, err = _extract_one_with_err(blob, "deck")
+    assert err is None and md == got
+    with pytest.raises(UnsupportedPptxError):
+        pptx_to_markdown(blob[:60] + b"ppt/presentation.xml", strict=True)
+
+
 def test_inline_image_bad_length_falls_back_to_scan():
     """A lying /L (does not land on EI) falls back to the EI scan with
     an explicit issue, never a parse abort."""
