@@ -244,3 +244,90 @@ def test_pdf_proportional_round_trip_property(lines):
     )
     assert got_heights == heights
     assert [w for p in got_pages for w in p] == [w for p in pages for w in p]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.text(alphabet="/abc.%*$?", min_size=0, max_size=20),
+    st.text(alphabet="/abc.%?", min_size=0, max_size=20),
+)
+def test_robots_wildcard_matches_python_regex_model(pattern, path):
+    """The robots matcher equals an independent python model: plain
+    prefixes are startswith; '*'/'$' patterns behave like the fnmatch-
+    style regex translation (RFC 9309 2.2.3). Pure python — no Spark
+    job per example."""
+    import re as _re
+
+    from sharepointcrawler_spark.operators.robots import (
+        compile_robots_pattern,
+        robots_path_matches,
+    )
+
+    got = robots_path_matches(path, pattern)
+    if "*" not in pattern and not pattern.endswith("$"):
+        assert compile_robots_pattern(pattern) is None
+        assert got == path.startswith(pattern)
+    else:
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        rx = "".join(".*" if c == "*" else _re.escape(c) for c in body)
+        want = (
+            _re.match("^" + rx + ("$" if anchored else ""), path) is not None
+        )
+        assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_pagerank_mass_and_determinism(spark, raw_edges, iters):
+    """Integer PageRank invariants on random small graphs: total score
+    never exceeds the initial mass (teleport + damped redistribution
+    can only leak via dangling nodes and integer floors), every score
+    is at least the teleport floor, and a second run is bit-identical."""
+    from sharepointcrawler_spark.operators.ranking import SCALE, pagerank
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        edges = [(0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    s = {r["node"]: r["score"] for r in pagerank(df, n_iters=iters).collect()}
+    n = len(s)
+    assert sum(s.values()) <= n * SCALE
+    floor = (15 * SCALE) // 100
+    assert all(v >= floor for v in s.values())
+    s2 = {r["node"]: r["score"] for r in pagerank(df, n_iters=iters).collect()}
+    assert s == s2
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=120),
+    st.sampled_from([16, 32]),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_aes_cbc_roundtrip_property(data, keylen, seed):
+    """AES-CBC decrypt(encrypt(x)) == x for random payloads, AES-128
+    and AES-256 keys, and arbitrary IVs; ciphertext length is the
+    padded block count + one IV block. Pure python — no Spark."""
+    import hashlib
+
+    from sharepointcrawler_spark.extraction.aes import (
+        aes_cbc_decrypt,
+        aes_cbc_encrypt,
+    )
+
+    key = hashlib.sha256(seed.to_bytes(8, "big")).digest()[:keylen]
+    iv = hashlib.md5(seed.to_bytes(8, "big")).digest()
+    enc = aes_cbc_encrypt(key, iv, data)
+    assert len(enc) == 16 + (len(data) // 16 + 1) * 16
+    assert aes_cbc_decrypt(key, enc) == data
