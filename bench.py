@@ -67,6 +67,7 @@ HEADLINE = [
     "w4_pagerank",
     "docx_extraction_identity",
     "xlsx_extraction_identity",
+    "pptx_extraction_identity",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "ann_topk_pq",

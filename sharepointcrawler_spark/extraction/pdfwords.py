@@ -666,7 +666,11 @@ def _encrypt_pdf_aes_rebuild(
             break
         num, gen, body_start = int(m.group(1)), int(m.group(2)), m.end()
         em = pdf.find(b"endobj", body_start)
-        sm = _STREAM_KW_RE.search(pdf, body_start, em if em != -1 else len(pdf))
+        if em == -1:
+            raise ValueError(
+                "encrypt_pdf fixture requires well-formed objects (endobj)"
+            )
+        sm = _STREAM_KW_RE.search(pdf, body_start, em)
         if sm is None:
             objs.append((num, gen, None, pdf[body_start:em]))
             pos = em + 6
