@@ -602,24 +602,59 @@ def enqueue_refresh(
     drops base TERMINAL rows only; the refresh row lives in a LATER
     delta, which the merge-on-read latest-wins window keeps.
     """
-    cfg = config or CrawlConfig()
-    last = store.latest_wave()
-    if last is None:
-        raise ValueError("refresh needs a committed crawl snapshot to enqueue into")
-    manifest = store.manifest(last)
-    base_path = manifest["tables"]["frontier_base"]
-    delta_paths = list(manifest["tables"].get("frontier_deltas", []))
-
     from sharepointcrawler_spark.functions.urlnorm import url_host
 
     pri = recrawl_priorities(history, now_s, importance_col=importance_col)
     batch = select_refresh_batch(
         pri.withColumn("host", url_host("url_canon")), per_host
     )
+    return _enqueue_pending_delta(spark, store, batch.select("url_canon"))
+
+
+def enqueue_refresh_from_priors(
+    spark: SparkSession,
+    store: SnapshotStore,
+    priors: DataFrame,
+    per_host: int,
+    loc_col: str = "loc",
+) -> int:
+    """Cold-start refresh enqueue: no fetch history yet, so the due
+    set comes from sitemap metadata priors
+    (``operators/sitemap.sitemap_refresh_priors`` — <changefreq> as
+    the declared change rate, <lastmod> as the last known change) run
+    through the SAME per-host staleness batch selector, then the same
+    one-delta commit :func:`enqueue_refresh` uses. Only URLs the crawl
+    has actually fetched re-enqueue (the semi-join inside the delta
+    builder), so priors for never-crawled pages are inert."""
+    from sharepointcrawler_spark.functions.urlnorm import url_host
+
+    batch = select_refresh_batch(
+        priors.withColumn("host", url_host(loc_col)),
+        per_host,
+        id_col=loc_col,
+    )
+    return _enqueue_pending_delta(
+        spark, store, batch.select(F.col(loc_col).alias("url_canon"))
+    )
+
+
+def _enqueue_pending_delta(
+    spark: SparkSession, store: SnapshotStore, urls: DataFrame
+) -> int:
+    """Shared refresh-commit: flip the given fetched url_canon rows back
+    to pending with ONE upsert delta in a new wave manifest (state
+    tables copied; append-style tables deliberately not — see
+    :func:`enqueue_refresh`)."""
+    last = store.latest_wave()
+    if last is None:
+        raise ValueError("refresh needs a committed crawl snapshot to enqueue into")
+    manifest = store.manifest(last)
+    base_path = manifest["tables"]["frontier_base"]
+    delta_paths = list(manifest["tables"].get("frontier_deltas", []))
     merged = _merged_frontier(spark, base_path, delta_paths)
     sel = [f.name for f in fr.FRONTIER_SCHEMA.fields]
     refresh_rows = (
-        merged.join(batch.select("url_canon"), "url_canon", "left_semi")
+        merged.join(urls.distinct(), "url_canon", "left_semi")
         # only previously-fetched pages refresh; denied/failed stay terminal
         .filter(F.col("state") == fr.FETCHED)
         .withColumn("state", F.lit(fr.PENDING))

@@ -239,3 +239,36 @@ def test_refresh_wave_refetches_due_urls(spark, integrated):
     assert row[hot]["n_fetches"] == 21 and row[hot]["n_changes"] == 19
     assert row[hot]["last_fetch_s"] == now_s
     assert row[cold]["n_fetches"] == 5 and row[cold]["n_changes"] == 0
+
+
+def test_cold_start_refresh_from_sitemap_priors(spark, integrated):
+    """No fetch history: sitemap <changefreq>/<lastmod> priors select
+    the due batch and the same one-delta enqueue drives a refresh wave.
+    Runs after the history-based refresh test on the shared store, so
+    the previously-refreshed URL already has 2 fetches."""
+    from sharepointcrawler_spark.operators.sitemap import sitemap_refresh_priors
+    from sharepointcrawler_spark.plans.crawl import enqueue_refresh_from_priors
+
+    store, _ = integrated
+    stale = f"{B}/orphan/sub/d1.pdf"   # daily + months old -> due
+    fresh = f"{A}/lib/doc1.pdf"        # yearly + recent -> not due
+    ghost = f"{B}/never/crawled"       # prior for a never-fetched URL: inert
+    entries = spark.createDataFrame(
+        [
+            (stale, "2024-01-01", "daily"),
+            (fresh, "2024-04-04", "yearly"),
+            (ghost, "2020-01-01", "daily"),
+        ],
+        "loc string, lastmod string, changefreq string",
+    )
+    priors = sitemap_refresh_priors(entries, now_date="2024-04-05")
+    n = enqueue_refresh_from_priors(spark, store, priors, per_host=4)
+    assert n == 1, "only the stale FETCHED page enqueues (ghost is inert)"
+    res = run_crawl(
+        spark, store, graph_expander(_edges(spark)),
+        config=CrawlConfig(), resume=True,
+    )
+    per_url = res.fetch_log.toPandas().groupby("url_canon").size()
+    assert per_url[stale] == 2
+    assert per_url[fresh] == 1
+    assert ghost not in per_url.index
