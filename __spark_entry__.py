@@ -1638,6 +1638,27 @@ def q_w4_pagerank(spark, sf_dir):
     )
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    """Cross-document paragraph dedup (CCNet, Wenzek et al. 2020):
+    every third document gets a planted boilerplate footer line, which
+    therefore repeats corpus-wide and must vanish from ALL of them
+    (CCNet drops every copy); genuinely unique lines survive in order.
+    The oracle rebuilds each document with the same position-ordered
+    string_agg."""
+    from sharepointcrawler_spark.operators.corpus import dedup_paragraph_lines
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit("\nCopyright Boilerplate Footer Line")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return dedup_paragraph_lines(docs, max_occurrences=1).select(
+        F.col("doc_id").cast("long"), "clean_text", "n_kept", "n_dropped"
+    )
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher repetition signals (Rae et al. 2021 A1.1): duplicate-line
     fractions and top-2-gram character coverage — the standard
@@ -1951,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decontaminate": q_dedup_decontaminate,
         "text_repetition": q_text_repetition,
         "w4_pagerank": q_w4_pagerank,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_twophase": q_dedup_clusters_twophase,
@@ -2900,6 +2922,43 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
               FROM due)
             SELECT doc_id, host, refresh_rank FROM ranked
             WHERE refresh_rank <= 5
+        """,
+        "dedup_paragraphs": """
+            -- CCNet paragraph dedup recomputed: corpus-wide line
+            -- counts over the planted-footer corpus, every copy of a
+            -- repeated line dropped, documents rebuilt in line order
+            WITH src AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text || chr(10) || 'Copyright Boilerplate Footer Line'
+                          ELSE text END AS text
+              FROM documents),
+            arr AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(string_split(text, chr(10)),
+                                      x -> trim(x)),
+                       x -> x <> '') AS l
+              FROM src),
+            lines AS (
+              SELECT doc_id, i - 1 AS pos, l[i] AS line
+              FROM arr, unnest(generate_series(1, len(l))) AS t(i)),
+            counts AS (SELECT line, count(*) AS n FROM lines GROUP BY 1),
+            tagged AS (
+              SELECT doc_id, pos, line, n <= 1 AS keep
+              FROM lines JOIN counts USING (line)),
+            reb AS (
+              SELECT doc_id,
+                     string_agg(CASE WHEN keep THEN line END, chr(10)
+                                ORDER BY pos) AS clean_text,
+                     sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+                     sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped
+              FROM tagged GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(r.clean_text, '') AS clean_text,
+                   CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(coalesce(r.n_dropped, 0) AS BIGINT) AS n_dropped
+            FROM documents d LEFT JOIN reb r ON r.doc_id = d.doc_id
         """,
         "w4_pagerank": """
             -- the same 4 integer power iterations, unrolled: score' =

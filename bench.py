@@ -63,6 +63,7 @@ HEADLINE = [
     "t6_recrawl_priority",
     "crawl_sitemap_discovery",
     "dedup_decontaminate",
+    "dedup_paragraphs",
     "text_repetition",
     "w4_pagerank",
     "docx_extraction_identity",

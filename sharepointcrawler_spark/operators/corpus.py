@@ -229,6 +229,68 @@ def decontaminate(
     )
 
 
+def dedup_paragraph_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_occurrences: int = 1,
+) -> DataFrame:
+    """Cross-document PARAGRAPH dedup (the CCNet pre-processing step,
+    Wenzek et al. 2020; C4 does the analogous span drop): boilerplate —
+    navigation, cookie banners, license blocks — repeats across
+    documents far more often than real prose, so every line whose
+    corpus-wide occurrence count exceeds ``max_occurrences`` is dropped
+    from EVERY document (including the first copy, CCNet semantics),
+    and each document's text is reassembled from its surviving lines in
+    order.
+
+    Plan: one posexplode over trimmed non-empty lines, one global
+    groupBy(line) count (map-side partial agg; the long tail of unique
+    lines dominates and combines to one row each), a broadcast-or-
+    shuffle join back, and one groupBy(doc) rebuild via a sorted
+    collect_list (deterministic: sorted by line position, the same
+    string_agg ORDER BY the oracle uses). Output: (id, clean_text,
+    n_kept, n_dropped) — flag-and-rebuild, no document ever disappears.
+    At 100 TB the line-count table is the only global state; bucketing
+    both sides by a line hash removes even that shuffle."""
+    text = F.col(text_col)
+    lines_arr = F.filter(
+        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    lines = docs.select(F.col(id_col), lines_arr.alias("_l")).select(
+        id_col, F.posexplode("_l").alias("pos", "line")
+    )
+    counts = lines.groupBy("line").agg(F.count("*").alias("_n"))
+    kept_flag = (F.col("_n") <= max_occurrences).alias("_keep")
+    tagged = lines.join(counts, "line").select(id_col, "pos", "line", kept_flag)
+    rebuilt = tagged.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("_keep"), 0).otherwise(1)).alias("n_dropped"),
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+        )
+    )
+
+
 # ----------------------------------------------------------- minhash LSH
 
 

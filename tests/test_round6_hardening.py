@@ -416,6 +416,42 @@ def test_pagerank_integer_power_iteration(spark):
     assert pri == {"a": 7, "b": 0}
 
 
+def test_dedup_paragraph_lines_planted(spark):
+    """CCNet paragraph dedup: a footer repeated across docs vanishes
+    from ALL of them (including the first copy); unique lines survive
+    in original order; max_occurrences=2 tolerates a twice-used line."""
+    from sharepointcrawler_spark.operators.corpus import dedup_paragraph_lines
+
+    footer = "(c) corp all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha one\n{footer}\nbeta two"),
+            (2, f"{footer}\ngamma three"),
+            (3, f"delta four\n{footer}"),
+            (4, "unique only\nlines here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_paragraph_lines(docs).collect()}
+    assert out[1]["clean_text"] == "alpha one\nbeta two"
+    assert out[2]["clean_text"] == "gamma three"
+    assert out[3]["clean_text"] == "delta four"
+    assert out[4]["clean_text"] == "unique only\nlines here"
+    assert [out[i]["n_dropped"] for i in (1, 2, 3, 4)] == [1, 1, 1, 0]
+    # a line used exactly twice survives at max_occurrences=2
+    docs2 = spark.createDataFrame(
+        [(1, "twice used"), (2, "twice used"), (3, "thrice\nthrice")],
+        "doc_id long, text string",
+    )
+    out2 = {
+        r["doc_id"]: r
+        for r in dedup_paragraph_lines(docs2, max_occurrences=2).collect()
+    }
+    assert out2[1]["clean_text"] == "twice used"
+    assert out2[2]["clean_text"] == "twice used"
+    assert out2[3]["clean_text"] == "thrice\nthrice"  # 2 copies, same doc
+
+
 def test_repetition_signals_planted(spark):
     """Gopher repetition signals against hand-computed values: repeated
     lines, a dominant bigram, and the empty/one-word degenerate cases
