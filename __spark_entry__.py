@@ -1638,6 +1638,34 @@ def q_w4_pagerank(spark, sf_dir):
     )
 
 
+def q_ann_topk_sq8(spark, sf_dir):
+    """Scalar-quantization ANN (FAISS SQ8 — the simple 4x compression
+    lever): per-dim min/max over the normalized corpus are EXACT
+    aggregates, so unlike PQ's k-means codebooks the ENTIRE codec —
+    training, byte codes, midpoint reconstruction, and ADC scores — is
+    recomputed by the oracle; the sequential-fold inner product is the
+    same bit-reproducible shape the brute-force entry established."""
+    from sharepointcrawler_spark.operators.similarity import (
+        sq8_encode,
+        sq8_topk,
+        train_sq8,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mins, maxs = train_sq8(emb)
+    codes = sq8_encode(emb, mins, maxs)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return sq8_topk(codes, queries, mins, maxs, k=5).select(
+        F.col("query_id").cast("long"),
+        F.col("rank").cast("long"),
+        F.col("vec_id").cast("long"),
+        "score",
+    )
+
+
 def q_dedup_paragraphs(spark, sf_dir):
     """Cross-document paragraph dedup (CCNet, Wenzek et al. 2020):
     every third document gets a planted boilerplate footer line, which
@@ -1973,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "w4_pagerank": q_w4_pagerank,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "ann_topk_sq8": q_ann_topk_sq8,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_twophase": q_dedup_clusters_twophase,
@@ -2922,6 +2951,58 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
               FROM due)
             SELECT doc_id, host, refresh_rank FROM ranked
             WHERE refresh_rank <= 5
+        """,
+        "ann_topk_sq8": """
+            -- the full SQ8 codec recomputed: exact per-dim min/max over
+            -- the normalized corpus, floor-quantized byte codes,
+            -- midpoint reconstruction, sequential inner-product scores
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            nv AS (
+              SELECT vec_id,
+                     list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+                       AS nl
+              FROM e),
+            dims AS (
+              SELECT i AS d, min(nl[i]) AS mn, max(nl[i]) AS mx
+              FROM nv, unnest(generate_series(1, len(nl))) AS t(i)
+              GROUP BY 1),
+            lim AS (
+              SELECT list(mn ORDER BY d) AS mn_l, list(mx ORDER BY d) AS mx_l
+              FROM dims),
+            codes AS (
+              SELECT vec_id,
+                     list_transform(generate_series(1, len(nl)), i ->
+                       CASE WHEN mx_l[i] - mn_l[i] > 0 THEN
+                         greatest(0, least(255,
+                           CAST(floor((nl[i] - mn_l[i])
+                                      / (mx_l[i] - mn_l[i]) * 256) AS INT)))
+                       ELSE 0 END) AS code
+              FROM nv, lim),
+            recon AS (
+              SELECT vec_id,
+                     list_transform(generate_series(1, len(code)), i ->
+                       mn_l[i] + (CAST(code[i] AS DOUBLE) + 0.5)
+                                 * (mx_l[i] - mn_l[i]) / 256.0) AS rv
+              FROM codes, lim),
+            q AS (
+              SELECT vec_id AS query_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> x / sqrt(list_inner_product(
+                              CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[])))) AS qn
+              FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, r.vec_id,
+                     list_inner_product(r.rv, q.qn) AS score
+              FROM recon r, q),
+            ranked AS (
+              SELECT query_id, vec_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, vec_id) AS rank
+              FROM scored)
+            SELECT query_id, rank, vec_id, round(score, 6) AS score
+            FROM ranked WHERE rank <= 5
         """,
         "dedup_paragraphs": """
             -- CCNet paragraph dedup recomputed: corpus-wide line

@@ -73,6 +73,7 @@ HEADLINE = [
     "ann_topk_ivf",
     "ann_topk_pq",
     "ann_topk_ivfpq",
+    "ann_topk_sq8",
     "ann_topk_multiband",
     "embedding_near_dup",
 ]

@@ -417,6 +417,162 @@ def lsh_topk_multiband(
 # ----------------------------------------- product quantization (ADC)
 
 
+def train_sq8(
+    corpus: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> tuple[list[float], list[float]]:
+    """Scalar-quantization training (the FAISS SQ8 codec, the third
+    compression lever next to IVF and PQ): per-dimension (min, max)
+    over the L2-normalized corpus — 4x compression (one byte per
+    dimension under float32) with far simpler training than PQ (two
+    exact aggregates, no k-means), the usual first step before PQ is
+    warranted. min/max are EXACT aggregates, so unlike PQ's k-means
+    codebooks the whole codec is recomputable by an external SQL
+    oracle. Returns (mins, maxs) ordered by dimension."""
+    v = F.col(vec_col).cast("array<double>")
+    rows = (
+        corpus.select(v.alias("_v"))
+        .select(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("_v", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                )
+            ).alias("_n"),
+            "_v",
+        )
+        .select(F.posexplode("_v").alias("d", "x"), "_n")
+        .groupBy("d")
+        .agg(
+            F.min(F.col("x") / F.col("_n")).alias("mn"),
+            F.max(F.col("x") / F.col("_n")).alias("mx"),
+        )
+        .orderBy("d")
+        .collect()
+    )
+    return [r["mn"] for r in rows], [r["mx"] for r in rows]
+
+
+def _lit_array(vals: list[float]):
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus -> (id, sq_code array<int> of 0..255): per dimension,
+    ``floor((v - min) / range * 256)`` clamped into the byte range
+    (degenerate range -> 0). 100% JVM built-ins — the staged-projection
+    pattern keeps every expression out of repeated lambda evaluation;
+    parquet dictionary/bit-packing stores the small ints in ~1 byte."""
+    v = F.col(vec_col).cast("array<double>")
+    staged = (
+        corpus.select(F.col(id_col), v.alias("_v"))
+        .withColumn(
+            "_n",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("_v", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                )
+            ),
+        )
+        .withColumn("_nv", F.transform("_v", lambda x: x / F.col("_n")))
+        .withColumn("_t", F.zip_with("_nv", _lit_array(mins), lambda x, m: x - m))
+        .withColumn(
+            "sq_code",
+            F.zip_with(
+                "_t",
+                _lit_array([mx - mn for mn, mx in zip(mins, maxs)]),
+                lambda t, r: F.when(
+                    r > 0,
+                    F.greatest(
+                        F.lit(0),
+                        F.least(
+                            F.lit(255), F.floor(t / r * 256).cast("int")
+                        ),
+                    ),
+                ).otherwise(F.lit(0)),
+            ),
+        )
+    )
+    return staged.select(id_col, "sq_code")
+
+
+def sq8_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    broadcast_query_limit: int | None = BROADCAST_QUERY_LIMIT,
+    n_queries: int | None = None,
+) -> DataFrame:
+    """ADC-style top-k over the SQ8-compressed corpus: each stored code
+    reconstructs to its cell midpoint ``min + (code + 0.5) * range /
+    256`` and scores by inner product with the L2-normalized query —
+    the scan reads one byte per dimension instead of a float. Same
+    probe-gated query broadcast + window shape as brute_force_topk;
+    with d=64 the sequential-fold dot product is bit-reproducible by
+    the SQL oracle (scores rounded to 6 like every ANN entry)."""
+    rng = [mx - mn for mn, mx in zip(mins, maxs)]
+    c = (
+        codes.select(F.col(id_col), "sq_code")
+        .withColumn(
+            "_r1",
+            F.zip_with(
+                F.col("sq_code").cast("array<double>"),
+                _lit_array(rng),
+                lambda cc, r: (cc + F.lit(0.5)) * r / F.lit(256.0),
+            ),
+        )
+        .withColumn(
+            "_recon", F.zip_with("_r1", _lit_array(mins), lambda a, m: a + m)
+        )
+    )
+    hint = _query_hint(queries, broadcast_query_limit, n_queries)
+    q = (
+        queries.select(
+            F.col(query_id_col),
+            F.col(query_vec_col).cast("array<double>").alias("_qv"),
+        )
+        .withColumn(
+            "_qn",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("_qv", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                )
+            ),
+        )
+        .withColumn("_qnv", F.transform("_qv", lambda x: x / F.col("_qn")))
+        .select(query_id_col, "_qnv")
+    )
+    scored = c.join(hint(q)).withColumn(
+        "score",
+        F.aggregate(
+            F.zip_with("_recon", "_qnv", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, F.round("score", 6).alias("score"))
+    )
+
+
 def train_pq_codebooks(
     corpus: DataFrame,
     m: int = 8,

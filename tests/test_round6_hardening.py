@@ -416,6 +416,63 @@ def test_pagerank_integer_power_iteration(spark):
     assert pri == {"a": 7, "b": 0}
 
 
+def test_sq8_compression_recall(spark):
+    """SQ8 scalar quantization: planted 2x-scaled twins share the
+    normalized vector, hence identical codes and identical ADC scores
+    (rank-1 or exact tie broken by id); jittered queries recover the
+    exact top-1 inside their SQ8 top-5 at high recall (the codec keeps
+    ~8 bits/dim of the direction)."""
+    from pyspark.sql import functions as F
+
+    from sharepointcrawler_spark.operators.similarity import (
+        brute_force_topk,
+        sq8_encode,
+        sq8_topk,
+        train_sq8,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mins, maxs = train_sq8(emb)
+    assert len(mins) == len(maxs) and all(a <= b for a, b in zip(mins, maxs))
+    codes = sq8_encode(emb, mins, maxs)
+    row = codes.limit(1).collect()[0]
+    assert all(0 <= c <= 255 for c in row.sq_code)
+
+    twins = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1000000).alias("query_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 2.0
+        ).alias("query_vec"),
+    )
+    top1 = {
+        r.query_id: r.vec_id
+        for r in sq8_topk(codes, twins, mins, maxs, k=1).collect()
+    }
+    assert top1 == {1000000 + i: i for i in range(8)}
+
+    jitter = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 500000).alias("query_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x
+            * (
+                F.lit(1.0)
+                + F.lit(0.05)
+                * (((F.col("vec_id") * 31 + i * 17) % 13 - 6).cast("double") / 6.0)
+            ),
+        ).alias("query_vec"),
+    )
+    exact1 = {
+        r.query_id: r.vec_id
+        for r in brute_force_topk(emb, jitter, k=1).filter("rank = 1").collect()
+    }
+    got5: dict = {}
+    for r in sq8_topk(codes, jitter, mins, maxs, k=5).collect():
+        got5.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(1 for q, v in exact1.items() if v in got5.get(q, set()))
+    assert hits >= 22, f"SQ8 recall@5 of exact top-1: {hits}/25"
+
+
 def test_dedup_paragraph_lines_planted(spark):
     """CCNet paragraph dedup: a footer repeated across docs vanishes
     from ALL of them (including the first copy); unique lines survive
