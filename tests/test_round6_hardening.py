@@ -216,6 +216,39 @@ def test_encrypted_pdf_empty_user_password_roundtrips():
         ] == [(w.text, w.left, w.bottom) for p in want for w in p], f"R{r}"
 
 
+def test_encrypted_modern_pdf_structure_roundtrips():
+    """Encryption composed with MODERN file structure: an ObjStm +
+    XRef-stream PDF encrypts in place (RC4 preserves offsets, so the
+    binary xref entries stay valid; the xref stream itself stays
+    plaintext per §7.5.8.2) and the ObjStm container decrypts BEFORE
+    inflation/expansion — word boxes round-trip exactly."""
+    from sharepointcrawler_spark.extraction.pdfwords import (
+        encrypt_pdf,
+        write_pdf_modern,
+    )
+
+    text = (
+        "1.0 Modern Encrypted\n\n"
+        "This object-stream document must decrypt before its compressed "
+        "object stream expands into the object table correctly.\n\n"
+        "1.1 Scope\nApplies to the combined crypt and xref-stream path.\n"
+    )
+    pages, heights = layout_words(text)
+    plain = write_pdf_modern(pages, heights)
+    want, _ = parse_pdf_word_pages(plain, strict=True)
+    assert want and want[0], "modern fixture must yield words"
+    for r in (2, 3):
+        enc = encrypt_pdf(plain, r=r)
+        got, _ = parse_pdf_word_pages(enc, strict=True)
+        assert [
+            (w.text, w.left, w.bottom) for p in got for w in p
+        ] == [(w.text, w.left, w.bottom) for p in want for w in p], f"R{r}"
+    # password-protected modern file flags cleanly too
+    locked = encrypt_pdf(plain, r=3, user_pwd=b"pw")
+    with pytest.raises(UnsupportedPdfError, match="password required"):
+        parse_pdf_word_pages(locked, strict=True)
+
+
 def test_aes_fips_vectors_and_password_gate():
     """The AES core anchors to the FIPS-197 appendix C known-answer
     vectors; an AES-encrypted PDF with a real user password still
