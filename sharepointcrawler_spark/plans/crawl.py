@@ -175,6 +175,7 @@ def run_crawl(
     fetch_probe: Callable[[DataFrame], DataFrame] | None = None,
     robots_texts_df: DataFrame | None = None,
     sitemap_fetch: Callable[[DataFrame], DataFrame] | None = None,
+    priority_scores: DataFrame | None = None,
 ) -> CrawlResult:
     """Run (or resume) a crawl to frontier exhaustion.
 
@@ -199,6 +200,14 @@ def run_crawl(
     link-following crawl would never reach (the sitemaps.org discovery
     channel). On resume the frontier already holds them, so discovery
     is skipped.
+
+    ``priority_scores`` — optional ``(url_canon, score)`` table (e.g.
+    :func:`operators.ranking.pagerank` over a previous crawl's link
+    graph): with a ``per_host_wave_budget``, each wave's per-host
+    budget is spent highest-score-first (then the usual depth/order
+    tie-break) — the Cho/Garcia-Molina/Page result that
+    importance-ordered crawling front-loads the pages that matter.
+    Unscored URLs rank at score 0.
     """
     cfg = config or CrawlConfig()
     if robots_df is None and robots_texts_df is not None:
@@ -307,10 +316,27 @@ def run_crawl(
 
         # 2. per-host wave budget (priority min-heap, W5); deferred rows
         # stay pending in the merged view at ZERO delta cost (no row
-        # is written for them)
+        # is written for them). With priority_scores the budget is
+        # spent highest-score-first (importance-ordered crawling).
         if cfg.per_host_wave_budget is not None:
-            budgeted = top_k_per_host(allowed, cfg.per_host_wave_budget)
-            allowed = budgeted.drop("host_rank")
+            if priority_scores is not None:
+                ranked_in = allowed.join(
+                    priority_scores.select("url_canon", "score"),
+                    "url_canon",
+                    "left",
+                ).withColumn(
+                    "_neg_score",
+                    -F.coalesce(F.col("score"), F.lit(0)).cast("long"),
+                )
+                budgeted = top_k_per_host(
+                    ranked_in,
+                    cfg.per_host_wave_budget,
+                    order_cols=["_neg_score", "depth", "priority", "path_key"],
+                )
+                allowed = budgeted.drop("host_rank", "_neg_score", "score")
+            else:
+                budgeted = top_k_per_host(allowed, cfg.per_host_wave_budget)
+                allowed = budgeted.drop("host_rank")
 
         # 3. politeness virtual-clock slots (skew-proof grouped rank at
         # scale, one-shuffle window for small waves)

@@ -241,6 +241,51 @@ def test_refresh_wave_refetches_due_urls(spark, integrated):
     assert row[cold]["n_fetches"] == 5 and row[cold]["n_changes"] == 0
 
 
+def test_priority_scores_order_the_per_host_budget(spark, tmp_path):
+    """Importance-ordered crawling: with a per-host budget of 1 and a
+    PageRank-style score table, the budget goes to the high-score URL
+    first even though sibling order would crawl the other one; without
+    scores, sibling order wins."""
+    H = "https://prio.example.com"
+    edges = spark.createDataFrame(
+        [
+            (f"{H}/root", f"{H}/first.pdf", "file", 0),
+            (f"{H}/root", f"{H}/famous.pdf", "file", 1),
+        ],
+        "parent_url string, child_url string, kind string, sibling_idx int",
+    )
+    scores = spark.createDataFrame(
+        [(f"{H}/famous.pdf", 10_000)], "url_canon string, score long"
+    )
+
+    def wave_of(res, url):
+        log = res.fetch_log.toPandas()
+        return int(log.loc[log.url_canon == url, "wave_id"].iloc[0])
+
+    base = run_crawl(
+        spark,
+        SnapshotStore(spark, str(tmp_path / "snap_noprio")),
+        graph_expander(edges),
+        seeds=[(f"{H}/root", 0)],
+        config=CrawlConfig(per_host_wave_budget=1),
+        resume=False,
+    )
+    assert wave_of(base, f"{H}/first.pdf") < wave_of(base, f"{H}/famous.pdf")
+
+    scored = run_crawl(
+        spark,
+        SnapshotStore(spark, str(tmp_path / "snap_prio")),
+        graph_expander(edges),
+        seeds=[(f"{H}/root", 0)],
+        config=CrawlConfig(per_host_wave_budget=1),
+        resume=False,
+        priority_scores=scores,
+    )
+    assert wave_of(scored, f"{H}/famous.pdf") < wave_of(scored, f"{H}/first.pdf")
+    # both crawls reach everything in the end
+    assert scored.frontier.filter("state = 'fetched'").count() == 3
+
+
 def test_cold_start_refresh_from_sitemap_priors(spark, integrated):
     """No fetch history: sitemap <changefreq>/<lastmod> priors select
     the due batch and the same one-delta enqueue drives a refresh wave.
