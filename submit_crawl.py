@@ -70,6 +70,12 @@ def main(argv: list[str] | None = None) -> int:
         "per-wave exact-confirm join prunes its scan",
     )
     ap.add_argument(
+        "--priority-scores",
+        help="parquet of (url_canon, score): with --per-host-budget, "
+        "each wave's budget is spent highest-score-first "
+        "(importance-ordered crawling, e.g. PageRank from a prior run)",
+    )
+    ap.add_argument(
         "--refresh-history",
         help="parquet fetch history (url_canon, first_fetch_s, "
         "last_fetch_s, n_fetches, n_changes): after the crawl drains, "
@@ -135,6 +141,11 @@ def main(argv: list[str] | None = None) -> int:
         resume=resume,
         robots_texts_df=robots_texts_df,
         sitemap_fetch=sitemap_fetch,
+        priority_scores=(
+            spark.read.parquet(args.priority_scores)
+            if args.priority_scores
+            else None
+        ),
     )
     for m in result.metrics:
         print(json.dumps({"wave_metrics": m}))
