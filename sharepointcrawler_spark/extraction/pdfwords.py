@@ -1066,8 +1066,12 @@ def _strip_inline_images(content: bytes, issues: list[str]) -> bytes:
         pos = end
     stripped = b"".join(out)
     # the /L path cannot truncate; only the EI scan can — gate the
-    # stray-ID heuristic on it so '(ID )' in honest text never flags
-    if used_scan and _INLINE_ID_RE.search(stripped):
+    # stray-ID heuristic on the scan AND exclude string literals, so
+    # honest text like '(User ID 5) Tj' never flags: the heuristic
+    # targets leftover BINARY image bytes, which do not sit inside
+    # balanced parenthesis literals
+    no_literals = re.sub(rb"\((?:\\.|[^\\()])*\)", b"", stripped) if used_scan else b""
+    if used_scan and _INLINE_ID_RE.search(no_literals):
         issues.append(
             "stray ID after inline-image strip: image data may have been "
             "truncated at a spurious EI inside binary samples"
@@ -1165,7 +1169,11 @@ _PAD = bytes(
 )
 
 _ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R")
-_ID_FIRST_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>")
+# first /ID element, hex OR literal-string form (both appear in the
+# wild; some writers emit binary literals)
+_ID_FIRST_RE = re.compile(
+    rb"/ID\s*\[\s*(?:<([0-9A-Fa-f\s]*)>|(\((?:\\.|[^\\()])*\)))"
+)
 _NAME_VAL_RE = rb"\s*(-?\d+)"
 
 
@@ -1283,6 +1291,28 @@ def _object_key(file_key: bytes, num: int, gen: int, aes: bool = False) -> bytes
     return h[: min(len(file_key) + 5, 16)]
 
 
+def _strip_cf_subdict(body: bytes) -> bytes:
+    """Remove the bracket-matched ``/CF << ... >>`` value (which may
+    nest ``<< >>`` one per crypt filter) from an /Encrypt dictionary
+    body, so top-level scalar parses cannot read the sub-dictionary's
+    keys."""
+    m = re.search(rb"/CF\s*<<", body)
+    if not m:
+        return body
+    depth = 1
+    i = m.end()
+    while i < len(body) and depth:
+        if body[i : i + 2] == b"<<":
+            depth += 1
+            i += 2
+        elif body[i : i + 2] == b">>":
+            depth -= 1
+            i += 2
+        else:
+            i += 1
+    return body[: m.start()] + body[i:]
+
+
 _ENC_BLOCKED = "blocked"
 
 
@@ -1315,15 +1345,24 @@ def _setup_decryption(pdf: bytes, issues: list[str]):
     if handler != "Standard":
         issues.append(f"encrypted PDF: unsupported security handler /{handler}")
         return _ENC_BLOCKED, enc_num
+    # top-level keys must not be read out of the /CF crypt-filter
+    # SUB-dictionary (Acrobat writes keys alphabetically, so /CF — with
+    # its own '/Length 16' in BYTES and '/CFM /V2|/AESV2' names — comes
+    # FIRST; a flat regex would pick those up as the top-level
+    # /Length//V). Strip the bracket-matched /CF value for the scalar
+    # parse; the original body still serves the CFM/StmF lookups.
+    top = _strip_cf_subdict(body)
+
     def _int_of(name: bytes, default: int | None = None) -> int | None:
-        m2 = re.search(rb"/" + name + rb"(?![A-Za-z])" + _NAME_VAL_RE, body)
+        m2 = re.search(rb"/" + name + rb"(?![A-Za-z])" + _NAME_VAL_RE, top)
         return int(m2.group(1)) if m2 else default
     v = _int_of(b"V", 0)
     r = _int_of(b"R", 0)
     p = _int_of(b"P")
-    length_bits = _int_of(b"Length", 40)
-    o = _crypt_string(body, b"O")
-    u = _crypt_string(body, b"U")
+    # V4's crypt filters imply AES/RC4-128; 40 is the pre-V4 default
+    length_bits = _int_of(b"Length", 128 if v == 4 else 40)
+    o = _crypt_string(top, b"O")
+    u = _crypt_string(top, b"U")
     use_aes = False
     if v == 4 and r == 4:
         # crypt-filter layer (§7.6.5): the stream filter named by /StmF
@@ -1353,9 +1392,12 @@ def _setup_decryption(pdf: bytes, issues: list[str]):
     idm = None
     for m2 in _ID_FIRST_RE.finditer(pdf):
         idm = m2  # last trailer wins
-    file_id = (
-        bytes.fromhex(idm.group(1).decode("ascii")) if idm is not None else b""
-    )
+    if idm is None:
+        file_id = b""
+    elif idm.group(1) is not None:
+        file_id = bytes.fromhex("".join(idm.group(1).decode("ascii").split()))
+    else:
+        file_id = _unescape_bytes(idm.group(2))
     n = 5 if v == 1 else max(5, min(16, (length_bits or 40) // 8))
     key = _std_file_key(b"", o, p, file_id, r, n, encrypt_metadata)
     expect = _std_user_check(key, file_id, r)

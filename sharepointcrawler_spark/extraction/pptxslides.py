@@ -21,13 +21,12 @@ never-silent contract).
 from __future__ import annotations
 
 import io
-import re
 import zipfile
 import xml.etree.ElementTree as ET
 
 from sharepointcrawler_spark.extraction.converter import escape_md
 
-P_NS = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
+P_NS ="{http://schemas.openxmlformats.org/presentationml/2006/main}"
 A_NS = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
 R_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
 PKG_R_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
@@ -118,9 +117,22 @@ def pptx_to_markdown(
         raise UnsupportedPptxError(sorted(set(issues)))
     if not slides:
         return ""
+    return _render_deck(logical_name, slides)
+
+
+def _render_deck(
+    logical_name: str,
+    slides: list[tuple[str | None, list[tuple[int | None, str]]]],
+) -> str:
+    """Shared markdown emission for the extractor AND the golden
+    builder (the docxwords._emit_blocks pattern): the golden's
+    independence covers the zip/XML round trip; emission conventions
+    must be single-sourced or a tweak desynchronizes them."""
     md: list[str] = ["# " + escape_md(logical_name) + "\n", "\n"]
     for n, (title, body) in enumerate(slides, start=1):
-        md.append(f"## Slide {n}" + (f": {escape_md(title)}" if title else "") + "\n")
+        md.append(
+            f"## Slide {n}" + (f": {escape_md(title)}" if title else "") + "\n"
+        )
         md.append("\n")
         i = 0
         while i < len(body):
@@ -131,7 +143,9 @@ def pptx_to_markdown(
                 i += 1
             else:
                 while i < len(body) and body[i][0] is not None:
-                    md.append("  " * body[i][0] + "- " + escape_md(body[i][1]) + "\n")
+                    md.append(
+                        "  " * body[i][0] + "- " + escape_md(body[i][1]) + "\n"
+                    )
                     i += 1
                 md.append("\n")
     return "".join(md)
@@ -245,25 +259,7 @@ def expected_pptx_markdown(
     logical_name: str,
     slides: list[tuple[str | None, list[tuple[int | None, str]]]],
 ) -> str:
-    """Golden builder stated top-down from the slide spec."""
-    md = ["# " + escape_md(logical_name) + "\n", "\n"]
-    for n, (title, body) in enumerate(slides, start=1):
-        md.append(
-            f"## Slide {n}" + (f": {escape_md(title)}" if title else "") + "\n"
-        )
-        md.append("\n")
-        i = 0
-        while i < len(body):
-            lvl, text = body[i]
-            if lvl is None:
-                md.append(escape_md(text) + "\n")
-                md.append("\n")
-                i += 1
-            else:
-                while i < len(body) and body[i][0] is not None:
-                    md.append(
-                        "  " * body[i][0] + "- " + escape_md(body[i][1]) + "\n"
-                    )
-                    i += 1
-                md.append("\n")
-    return "".join(md)
+    """Golden builder stated top-down from the slide spec (shared
+    emission with the extractor; the independent part is the package
+    write/parse round trip)."""
+    return _render_deck(logical_name, slides)

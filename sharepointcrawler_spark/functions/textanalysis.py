@@ -523,6 +523,18 @@ def winnowing_fingerprints(
     )
 
 
+def trimmed_lines(col: Column | str) -> Column:
+    """Non-empty trimmed lines of a text column — the SINGLE definition
+    of 'a line' shared by the repetition signals and the corpus
+    paragraph dedup (both feed hash-parity oracles whose SQL mirrors
+    this exact expression; two private copies could drift)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+
+
 def repetition_signals(docs, text_col: str = "text", id_col: str = "doc_id"):
     """Gopher-style repetition quality signals (Rae et al. 2021,
     appendix A1.1 — the standard pre-training repetition filters; also
@@ -548,11 +560,7 @@ def repetition_signals(docs, text_col: str = "text", id_col: str = "doc_id"):
     from pyspark.sql import DataFrame  # noqa: F401 (signature clarity)
 
     text = F.col(text_col)
-    lines_arr = F.filter(
-        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
-        lambda x: x != F.lit(""),
-    )
-    lines = docs.select(F.col(id_col), lines_arr.alias("_lines")).select(
+    lines = docs.select(F.col(id_col), trimmed_lines(text).alias("_lines")).select(
         id_col, F.explode("_lines").alias("line")
     )
     per_line = lines.groupBy(id_col, "line").agg(F.count("*").alias("cnt"))

@@ -253,14 +253,11 @@ def dedup_paragraph_lines(
     n_kept, n_dropped) — flag-and-rebuild, no document ever disappears.
     At 100 TB the line-count table is the only global state; bucketing
     both sides by a line hash removes even that shuffle."""
-    text = F.col(text_col)
-    lines_arr = F.filter(
-        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
-        lambda x: x != F.lit(""),
-    )
-    lines = docs.select(F.col(id_col), lines_arr.alias("_l")).select(
-        id_col, F.posexplode("_l").alias("pos", "line")
-    )
+    from sharepointcrawler_spark.functions.textanalysis import trimmed_lines
+
+    lines = docs.select(
+        F.col(id_col), trimmed_lines(text_col).alias("_l")
+    ).select(id_col, F.posexplode("_l").alias("pos", "line"))
     counts = lines.groupBy("line").agg(F.count("*").alias("_n"))
     kept_flag = (F.col("_n") <= max_occurrences).alias("_keep")
     tagged = lines.join(counts, "line").select(id_col, "pos", "line", kept_flag)

@@ -47,8 +47,12 @@ def pagerank(
                   + (num * Σ_{u->v} score(u) // outdeg(u)) // den
 
     Scores start at ``scale`` per node. Everything is 64-bit integer
-    arithmetic (sums are bounded by n_nodes * scale — overflow-safe to
-    ~9·10^6 nodes at the default scale; lower ``scale`` for more)."""
+    arithmetic; the damping term is computed as the exact identity
+    ``num*(s//den) + (num*(s%den))//den`` so the intermediate never
+    exceeds ~``num/den * n_nodes * scale`` — overflow-safe to ~9·10^6
+    nodes at the default scale even on worst-case hub topologies
+    (a naive ``num*s`` would overflow ~100x earlier); lower ``scale``
+    for larger graphs."""
     src = F.col(src_col)
     dst = F.col(dst_col)
     e = edges.select(src.alias("src"), dst.alias("dst"))
@@ -79,8 +83,13 @@ def pagerank(
             "node",
             (
                 F.lit(teleport)
+                # exact split of (num*s) div den that avoids the 64-bit
+                # overflow of the naive product on large hub sums:
+                # num*(s div den) + (num*(s mod den)) div den
                 + F.expr(
-                    f"({damping_num} * coalesce(_sum, 0L)) div {damping_den}"
+                    f"{damping_num} * (coalesce(_sum, 0L) div {damping_den})"
+                    f" + ({damping_num} * (coalesce(_sum, 0L) % {damping_den}))"
+                    f" div {damping_den}"
                 )
             ).cast("long").alias("score"),
         )

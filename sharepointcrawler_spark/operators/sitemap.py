@@ -160,6 +160,7 @@ def expand_sitemap_tree(
     ).distinct().persist()
     fetched: DataFrame | None = None
     pages: DataFrame | None = None
+    cached = [pending]  # every persist released after the final checkpoint
     for _ in range(max_depth):
         # pending is persisted, so the isEmpty probe and the fetch join
         # below share one evaluation instead of recomputing the level
@@ -167,6 +168,7 @@ def expand_sitemap_tree(
             break
         xml = sitemap_fetch(pending).withColumnRenamed("sitemap_url", "sitemap_id")
         entries = sitemap_entries(xml, xml_col="xml", id_col="sitemap_id").persist()
+        cached.append(entries)
         level_pages = entries.filter(~F.col("is_index")).select(
             "sitemap_id", "ord", "loc", "lastmod", "priority"
         )
@@ -174,7 +176,6 @@ def expand_sitemap_tree(
         fetched = (
             pending if fetched is None else fetched.unionByName(pending)
         ).distinct()
-        prev_pending = pending
         pending = (
             entries.filter(F.col("is_index"))
             .select(F.col("loc").alias("sitemap_url"))
@@ -182,19 +183,28 @@ def expand_sitemap_tree(
             .join(fetched, "sitemap_url", "left_anti")
             .persist()
         )
-        prev_pending.unpersist()
+        cached.append(pending)
     if pages is None:
+        for df in cached:
+            df.unpersist()
         return sitemap_urls.sparkSession.createDataFrame(
             [],
             "sitemap_id string, ord long, loc string, lastmod string, priority double",
         )
-    # keep-first dedup across files: smallest (sitemap_id, ord) wins
+    # keep-first dedup across files: smallest (sitemap_id, ord) wins.
+    # The result MATERIALIZES (eager checkpoint — a sitemap seed list is
+    # small by construction) so every per-level persist can be released
+    # here instead of leaking for the session lifetime.
     w = Window.partitionBy("loc").orderBy("sitemap_id", "ord")
-    return (
+    out = (
         pages.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        .localCheckpoint(eager=True)
     )
+    for df in cached:
+        df.unpersist()
+    return out
 
 
 def sitemap_frontier_rows(

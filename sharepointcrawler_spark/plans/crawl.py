@@ -213,6 +213,14 @@ def run_crawl(
     if robots_df is None and robots_texts_df is not None:
         robots_df = robots_rules_df(robots_texts_df)
     gate = RobotsGate(spark, robots_df)
+    if priority_scores is not None:
+        # caller tables may carry duplicate url_canon rows (e.g. two
+        # unioned pagerank runs); a raw left join would then multiply
+        # frontier rows and double-spend budget slots — collapse to
+        # one max score per URL once, up front
+        priority_scores = priority_scores.groupBy("url_canon").agg(
+            F.max("score").alias("score")
+        )
     geometry = dd.bloom_params(
         max(cfg.bloom_capacity // cfg.n_bloom_shards, 64), cfg.bloom_fp_rate
     )
@@ -243,6 +251,19 @@ def run_crawl(
             seen_delta_paths = legacy[1:]
         shards = store.read("bloom_shards", last)
         wave = last
+        if cfg.seen_buckets:
+            # resuming a FLAT/legacy snapshot with buckets enabled would
+            # fill seen_bucket with NULLs and the confirm's bucket IN
+            # filter would prune EVERY seen row — already-crawled URLs
+            # silently re-enter the frontier. Fail loudly instead.
+            base_fields = spark.read.parquet(seen_base_path).schema.fieldNames()
+            if dd.SEEN_BUCKET_COL not in base_fields:
+                raise ValueError(
+                    f"seen_buckets={cfg.seen_buckets} but the snapshot's seen "
+                    "table is not bucket-partitioned — resume with "
+                    "seen_buckets=None (matching the crawl that wrote it) "
+                    "or start a fresh crawl"
+                )
     else:
         if not seeds:
             raise ValueError("fresh crawl needs seeds")

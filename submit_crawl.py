@@ -132,6 +132,9 @@ def main(argv: list[str] | None = None) -> int:
             return urls_df.join(_t, "sitemap_url", "inner")
 
     expander = pages_expander(pages)
+    priority_scores = (
+        spark.read.parquet(args.priority_scores) if args.priority_scores else None
+    )
     result = run_crawl(
         spark,
         store,
@@ -141,11 +144,7 @@ def main(argv: list[str] | None = None) -> int:
         resume=resume,
         robots_texts_df=robots_texts_df,
         sitemap_fetch=sitemap_fetch,
-        priority_scores=(
-            spark.read.parquet(args.priority_scores)
-            if args.priority_scores
-            else None
-        ),
+        priority_scores=priority_scores,
     )
     for m in result.metrics:
         print(json.dumps({"wave_metrics": m}))
@@ -164,7 +163,17 @@ def main(argv: list[str] | None = None) -> int:
             config=cfg,
         )
         if refreshed:
-            result = run_crawl(spark, store, expander, config=cfg, resume=True)
+            # the refresh drain keeps the SAME gates as the main crawl:
+            # robots rules/delays and priority ordering still apply
+            result = run_crawl(
+                spark,
+                store,
+                expander,
+                config=cfg,
+                resume=True,
+                robots_texts_df=robots_texts_df,
+                priority_scores=priority_scores,
+            )
             for m in result.metrics:
                 print(json.dumps({"refresh_wave_metrics": m}))
 

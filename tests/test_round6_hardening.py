@@ -11,6 +11,7 @@
 
 from __future__ import annotations
 
+import re
 import zlib
 
 import numpy as np
@@ -247,6 +248,71 @@ def test_encrypted_modern_pdf_structure_roundtrips():
     locked = encrypt_pdf(plain, r=3, user_pwd=b"pw")
     with pytest.raises(UnsupportedPdfError, match="password required"):
         parse_pdf_word_pages(locked, strict=True)
+
+
+def test_encrypt_dict_acrobat_key_order_and_literal_id():
+    """Review findings: (a) Acrobat writes /Encrypt keys alphabetically
+    — the /CF sub-dictionary (with its own /Length 16 in BYTES and
+    /CFM name) precedes the top-level /Length and /V, and some files
+    omit the top-level /Length entirely (implied 128 for V4); (b) /ID
+    may use literal-string form. Both must still decrypt."""
+    from sharepointcrawler_spark.extraction.pdfwords import encrypt_pdf
+
+    pages, heights = layout_words(
+        "1.0 Order\n\nAcrobat ordered dictionary body text here.\n"
+    )
+    plain = write_pdf(pages, heights)
+    want = [
+        w.text for p in parse_pdf_word_pages(plain, strict=True)[0] for w in p
+    ]
+    enc = encrypt_pdf(plain, r=4)
+    m = re.search(
+        rb"/O <([0-9a-f]+)>\s*/U <([0-9a-f]+)>", enc
+    )
+    assert m, "fixture enc dict shape changed"
+    o_hex, u_hex = m.group(1), m.group(2)
+    orig = re.search(rb"<< /Filter /Standard /V 4 .*?>>endobj", enc, re.S)
+    assert orig, "enc dict not found"
+    for extra_len in (b" /Length 128", b""):  # omitted -> implied 128
+        acro = (
+            b"<< /CF << /StdCF << /AuthEvent /DocOpen /CFM /AESV2"
+            b" /Length 16 >> >> /Filter /Standard" + extra_len
+            + b" /O <" + o_hex + b"> /P -4 /R 4"
+            + b" /StmF /StdCF /StrF /StdCF /U <" + u_hex + b"> /V 4 >>endobj"
+        )
+        reordered = enc[: orig.start()] + acro + enc[orig.end() :]
+        got = [
+            w.text
+            for p in parse_pdf_word_pages(reordered, strict=True)[0]
+            for w in p
+        ]
+        assert got == want, f"extra_len={extra_len!r}"
+    # literal-string /ID form
+    idraw = bytes(range(16))
+    lit = enc.replace(
+        b"/ID [<" + idraw.hex().encode() + b"> <" + idraw.hex().encode() + b">]",
+        b"/ID [(" + idraw + b") (" + idraw + b")]",
+    )
+    assert lit != enc, "ID rewrite did not apply"
+    got = [
+        w.text for p in parse_pdf_word_pages(lit, strict=True)[0] for w in p
+    ]
+    assert got == want
+
+
+def test_stray_id_heuristic_ignores_string_literals():
+    """Honest text like '(User ID 5)' must not trip the stray-ID
+    truncation flag when an inline image without /L is on the page."""
+    img = b"BI /W 4 /H 3 /BPC 8 /CS /G ID " + bytes(range(240, 252)) + b"\nEI"
+    content = (
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (User ID 5) Tj ET\n" + img
+        + b"\nBT /F1 12 Tf 1 0 0 1 72 680 Tm (after) Tj ET"
+    )
+    issues: list[str] = []
+    _strip_inline_images(content, issues)
+    assert not any("stray ID" in i for i in issues), issues
+    got, _ = parse_pdf_word_pages(_pdf_with_inline(img), strict=True)
+    assert [w.text for w in got[0]] == ["before", "after"]
 
 
 def test_aes_fips_vectors_and_password_gate():
@@ -504,6 +570,54 @@ def test_sq8_compression_recall(spark):
         got5.setdefault(r.query_id, set()).add(r.vec_id)
     hits = sum(1 for q, v in exact1.items() if v in got5.get(q, set()))
     assert hits >= 22, f"SQ8 recall@5 of exact top-1: {hits}/25"
+
+
+def test_pagerank_hub_no_int64_overflow(spark):
+    """Review finding: a 120k-leaf star concentrates ~1.2e17 of scaled
+    mass on the hub; the naive 85*sum damping product would wrap int64
+    negative. The split-division identity keeps every intermediate in
+    range: hub score stays positive, bounded by total mass, and equals
+    teleport + 85% of the leaf mass."""
+    from pyspark.sql import functions as F
+
+    from sharepointcrawler_spark.operators.ranking import SCALE, pagerank
+
+    n = 120_000
+    edges = spark.range(1, n + 1).select(
+        F.col("id").alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    s = pagerank(edges, n_iters=1)
+    hub = s.filter("node = 0").collect()[0]["score"]
+    teleport = (15 * SCALE) // 100
+    assert hub > 0, "int64 overflow wrapped the hub score"
+    expect = teleport + 85 * ((n * SCALE) // 100) + (85 * ((n * SCALE) % 100)) // 100
+    assert hub == expect
+    assert hub <= (n + 1) * SCALE
+
+
+def test_seen_buckets_mismatch_raises_on_resume(spark, tmp_path):
+    """Review finding: resuming a FLAT snapshot with seen_buckets set
+    would NULL-out the bucket column and the confirm filter would prune
+    every seen row (silent recrawl). The resume now fails loudly."""
+    from sharepointcrawler_spark.operators.frontier import graph_expander
+    from sharepointcrawler_spark.plans.crawl import CrawlConfig, run_crawl
+    from sharepointcrawler_spark.plans.snapshot import SnapshotStore
+
+    edges = spark.createDataFrame(
+        [("https://m.example.com/lib", "https://m.example.com/lib/a.pdf", "file", 0)],
+        "parent_url string, child_url string, kind string, sibling_idx int",
+    )
+    store = SnapshotStore(spark, str(tmp_path / "snap_flat"))
+    run_crawl(
+        spark, store, graph_expander(edges),
+        seeds=[("https://m.example.com/lib", 0)],
+        config=CrawlConfig(), resume=False, stop_after_wave=1,
+    )
+    with pytest.raises(ValueError, match="not bucket-partitioned"):
+        run_crawl(
+            spark, store, graph_expander(edges),
+            config=CrawlConfig(seen_buckets=8), resume=True,
+        )
 
 
 def test_dedup_paragraph_lines_planted(spark):
