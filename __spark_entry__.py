@@ -1958,6 +1958,129 @@ def q_multimodal_decode_png_interlaced(spark, sf_dir):
     )
 
 
+def _trap_urls(spark, sf_dir):
+    """Deterministic candidate-URL fixture: one URL per order, with the
+    five classic trap families planted by o_orderkey % 10 (cycle paths,
+    20-deep recursion, session-id params, calendar runs, faceted-search
+    param blowup, multi-KB spellings) and benign spellings elsewhere —
+    string closed forms only, so DuckDB rebuilds the exact same URLs."""
+    k = F.col("o_orderkey").cast("long")
+    base = F.concat(
+        F.lit("https://trap"), (k % 3).cast("string"), F.lit(".example.com")
+    )
+    lane = k % 10
+    url = (
+        F.when(lane == 0, F.concat(base, F.lit("/loop/x/loop/x/loop")))
+        .when(lane == 1, F.concat(base, F.repeat(F.lit("/d"), 20)))
+        .when(
+            lane == 2,
+            F.concat(
+                base, F.lit("/item?jsessionid="), k.cast("string"), F.lit("&page=1")
+            ),
+        )
+        .when(
+            lane == 3,
+            F.concat(
+                base,
+                F.lit("/cal/2024/01/"),
+                (k % 28 + 1).cast("string"),
+                F.lit("/2025/next"),
+            ),
+        )
+        .when(
+            lane == 4,
+            F.concat(
+                base,
+                F.lit(
+                    "/f?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9&j=10&k=11&l=12&m=13"
+                ),
+            ),
+        )
+        .when(lane == 5, F.concat(base, F.lit("/x"), F.repeat(F.lit("/abcdefghij"), 200)))
+        .otherwise(
+            F.concat(
+                base,
+                F.lit("/cat/p"),
+                k.cast("string"),
+                F.lit("/item?page=2&ref=home"),
+            )
+        )
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(k.alias("o_orderkey"))
+        .select("o_orderkey", url.alias("url"))
+    )
+
+
+def _redirect_edges(spark, sf_dir):
+    """Deterministic one-hop redirect edges from customer keys: chains
+    p=5..1 -> p=0 inside each group of 8, and every 7th group closes a
+    0 -> 2 back-edge turning its chain into a genuine loop."""
+    k = F.col("c_custkey").cast("long")
+    g = (k / 8).cast("long")
+    p = k % 8
+
+    def u(gc, pc):
+        return F.concat(
+            F.lit("https://r"),
+            (gc % 5).cast("string"),
+            F.lit(".example.com/g"),
+            gc.cast("string"),
+            F.lit("/p"),
+            pc.cast("string"),
+        )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        g.alias("g"), p.alias("p")
+    )
+    chain = cust.filter((F.col("p") >= 1) & (F.col("p") <= 5)).select(
+        u(F.col("g"), F.col("p")).alias("src"),
+        u(F.col("g"), F.col("p") - 1).alias("dst"),
+    )
+    loops = (
+        cust.filter((F.col("p") == 0) & (F.col("g") % 7 == 0))
+        .select(
+            u(F.col("g"), F.lit(0)).alias("src"),
+            u(F.col("g"), F.lit(2)).alias("dst"),
+        )
+    )
+    return chain.unionByName(loops)
+
+
+def q_redirect_resolution(spark, sf_dir):
+    """T8: redirect-chain resolution by pointer doubling (5 joins cover
+    the browser-conventional 20-hop cap; RFC 9110 §15.4 loop guard) —
+    terminated chains carry exact hop counts and the final landing URL,
+    loops and over-cap chains are refused with NULLs. The oracle walks
+    the same edges with a bounded recursive CTE."""
+    from sharepointcrawler_spark.operators.redirects import resolve_redirects
+
+    res = resolve_redirects(_redirect_edges(spark, sf_dir), max_hops=20)
+    return res.select("src", "final_url", "hops", "is_loop")
+
+
+def q_trap_detection(spark, sf_dir):
+    """T7: crawler-trap admission gate (Mercator §3.3 heuristics) —
+    path-cycle, depth, session-param, calendar-run, param-blowup and
+    length signals as one no-shuffle projection of JVM builtins; the
+    oracle recomputes every signal from the same URL closed forms with
+    DuckDB list lambdas."""
+    from sharepointcrawler_spark.operators.traps import TrapRules, trap_flags
+
+    flagged = trap_flags(_trap_urls(spark, sf_dir), rules=TrapRules(), url_col="url")
+    return flagged.select(
+        "o_orderkey",
+        "path_depth",
+        "max_segment_repeat",
+        "query_param_count",
+        "session_param",
+        "numeric_run",
+        "url_length",
+        "is_trap",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # crawl-engine operator inventory (SURVEY.md §2)
@@ -1974,6 +2097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t6_recrawl_update": q_recrawl_update,
         "s9_sitemap_priors": q_sitemap_priors,
         "crawl_sitemap_discovery": q_crawl_sitemap_discovery,
+        "t7_trap_detection": q_trap_detection,
+        "t8_redirect_resolution": q_redirect_resolution,
         "a1_count_by_state": q_count_by_state,
         "a2_running_metrics": q_running_metrics,
         "a3_groupby_having": q_groupby_having_threshold,
@@ -3175,6 +3300,115 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
                    lam * age AS staleness,
                    coalesce(lam * age >= 0.6931471805599453, false) AS due
             FROM f
+        """,
+        "t8_redirect_resolution": """
+            -- walk the same functional redirect graph with a bounded
+            -- recursive CTE (hops < 32 = the doubling reach of 5
+            -- rounds); a src with no terminal row inside the bound, or
+            -- a terminated chain longer than the 20-hop cap, is a
+            -- refused loop with NULL final/hops
+            WITH RECURSIVE kp AS (
+              SELECT CAST(c_custkey AS BIGINT) // 8 AS g,
+                     CAST(c_custkey AS BIGINT) % 8 AS p
+              FROM customer),
+            e AS (
+              SELECT 'https://r' || CAST(g % 5 AS VARCHAR) || '.example.com/g'
+                       || CAST(g AS VARCHAR) || '/p' || CAST(p AS VARCHAR) AS src,
+                     'https://r' || CAST(g % 5 AS VARCHAR) || '.example.com/g'
+                       || CAST(g AS VARCHAR) || '/p' || CAST(p - 1 AS VARCHAR) AS dst
+              FROM kp WHERE p BETWEEN 1 AND 5
+              UNION ALL
+              SELECT 'https://r' || CAST(g % 5 AS VARCHAR) || '.example.com/g'
+                       || CAST(g AS VARCHAR) || '/p0' AS src,
+                     'https://r' || CAST(g % 5 AS VARCHAR) || '.example.com/g'
+                       || CAST(g AS VARCHAR) || '/p2' AS dst
+              FROM kp WHERE p = 0 AND g % 7 = 0),
+            walk AS (
+              SELECT src, dst AS cur, 1 AS hops FROM e
+              UNION ALL
+              SELECT w.src, e.dst, w.hops + 1
+              FROM walk w JOIN e ON w.cur = e.src
+              WHERE w.hops < 32),
+            term AS (
+              SELECT w.src, w.cur, w.hops
+              FROM walk w
+              WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.cur))
+            SELECT s.src,
+                   CASE WHEN t.src IS NULL OR t.hops > 20 THEN NULL
+                        ELSE t.cur END AS final_url,
+                   CASE WHEN t.src IS NULL OR t.hops > 20 THEN NULL
+                        ELSE CAST(t.hops AS INT) END AS hops,
+                   (t.src IS NULL OR t.hops > 20) AS is_loop
+            FROM (SELECT DISTINCT src FROM e) s
+            LEFT JOIN term t ON s.src = t.src
+        """,
+        "t7_trap_detection": """
+            -- rebuild the exact URL closed forms, then recompute every
+            -- structural trap signal with DuckDB list lambdas: segment
+            -- multiplicity (cycle trap), packed '1'/'0' bitstring split
+            -- on '0' for the longest numeric-segment run (calendar
+            -- trap), param-name regex for session ids
+            WITH u AS (
+              SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                     'https://trap' || CAST(CAST(o_orderkey AS BIGINT) % 3 AS VARCHAR)
+                       || '.example.com' AS base,
+                     CAST(o_orderkey AS BIGINT) % 10 AS lane,
+                     CAST(o_orderkey AS BIGINT) AS k
+              FROM orders),
+            urls AS (
+              SELECT o_orderkey,
+                     CASE lane
+                       WHEN 0 THEN base || '/loop/x/loop/x/loop'
+                       WHEN 1 THEN base || repeat('/d', 20)
+                       WHEN 2 THEN base || '/item?jsessionid=' || CAST(k AS VARCHAR) || '&page=1'
+                       WHEN 3 THEN base || '/cal/2024/01/' || CAST(k % 28 + 1 AS VARCHAR) || '/2025/next'
+                       WHEN 4 THEN base || '/f?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9&j=10&k=11&l=12&m=13'
+                       WHEN 5 THEN base || '/x' || repeat('/abcdefghij', 200)
+                       ELSE base || '/cat/p' || CAST(k AS VARCHAR) || '/item?page=2&ref=home'
+                     END AS url
+              FROM u),
+            parts AS (
+              SELECT o_orderkey, url,
+                     regexp_replace(regexp_replace(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''),
+                       '[?#].*$', '') AS path,
+                     regexp_replace(url, '#.*$', '') AS no_frag
+              FROM urls),
+            qq AS (
+              SELECT *, CASE WHEN contains(no_frag, '?')
+                             THEN regexp_replace(no_frag, '^[^?]*\\?', '')
+                             ELSE '' END AS q
+              FROM parts),
+            arr AS (
+              SELECT o_orderkey, url,
+                     list_filter(string_split(path, '/'), s -> s <> '') AS segs,
+                     CASE WHEN q = '' THEN []::VARCHAR[]
+                          ELSE string_split(q, '&') END AS params
+              FROM qq),
+            sig AS (
+              SELECT o_orderkey,
+                     CAST(len(segs) AS INT) AS path_depth,
+                     CAST(coalesce(list_max(list_transform(segs,
+                       s -> len(list_filter(segs, x -> x = s)))), 0) AS INT)
+                       AS max_segment_repeat,
+                     CAST(len(params) AS INT) AS query_param_count,
+                     len(list_filter(list_transform(params,
+                           p -> string_split(p, '=')[1]),
+                         n -> regexp_matches(n,
+                           '(?i)^(sessionid|phpsessid|jsessionid|aspsessionid[a-z]*|sid|cfid|cftoken|utm_[a-z]+)$')))
+                       > 0 AS session_param,
+                     CAST(coalesce(list_max(list_transform(
+                       string_split(array_to_string(list_transform(segs,
+                         s -> CASE WHEN regexp_matches(s, '^[0-9]+$')
+                                   THEN '1' ELSE '0' END), ''), '0'),
+                       r -> len(r))), 0) AS INT) AS numeric_run,
+                     CAST(len(url) AS INT) AS url_length
+              FROM arr)
+            SELECT *,
+                   (path_depth > 16 OR max_segment_repeat >= 3
+                    OR query_param_count > 12 OR session_param
+                    OR numeric_run >= 4 OR url_length > 2048) AS is_trap
+            FROM sig
         """,
         "t6_recrawl_update": """
             -- history fold-forward: even doc_ids refreshed at the fixed

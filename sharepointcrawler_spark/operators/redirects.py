@@ -1,0 +1,142 @@
+"""Redirect-chain resolution over a (src -> dst) redirect edge table.
+
+The reference never sees redirects — SharePoint's OData endpoint
+returns final resources directly (SharePointClient.cs:224-232 builds
+endpoint URLs and reads the JSON body; HttpClient's default handler
+follows 3xx transparently). An open-web crawler must resolve them
+itself: ~8% of fetches answer 3xx, the frontier must dedup on the
+FINAL landing URL (or every hop spelling is re-fetched forever), and
+loops (A->B->A) and over-long chains must be refused the way browsers
+refuse them (the de-facto cap is ~20 hops; RFC 9110 §15.4 requires a
+loop guard).
+
+Spark-first shape: a redirect table is a FUNCTIONAL graph (each src
+has at most one dst — a later re-fetch that changes the target is a
+new snapshot), so resolution is pointer doubling: k self-joins resolve
+chains up to 2^k hops — O(log max_hops) shuffles TOTAL, each hashed on
+the join key, instead of one join per hop. At 10^10 URLs with the
+de-facto 20-hop cap that is 5 joins, every one of them AQE-planned and
+broadcastable when the redirect table is small relative to the
+frontier (it always is: redirects are a few percent of edges).
+
+Loop semantics: a chain that has not terminated after max_hops hops is
+flagged ``is_loop`` (true loops never terminate; longer-than-cap
+chains are refused identically, matching browser behavior — the two
+are indistinguishable without unbounded work, and both are refused).
+``final_url`` for such rows is NULL (never a half-resolved spelling:
+the frontier must not admit a mid-chain URL as if it were terminal).
+
+Hop counts are exact for terminated chains: each doubling round sums
+the two halves' hop counts, so ``hops`` is the true chain length, not
+a power of two.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    max_hops: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(src, dst) one-hop edges -> (src, final_url, hops, is_loop).
+
+    One output row per DISTINCT src. Pointer doubling: maintain
+    f = (src, cur, hops, done) where ``done`` marks chains whose
+    ``cur`` has no outgoing edge; each round left-joins f against the
+    doubled map m = (src, cur, hops) built the same way, composing
+    cur := m[cur] and hops += m.hops for unfinished rows. ceil(log2)
+    rounds cover max_hops; unfinished rows at the end are loops.
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    edges = (
+        redirects.select(
+            F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+        )
+        .filter(F.col("_src").isNotNull() & F.col("_dst").isNotNull())
+        .dropDuplicates(["_src"])  # functional-graph contract
+    )
+
+    # terminal probe: dst that are themselves sources continue the chain
+    srcs = edges.select(F.col("_src").alias("_probe"))
+
+    # f: the per-src resolution state; m: the doubling map (same shape,
+    # keyed by where the chain currently stands)
+    f = (
+        edges.join(srcs, edges["_dst"] == srcs["_probe"], "left")
+        .select(
+            F.col("_src").alias("src"),
+            F.col("_dst").alias("cur"),
+            F.lit(1).alias("hops"),
+            F.col("_probe").isNull().alias("done"),
+        )
+    )
+
+    rounds = max(1, (max_hops - 1).bit_length())  # 2^rounds >= max_hops
+    m = f
+    for _ in range(rounds):
+        step = m.select(
+            F.col("src").alias("m_src"),
+            F.col("cur").alias("m_cur"),
+            F.col("hops").alias("m_hops"),
+            F.col("done").alias("m_done"),
+        )
+        f = (
+            f.join(step, f["cur"] == step["m_src"], "left")
+            .select(
+                "src",
+                F.when(F.col("done") | F.col("m_src").isNull(), F.col("cur"))
+                .otherwise(F.col("m_cur"))
+                .alias("cur"),
+                F.when(F.col("done") | F.col("m_src").isNull(), F.col("hops"))
+                .otherwise(F.col("hops") + F.col("m_hops"))
+                .alias("hops"),
+                F.when(F.col("done"), F.lit(True))
+                .when(F.col("m_src").isNull(), F.lit(True))
+                .otherwise(F.col("m_done"))
+                .alias("done"),
+            )
+        )
+        m = f
+        # NOTE: the lazy plan doubles per round; rounds is <= 5 for the
+        # 20-hop cap, so lineage stays shallow — no checkpoint needed.
+
+    exceeded = (~F.col("done")) | (F.col("hops") > max_hops)
+    return f.select(
+        "src",
+        F.when(exceeded, F.lit(None).cast("string")).otherwise(F.col("cur")).alias(
+            "final_url"
+        ),
+        F.when(exceeded, F.lit(None).cast("int"))
+        .otherwise(F.col("hops").cast("int"))
+        .alias("hops"),
+        exceeded.alias("is_loop"),
+    )
+
+
+def apply_redirect_map(
+    df: DataFrame,
+    resolved: DataFrame,
+    url_col: str = "url_canon",
+) -> DataFrame:
+    """Rewrite a URL column through a resolved redirect map: rows whose
+    URL is a redirect source land on ``final_url`` (loops are DROPPED —
+    refusing the chain refuses the URL); everything else passes through.
+    One left join, hashed on the URL — broadcast when the redirect map
+    is dimension-sized."""
+    rmap = resolved.select(
+        F.col("src").alias("_r_src"),
+        F.col("final_url").alias("_r_final"),
+        F.col("is_loop").alias("_r_loop"),
+    )
+    return (
+        df.join(rmap, df[url_col] == rmap["_r_src"], "left")
+        .filter(~F.coalesce(F.col("_r_loop"), F.lit(False)))
+        .withColumn(url_col, F.coalesce(F.col("_r_final"), F.col(url_col)))
+        .drop("_r_src", "_r_final", "_r_loop")
+    )

@@ -60,6 +60,7 @@ from sharepointcrawler_spark.operators.sitemap import (
     expand_sitemap_tree,
     sitemap_frontier_rows,
 )
+from sharepointcrawler_spark.operators.traps import TrapRules, reject_traps
 from sharepointcrawler_spark.plans.snapshot import SnapshotStore
 
 # storage-only column marking which wave last touched a frontier row;
@@ -89,6 +90,12 @@ class CrawlConfig:
     # IO term at 10^10 URLs. Costs one tiny distinct-buckets job per
     # wave. None keeps the flat layout.
     seen_buckets: int | None = None
+    # when set, newly-discovered children pass the crawler-trap
+    # admission gate (operators/traps.py) BEFORE the seen probe — trap
+    # spellings never cost bloom writes or seen rows. One extra
+    # projection per wave, no shuffle. None admits everything (the
+    # reference's finite server-enumerated tree needs no gate).
+    trap_rules: "TrapRules | None" = None
     extra: dict = field(default_factory=dict)
 
 
@@ -383,6 +390,10 @@ def run_crawl(
             scheduled_ok = scheduled
             failed = None
         children = fr.expand_wave(scheduled_ok, expander, wave)
+        if cfg.trap_rules is not None:
+            # admission gate on the CANONICAL spelling (post-P7), so a
+            # trap URL cannot sneak through as an uncanonical variant
+            children = reject_traps(children, rules=cfg.trap_rules, url_col="url_canon")
         t_expand = time.monotonic()  # lazy plans built; writes trigger the work
 
         # 5. dedup vs seen: bloom prefilter + exact confirm (scale path)
