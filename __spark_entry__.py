@@ -2013,6 +2013,80 @@ def _trap_urls(spark, sf_dir):
     )
 
 
+def q_html_meta_directives(spark, sf_dir):
+    """P9: rel=canonical + robots-meta directives via constant-pattern
+    JVM regexps (both attribute orders, both quote styles, token-
+    anchored noindex/nofollow) and the effective-canonical attribution
+    URL — one projection, no UDF; the oracle reruns the identical RE2
+    patterns in DuckDB over the same synthesized pages."""
+    from sharepointcrawler_spark.functions.htmlmeta import (
+        effective_canonical,
+        html_meta_columns,
+    )
+
+    d = F.col("doc_id").cast("long")
+    base = d - d % 5
+    lane = d % 5
+
+    def u(idc):
+        return F.concat(
+            F.lit("https://d"),
+            (idc % 4).cast("string"),
+            F.lit(".example.com/doc/"),
+            idc.cast("string"),
+        )
+
+    html = (
+        F.when(
+            lane == 0,
+            F.concat(
+                F.lit('<html><head><link rel="canonical" href="'),
+                u(d),
+                F.lit('"/></head><body>x</body></html>'),
+            ),
+        )
+        .when(
+            lane == 1,
+            F.concat(
+                F.lit('<html><head><link href="'),
+                u(base),
+                F.lit('" rel="canonical"></head><body>dup</body></html>'),
+            ),
+        )
+        .when(
+            lane == 2,
+            F.lit(
+                '<html><head><meta name="robots" content="noindex, follow">'
+                "</head><body>hidden</body></html>"
+            ),
+        )
+        .when(
+            lane == 3,
+            F.lit(
+                "<html><head><meta content='index, NOFOLLOW' name='robots'>"
+                "</head><body>leaf</body></html>"
+            ),
+        )
+        .otherwise(F.lit("<html><body>plain nofollowup noindexing</body></html>"))
+    )
+    pages = (
+        _t(spark, sf_dir, "documents")
+        .select(d.alias("doc_id"))
+        .select("doc_id", u(F.col("doc_id")).alias("url"), html.alias("html_text"))
+    )
+    flagged = html_meta_columns(pages, html_col="html_text")
+    return flagged.select(
+        "doc_id",
+        "canonical_href",
+        "meta_robots",
+        "noindex",
+        "nofollow",
+        effective_canonical(F.col("url"), F.col("canonical_href")).alias(
+            "effective_url"
+        ),
+    )
+
+
 def _redirect_edges(spark, sf_dir):
     """Deterministic one-hop redirect edges from customer keys: chains
     p=5..1 -> p=0 inside each group of 8, and every 7th group closes a
@@ -2099,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_sitemap_discovery": q_crawl_sitemap_discovery,
         "t7_trap_detection": q_trap_detection,
         "t8_redirect_resolution": q_redirect_resolution,
+        "p9_html_meta_directives": q_html_meta_directives,
         "a1_count_by_state": q_count_by_state,
         "a2_running_metrics": q_running_metrics,
         "a3_groupby_having": q_groupby_having_threshold,
@@ -3300,6 +3375,55 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
                    lam * age AS staleness,
                    coalesce(lam * age >= 0.6931471805599453, false) AS due
             FROM f
+        """,
+        "p9_html_meta_directives": """
+            -- identical RE2 patterns over the same synthesized pages;
+            -- '' -> NULL mirrors Spark's nullif-wrapped extracts
+            WITH d AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(doc_id AS BIGINT) % 5 AS lane,
+                     CAST(doc_id AS BIGINT) - CAST(doc_id AS BIGINT) % 5 AS base
+              FROM documents),
+            p AS (
+              SELECT doc_id,
+                     'https://d' || CAST(doc_id % 4 AS VARCHAR)
+                       || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                     CASE lane
+                       WHEN 0 THEN '<html><head><link rel="canonical" href="'
+                         || 'https://d' || CAST(doc_id % 4 AS VARCHAR)
+                         || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+                         || '"/></head><body>x</body></html>'
+                       WHEN 1 THEN '<html><head><link href="'
+                         || 'https://d' || CAST(base % 4 AS VARCHAR)
+                         || '.example.com/doc/' || CAST(base AS VARCHAR)
+                         || '" rel="canonical"></head><body>dup</body></html>'
+                       WHEN 2 THEN '<html><head><meta name="robots" content="noindex, follow"></head><body>hidden</body></html>'
+                       WHEN 3 THEN '<html><head><meta content=''index, NOFOLLOW'' name=''robots''></head><body>leaf</body></html>'
+                       ELSE '<html><body>plain nofollowup noindexing</body></html>'
+                     END AS html
+              FROM d),
+            x AS (
+              SELECT doc_id, url,
+                     nullif(coalesce(
+                       nullif(regexp_extract(html,
+                         '(?i)<link[^>]*rel=["'']canonical["''][^>]*href=["'']([^"'']*)["'']', 1), ''),
+                       regexp_extract(html,
+                         '(?i)<link[^>]*href=["'']([^"'']*)["''][^>]*rel=["'']canonical["'']', 1)),
+                       '') AS canonical_href,
+                     nullif(coalesce(
+                       nullif(regexp_extract(html,
+                         '(?i)<meta[^>]*name=["'']robots["''][^>]*content=["'']([^"'']*)["'']', 1), ''),
+                       regexp_extract(html,
+                         '(?i)<meta[^>]*content=["'']([^"'']*)["''][^>]*name=["'']robots["'']', 1)),
+                       '') AS meta_robots
+              FROM p)
+            SELECT doc_id, canonical_href, meta_robots,
+                   coalesce(regexp_matches(meta_robots,
+                     '(?i)(^|[,\\s])noindex($|[,\\s])'), false) AS noindex,
+                   coalesce(regexp_matches(meta_robots,
+                     '(?i)(^|[,\\s])nofollow($|[,\\s])'), false) AS nofollow,
+                   coalesce(canonical_href, url) AS effective_url
+            FROM x
         """,
         "t8_redirect_resolution": """
             -- walk the same functional redirect graph with a bounded

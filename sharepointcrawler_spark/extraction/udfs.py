@@ -175,7 +175,7 @@ def pages_fetch_probe(pages_df):
     return probe
 
 
-def pages_expander(pages_df):
+def pages_expander(pages_df, respect_nofollow: bool = False):
     """Expander over the ``pages`` table (the sandbox stand-in for the
     fetch stage, SURVEY.md S3): join the wave against materialized html
     by canonical url, extract links, posexplode into (parent_canon,
@@ -185,12 +185,19 @@ def pages_expander(pages_df):
     url_canon (or is avoided entirely when both sides are bucketed by
     url_key); the wave side is typically smaller and AQE broadcast-joins
     it. Column pruning keeps only (url_canon, html) from pages.
+
+    ``respect_nofollow`` drops pages whose robots meta tag says
+    nofollow BEFORE link extraction (one JVM regexp probe — the
+    Arrow-crossing link UDF never sees refused parents).
     """
+    from sharepointcrawler_spark.functions.htmlmeta import nofollow_parent_filter
     from sharepointcrawler_spark.functions.urlnorm import canonicalize_url
 
     keyed = pages_df.select(
         canonicalize_url("url").alias("parent_canon"), "html"
     )
+    if respect_nofollow:
+        keyed = nofollow_parent_filter(keyed, html_col="html")
 
     def expand(wave):
         fetched = wave.select("url_canon").distinct().join(

@@ -54,6 +54,7 @@ def crawl_extract_ingest(
     sink_target: str | None = "stub://ingest",
     make_payload=None,
     resume: bool = False,
+    respect_meta_robots: bool = False,
 ) -> PipelineResult:
     """Crawl from ``seeds`` over the ``pages`` corpus, extract markdown for
     every FETCHED url (byte-identity contract), assemble one
@@ -66,7 +67,7 @@ def crawl_extract_ingest(
     res = run_crawl(
         spark,
         store,
-        pages_expander(pages),
+        pages_expander(pages, respect_nofollow=respect_meta_robots),
         seeds=seeds,
         robots_df=robots_df,
         config=config,
@@ -80,6 +81,36 @@ def crawl_extract_ingest(
         canonicalize_url("url").alias("url_canon"), "url", "html"
     )
     docs = keyed.join(fetched, "url_canon", "left_semi")
+    if respect_meta_robots:
+        # page-side directives (P9): noindex pages are crawled (their
+        # links may be followed) but never ingested; canonical
+        # duplicates collapse to ONE envelope row — the declared
+        # canonical page when it was fetched, else the first spelling.
+        from pyspark.sql import Window
+
+        from sharepointcrawler_spark.functions.htmlmeta import (
+            effective_canonical,
+            html_meta_columns,
+        )
+
+        flagged = html_meta_columns(
+            docs.withColumn("_html_str", F.col("html").cast("string")),
+            html_col="_html_str",
+        ).drop("_html_str")
+        flagged = flagged.filter(~F.col("noindex")).withColumn(
+            "_eff",
+            effective_canonical(
+                F.col("url_canon"), canonicalize_url(F.col("canonical_href"))
+            ),
+        )
+        w = Window.partitionBy("_eff").orderBy(
+            (F.col("url_canon") != F.col("_eff")).cast("int"), F.col("url_canon")
+        )
+        docs = (
+            flagged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_eff", "canonical_href", "meta_robots", "noindex", "nofollow")
+        )
     extracted = docs.select(
         F.xxhash64("url_canon").alias("doc_id"),
         F.col("url").alias("title"),
