@@ -2013,6 +2013,26 @@ def _trap_urls(spark, sf_dir):
     )
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (cluster-then-dedup-within-cell): 50 planted 2x-scaled
+    twins normalize to their parents' exact directions — same IVF cell,
+    cosine exactly 1.0 — so at threshold 0.95 (fixture base pairs max
+    ~0.5) the drop set is EXACTLY the planted twins and every base row
+    survives; keep-min-id keeps each parent. The oracle states that
+    closed-form expectation (the cell id itself is codebook-dependent
+    and stays outside the compared surface)."""
+    from sharepointcrawler_spark.operators.similarity import (
+        semantic_dedup,
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding").unionByName(_scaled_twins(emb, 50))
+    centroids = train_ivf_centroids(emb, n_centroids=16, seed=7)
+    out = semantic_dedup(corpus, centroids, threshold=0.95)
+    return out.select(F.col("vec_id").cast("long"), "keep")
+
+
 def q_html_meta_directives(spark, sf_dir):
     """P9: rel=canonical + robots-meta directives via constant-pattern
     JVM regexps (both attribute orders, both quote styles, token-
@@ -2174,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_trap_detection": q_trap_detection,
         "t8_redirect_resolution": q_redirect_resolution,
         "p9_html_meta_directives": q_html_meta_directives,
+        "dedup_semantic": q_dedup_semantic,
         "a1_count_by_state": q_count_by_state,
         "a2_running_metrics": q_running_metrics,
         "a3_groupby_having": q_groupby_having_threshold,
@@ -3375,6 +3396,18 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
                    lam * age AS staleness,
                    coalesce(lam * age >= 0.6931471805599453, false) AS due
             FROM f
+        """,
+        "dedup_semantic": """
+            -- closed-form SemDeDup expectation: every planted 2x twin
+            -- (exact-same direction => same cell, cosine 1.0) is
+            -- dropped in favor of its smaller-id parent; no fixture
+            -- base pair reaches the 0.95 threshold, so all base rows
+            -- keep
+            SELECT CAST(vec_id AS BIGINT) AS vec_id, true AS keep
+            FROM embeddings
+            UNION ALL
+            SELECT CAST(vec_id AS BIGINT) + 1000000 AS vec_id, false AS keep
+            FROM embeddings WHERE vec_id < 50
         """,
         "p9_html_meta_directives": """
             -- identical RE2 patterns over the same synthesized pages;

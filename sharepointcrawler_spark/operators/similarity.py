@@ -914,3 +914,68 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, F.round("_score", 6).alias("score"))
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): embeddings cluster
+    under a coarse quantizer, and near-duplicate PAIRS are only sought
+    WITHIN a cluster — the quadratic term is bounded by the largest
+    cell, never the corpus. The reference has no notion of this (its
+    dedup is URL identity); for an LLM training corpus this is the
+    standard semantic-level pass after exact/MinHash dedup.
+
+    Composition: reuses the IVF coarse quantizer (train_ivf_centroids —
+    hash-ordered sample, deterministic across runs/engines) for the
+    cluster assignment = one Arrow batch matmul per partition; the
+    within-cell pair scan is a skinny (cell, id, vec) self-join on the
+    cell key with id< ordering, exact cosine via JVM built-ins, and a
+    distinct on the dropped side. Keep rule: a row is dropped iff some
+    SMALLER id in its cell matches at >= threshold (deterministic;
+    transitive chains keep exactly their smallest member when, as at
+    the SemDeDup operating point, near-dup similarity ~ 1.0).
+
+    Returns every corpus row's (id, keep) — the caller semi-joins kept
+    ids or anti-joins dropped ones. At 10^10 rows: assignment is one
+    scan; the self-join shuffles skinny rows hashed on cell; a hot cell
+    (boilerplate embeddings collapse to one direction) is exactly the
+    AQE skew-join case, and raising n_centroids shrinks cells
+    quadratically faster than it adds assignment cost.
+    """
+    assign1 = ivf_assign_udf(centroids, n_probe=1)
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+    )
+    left = assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("_id_l"),
+        F.col("_v").alias("_v_l"),
+    )
+    right = assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("_id_r"),
+        F.col("_v").alias("_v_r"),
+    )
+    dropped = (
+        left.join(right, "cell")
+        .filter(F.col("_id_l") < F.col("_id_r"))
+        .withColumn("_sim", cosine_sim(F.col("_v_l"), F.col("_v_r")))
+        .filter(F.col("_sim") >= F.lit(float(threshold)))
+        .select(F.col("_id_r").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(
+        dropped.withColumn("_drop", F.lit(True)), id_col, "left"
+    ).select(
+        id_col,
+        F.col("cell").cast("int").alias("cell"),
+        (~F.coalesce(F.col("_drop"), F.lit(False))).alias("keep"),
+    )
