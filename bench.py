@@ -62,6 +62,10 @@ HEADLINE = [
     "s9_sitemap_entries",
     "t6_recrawl_priority",
     "crawl_sitemap_discovery",
+    "t7_trap_detection",
+    "t8_redirect_resolution",
+    "p9_html_meta_directives",
+    "dedup_semantic",
     "dedup_decontaminate",
     "dedup_paragraphs",
     "text_repetition",
