@@ -86,6 +86,17 @@ def main(argv: list[str] | None = None) -> int:
         "--refresh-now-s", type=int, default=None,
         help="refresh evaluation instant (epoch seconds; default: now)",
     )
+    ap.add_argument(
+        "--trap-gate", action="store_true",
+        help="refuse crawler-trap URLs (cycle paths, session-id params, "
+        "calendar runs, param blowup) at frontier admission",
+    )
+    ap.add_argument("--trap-max-depth", type=int, default=16)
+    ap.add_argument("--trap-max-length", type=int, default=2048)
+    ap.add_argument(
+        "--respect-nofollow", action="store_true",
+        help="drop links from pages whose robots meta tag says nofollow",
+    )
     args = ap.parse_args(argv)
 
     spark = build_session("sharepointcrawler-spark-crawl", args.local_cpus)
@@ -114,12 +125,20 @@ def main(argv: list[str] | None = None) -> int:
     if not seeds and not resume:
         ap.error("fresh crawl needs --seeds or --seeds-inline")
 
+    trap_rules = None
+    if args.trap_gate:
+        from sharepointcrawler_spark.operators.traps import TrapRules
+
+        trap_rules = TrapRules(
+            max_depth=args.trap_max_depth, max_length=args.trap_max_length
+        )
     cfg = CrawlConfig(
         max_waves=args.max_waves,
         per_host_wave_budget=args.per_host_budget,
         default_crawl_delay_s=args.crawl_delay,
         use_bloom=not args.no_bloom,
         seen_buckets=args.seen_buckets,
+        trap_rules=trap_rules,
     )
     robots_texts_df = (
         spark.read.parquet(args.robots_txt) if args.robots_txt else None
@@ -131,7 +150,7 @@ def main(argv: list[str] | None = None) -> int:
         def sitemap_fetch(urls_df, _t=sitemap_table):
             return urls_df.join(_t, "sitemap_url", "inner")
 
-    expander = pages_expander(pages)
+    expander = pages_expander(pages, respect_nofollow=args.respect_nofollow)
     priority_scores = (
         spark.read.parquet(args.priority_scores) if args.priority_scores else None
     )
