@@ -78,6 +78,12 @@ def resolve_redirects(
     )
 
     rounds = max(1, (max_hops - 1).bit_length())  # 2^rounds >= max_hops
+    # each round references the previous state TWICE (as f and as the
+    # doubling map) — without severing lineage the plan doubles per
+    # round and the executed plan recomputes every prior round 2^k
+    # times (measured: 158 exchanges for 5 rounds). Eager
+    # localCheckpoint = one small job per round, lineage depth 1.
+    f = f.localCheckpoint(eager=True)
     m = f
     for _ in range(rounds):
         step = m.select(
@@ -102,9 +108,8 @@ def resolve_redirects(
                 .alias("done"),
             )
         )
+        f = f.localCheckpoint(eager=True)
         m = f
-        # NOTE: the lazy plan doubles per round; rounds is <= 5 for the
-        # 20-hop cap, so lineage stays shallow — no checkpoint needed.
 
     exceeded = (~F.col("done")) | (F.col("hops") > max_hops)
     return f.select(

@@ -953,7 +953,9 @@ def semantic_dedup(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),
         F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
-    )
+    ).persist()  # referenced three times (both join sides + the keep
+    # projection): without caching the scan AND the assignment UDF
+    # rerun per reference (measured: 6 scans / 8 Arrow crossings)
     left = assigned.select(
         F.col("cell"),
         F.col(id_col).alias("_id_l"),
