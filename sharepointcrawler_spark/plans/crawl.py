@@ -60,6 +60,8 @@ from sharepointcrawler_spark.operators.sitemap import (
     expand_sitemap_tree,
     sitemap_frontier_rows,
 )
+from sharepointcrawler_spark.functions.urlnorm import url_host as _url_host
+from sharepointcrawler_spark.functions.urlnorm import url_key as _url_key
 from sharepointcrawler_spark.operators.traps import TrapRules, reject_traps
 from sharepointcrawler_spark.plans.snapshot import SnapshotStore
 
@@ -183,6 +185,7 @@ def run_crawl(
     robots_texts_df: DataFrame | None = None,
     sitemap_fetch: Callable[[DataFrame], DataFrame] | None = None,
     priority_scores: DataFrame | None = None,
+    redirects_df: DataFrame | None = None,
 ) -> CrawlResult:
     """Run (or resume) a crawl to frontier exhaustion.
 
@@ -215,6 +218,15 @@ def run_crawl(
     tie-break) — the Cho/Garcia-Molina/Page result that
     importance-ordered crawling front-loads the pages that matter.
     Unscored URLs rank at score 0.
+
+    ``redirects_df`` — optional ``(src, dst)`` one-hop redirect edges
+    (from a previous crawl's fetch log or a HEAD sweep). Resolved ONCE
+    at setup by pointer doubling (:func:`operators.redirects.
+    resolve_redirects`); every wave's newly-discovered children are
+    rewritten onto their final landing URLs before the seen probe, so
+    the frontier dedups on landings (hop spellings are never fetched)
+    and redirect loops are refused at admission. One broadcastable
+    join per wave against the resolved map.
     """
     cfg = config or CrawlConfig()
     if robots_df is None and robots_texts_df is not None:
@@ -227,6 +239,21 @@ def run_crawl(
         # one max score per URL once, up front
         priority_scores = priority_scores.groupBy("url_canon").agg(
             F.max("score").alias("score")
+        )
+    resolved_redirects = None
+    if redirects_df is not None:
+        from sharepointcrawler_spark.functions.urlnorm import canonicalize_url
+        from sharepointcrawler_spark.operators.redirects import resolve_redirects
+
+        # canonicalize BOTH endpoints so the map keys match frontier
+        # url_canon spellings, then resolve chains once up front; the
+        # map is checkpointed by resolve_redirects, so per-wave joins
+        # scan one RDD
+        resolved_redirects = resolve_redirects(
+            redirects_df.select(
+                canonicalize_url("src").alias("src"),
+                canonicalize_url("dst").alias("dst"),
+            )
         )
     geometry = dd.bloom_params(
         max(cfg.bloom_capacity // cfg.n_bloom_shards, 64), cfg.bloom_fp_rate
@@ -394,6 +421,24 @@ def run_crawl(
             # admission gate on the CANONICAL spelling (post-P7), so a
             # trap URL cannot sneak through as an uncanonical variant
             children = reject_traps(children, rules=cfg.trap_rules, url_col="url_canon")
+        if resolved_redirects is not None:
+            from sharepointcrawler_spark.operators.redirects import apply_redirect_map
+
+            # land children on their final URLs (loops dropped), then
+            # re-derive the key/host columns and re-run the within-wave
+            # keep-first dedup — two hop spellings may collapse to one
+            # landing
+            children = (
+                apply_redirect_map(children, resolved_redirects, url_col="url_canon")
+                .withColumn("url_key", _url_key("url_canon"))
+                .withColumn("host", _url_host("url_canon"))
+            )
+            w_rd = Window.partitionBy("url_canon").orderBy("path_key")
+            children = (
+                children.withColumn("_rn", F.row_number().over(w_rd))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
         t_expand = time.monotonic()  # lazy plans built; writes trigger the work
 
         # 5. dedup vs seen: bloom prefilter + exact confirm (scale path)

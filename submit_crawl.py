@@ -97,6 +97,11 @@ def main(argv: list[str] | None = None) -> int:
         "--respect-nofollow", action="store_true",
         help="drop links from pages whose robots meta tag says nofollow",
     )
+    ap.add_argument(
+        "--redirects", default=None,
+        help="parquet path of (src, dst) one-hop redirect edges; children "
+        "land on final URLs, redirect loops are refused at admission",
+    )
     args = ap.parse_args(argv)
 
     spark = build_session("sharepointcrawler-spark-crawl", args.local_cpus)

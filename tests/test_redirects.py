@@ -76,6 +76,44 @@ def test_apply_redirect_map_rewrites_and_drops_loops(spark):
     assert out == ["new", "new", "other"]
 
 
+def test_crawl_dedups_on_redirect_landings(spark, tmp_path):
+    """run_crawl(redirects_df=...): a discovered child that redirects
+    lands on its final URL — the frontier holds the landing (which then
+    expands normally), never the hop spelling; a child whose redirect
+    chain loops is refused at admission."""
+    from sharepointcrawler_spark.operators.frontier import graph_expander
+    from sharepointcrawler_spark.plans.crawl import CrawlConfig, run_crawl
+    from sharepointcrawler_spark.plans.snapshot import SnapshotStore
+
+    h = "https://rd.example.com"
+    edges = spark.createDataFrame(
+        [
+            (f"{h}/lib", f"{h}/old", "folder", 0),
+            (f"{h}/lib", f"{h}/l1", "folder", 1),
+            (f"{h}/new", f"{h}/new/doc.pdf", "file", 0),
+        ],
+        "parent_url string, child_url string, kind string, sibling_idx int",
+    )
+    redirects = spark.createDataFrame(
+        [(f"{h}/old", f"{h}/new"), (f"{h}/l1", f"{h}/l2"), (f"{h}/l2", f"{h}/l1")],
+        "src string, dst string",
+    )
+    store = SnapshotStore(spark, str(tmp_path / "snap_rd"))
+    res = run_crawl(
+        spark,
+        store,
+        graph_expander(edges),
+        seeds=[(f"{h}/lib", 0)],
+        config=CrawlConfig(),
+        resume=False,
+        redirects_df=redirects,
+    )
+    seen = {r["url_canon"] for r in res.seen.collect()}
+    assert f"{h}/new" in seen and f"{h}/old" not in seen
+    assert f"{h}/new/doc.pdf" in seen  # the landing URL expanded
+    assert f"{h}/l1" not in seen and f"{h}/l2" not in seen  # loop refused
+
+
 def test_functional_graph_guards(spark):
     with pytest.raises(ValueError):
         resolve_redirects(_edges(spark, [("a", "b")]), max_hops=0)
