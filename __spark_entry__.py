@@ -377,6 +377,39 @@ def q_dedup_decontaminate(spark, sf_dir):
     )
 
 
+def q_content_seen(spark, sf_dir):
+    """Content-digest seen set (operators/contentseen.py — the
+    Heritrix-style dedup-by-bytes the reference never needs because its
+    sequential loop visits each item once): within-crawl mirrors
+    keep-first in crawl order, and a simulated prior crawl's digest
+    store (the doc_id % 3 == 0 subset, with every sixth doc's stored
+    digest computed over a '!'-perturbed body to plant 'changed' rows)
+    classifies every document as new / unchanged / changed /
+    dup_in_crawl. Digest = the portable 60-bit md5 lane, so the oracle
+    recomputes the entire classification independently."""
+    from sharepointcrawler_spark.operators.contentseen import (
+        content_digest,
+        content_seen_outcomes,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    prior = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        content_digest(
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 6 == 0, F.lit("!")).otherwise(F.lit("")),
+            )
+        ).alias("content_digest"),
+    )
+    out = content_seen_outcomes(
+        docs, prior, id_col="doc_id", content_col="text", order_cols=("doc_id",)
+    )
+    return out.select(
+        F.col("doc_id").cast("long"), "content_digest", "status", "changed"
+    )
+
+
 def q_corpus_curate(spark, sf_dir):
     """Composed C4-style curation: language gate + quality floor +
     token bounds + stopword-ratio fluency band + exact-dedup keep-first
@@ -2194,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_trap_detection": q_trap_detection,
         "t8_redirect_resolution": q_redirect_resolution,
         "p9_html_meta_directives": q_html_meta_directives,
+        "s11_content_seen": q_content_seen,
         "dedup_semantic": q_dedup_semantic,
         "a1_count_by_state": q_count_by_state,
         "a2_running_metrics": q_running_metrics,
@@ -2592,6 +2626,38 @@ def _oracle_sql_base() -> dict[str, str]:
         "dedup_exact": f"""
             SELECT md5({_NORM}) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dupes
             FROM documents GROUP BY 1
+        """,
+        "s11_content_seen": """
+            -- independent content-seen classification: same portable
+            -- 60-bit md5 digest lane, same keep-first window, same
+            -- prior-store simulation ('!'-perturbed digests plant the
+            -- changed rows)
+            WITH cur0 AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT)::BIGINT
+                       AS content_digest
+              FROM documents),
+            cur AS (
+              SELECT doc_id, content_digest,
+                     row_number() OVER (
+                       PARTITION BY content_digest ORDER BY doc_id) AS rn
+              FROM cur0),
+            prior AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(text ||
+                       CASE WHEN doc_id % 6 = 0 THEN '!' ELSE '' END), 1, 15))
+                       AS UBIGINT)::BIGINT AS prior_digest
+              FROM documents WHERE doc_id % 3 = 0)
+            SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+                   c.content_digest,
+                   CASE WHEN c.rn > 1 THEN 'dup_in_crawl'
+                        WHEN p.prior_digest IS NULL THEN 'new'
+                        WHEN p.prior_digest = c.content_digest THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   CASE WHEN c.rn > 1 THEN NULL
+                        ELSE p.prior_digest IS NOT NULL
+                             AND p.prior_digest <> c.content_digest END AS changed
+            FROM cur c LEFT JOIN prior p ON p.doc_id = c.doc_id
         """,
         "dedup_ngram_jaccard": "WITH "
         + _SHINGLES

@@ -29,7 +29,12 @@ from sharepointcrawler_spark.operators.ingest import (
     assemble_ingest_documents,
     ingest_document_json,
 )
-from sharepointcrawler_spark.plans.crawl import CrawlConfig, CrawlResult, run_crawl
+from sharepointcrawler_spark.plans.crawl import (
+    CrawlConfig,
+    CrawlResult,
+    crawl_order,
+    run_crawl,
+)
 from sharepointcrawler_spark.plans.sinks import sink_with_status
 from sharepointcrawler_spark.plans.snapshot import SnapshotStore
 
@@ -39,6 +44,10 @@ class PipelineResult:
     crawl: CrawlResult
     documents: DataFrame  # RagIngestDocument envelope rows
     statuses: DataFrame | None  # per-document sink status (None if no sink)
+    # content-digest outcomes (url_canon, content_digest, status, changed)
+    # when content_dedup was requested; the digest store for the NEXT
+    # crawl and the `changed` feed for the recrawl history
+    content_outcomes: DataFrame | None = None
 
 
 def crawl_extract_ingest(
@@ -55,6 +64,8 @@ def crawl_extract_ingest(
     make_payload=None,
     resume: bool = False,
     respect_meta_robots: bool = False,
+    content_dedup: bool = False,
+    prior_content_digests: DataFrame | None = None,
 ) -> PipelineResult:
     """Crawl from ``seeds`` over the ``pages`` corpus, extract markdown for
     every FETCHED url (byte-identity contract), assemble one
@@ -111,6 +122,30 @@ def crawl_extract_ingest(
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_eff", "canonical_href", "meta_robots", "noindex", "nofollow")
         )
+    content_outcomes = None
+    if content_dedup:
+        # content-digest seen set (Heritrix-style): mirrors — same bytes,
+        # unrelated URLs — collapse to the FIRST-crawled copy; pages whose
+        # digest matches the previous crawl's store skip re-ingestion.
+        # Crawl order comes from the frontier ranking (one narrow join);
+        # the digest windows over (digest, crawl_seq) only — html stays put.
+        from sharepointcrawler_spark.operators.contentseen import (
+            content_seen_outcomes,
+        )
+
+        seq = crawl_order(res.frontier).select("url_canon", "crawl_seq")
+        content_outcomes = content_seen_outcomes(
+            docs.join(seq, "url_canon", "left"),
+            prior_content_digests,
+            content_col="html",
+            order_cols=("crawl_seq", "url_canon"),
+        )
+        docs = content_outcomes.filter(
+            ~F.col("status").isin("dup_in_crawl", "unchanged")
+        ).drop("crawl_seq", "status", "changed", "content_digest")
+        content_outcomes = content_outcomes.select(
+            "url_canon", "content_digest", "status", "changed"
+        )
     extracted = docs.select(
         F.xxhash64("url_canon").alias("doc_id"),
         F.col("url").alias("title"),
@@ -129,4 +164,9 @@ def crawl_extract_ingest(
         statuses = sink_with_status(
             payloads, sink_target, make_payload, id_cols=["doc_id"]
         )
-    return PipelineResult(crawl=res, documents=envelope, statuses=statuses)
+    return PipelineResult(
+        crawl=res,
+        documents=envelope,
+        statuses=statuses,
+        content_outcomes=content_outcomes,
+    )
