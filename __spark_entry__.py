@@ -1720,6 +1720,60 @@ def q_dedup_paragraphs(spark, sf_dir):
     )
 
 
+def q_pii_audit(spark, sf_dir):
+    """PII detection + redaction (functions/pii.py — the Dolma/ROOTS
+    privacy stage): deterministic PII snippets are planted into the
+    documents table (emails on doc_id % 5, an SSN on % 7, two phone
+    shapes on % 11, a derived IPv4 on % 13 — the same expressions the
+    oracle rebuilds), then the operator counts every kind on the raw
+    text and rewrites spans with typed placeholders. The oracle
+    recomputes all counts AND the md5 of the redacted bytes with RE2 —
+    the patterns are restricted to the Java-regex/RE2 intersection, so
+    redaction is byte-identical across engines."""
+    from sharepointcrawler_spark.functions.pii import with_pii_columns
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    (F.col("doc_id") % 100).cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" ssn 123-45-6789.")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit(" call 555-123-4567 or 555.867.5309"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = with_pii_columns(docs, "text", redact=True)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("n_email").cast("long"),
+        F.col("n_ssn").cast("long"),
+        F.col("n_phone").cast("long"),
+        F.col("n_ipv4").cast("long"),
+        F.col("n_pii").cast("long"),
+        "has_pii",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher repetition signals (Rae et al. 2021 A1.1): duplicate-line
     fractions and top-2-gram character coverage — the standard
@@ -2254,6 +2308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_decontaminate": q_dedup_decontaminate,
         "text_repetition": q_text_repetition,
+        "pii_audit": q_pii_audit,
         "w4_pagerank": q_w4_pagerank,
         "dedup_paragraphs": q_dedup_paragraphs,
         "ann_topk_sq8": q_ann_topk_sq8,
@@ -3369,6 +3424,61 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
                           150000000000 + (85 * coalesce(c4.c, 0)) // 100 AS s
                    FROM nodes LEFT JOIN c4 ON c4.n = nodes.n)
             SELECT n AS node, CAST(s AS BIGINT) AS score FROM s4
+        """,
+        "pii_audit": """
+            -- independent PII audit: the same planted snippets, counts
+            -- via RE2 regexp_extract_all, redaction via sequential
+            -- regexp_replace('g') in the module's documented order
+            -- (email -> ssn -> phone -> ipv4), md5 over the bytes
+            WITH aug AS (
+              SELECT doc_id,
+                     text ||
+                     CASE WHEN doc_id % 5 = 0
+                          THEN ' contact user' || (doc_id % 100)
+                               || '@example.com now' ELSE '' END ||
+                     CASE WHEN doc_id % 7 = 0
+                          THEN ' ssn 123-45-6789.' ELSE '' END ||
+                     CASE WHEN doc_id % 11 = 0
+                          THEN ' call 555-123-4567 or 555.867.5309'
+                          ELSE '' END ||
+                     CASE WHEN doc_id % 13 = 0
+                          THEN ' from 10.0.' || (doc_id % 256) || '.7'
+                          ELSE '' END AS text
+              FROM documents),
+            counted AS (
+              SELECT doc_id, text,
+                     len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS n_email,
+                     len(regexp_extract_all(text,
+                       '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn,
+                     len(regexp_extract_all(text,
+                       '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS n_phone,
+                     len(regexp_extract_all(text,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                       AS n_ipv4
+              FROM aug)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_email AS BIGINT) AS n_email,
+                   CAST(n_ssn AS BIGINT) AS n_ssn,
+                   CAST(n_phone AS BIGINT) AS n_phone,
+                   CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+                   CAST(n_email + n_ssn + n_phone + n_ipv4 AS BIGINT)
+                     AS n_pii,
+                   (n_email + n_ssn + n_phone + n_ipv4) > 0 AS has_pii,
+                   md5(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(text,
+                             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                             '[EMAIL]', 'g'),
+                           '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),
+                         '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '[IPV4]', 'g')
+                   ) AS redacted_md5
+            FROM counted
         """,
         "text_repetition": """
             -- Gopher repetition signals recomputed from scratch:

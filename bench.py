@@ -66,9 +66,11 @@ HEADLINE = [
     "t8_redirect_resolution",
     "p9_html_meta_directives",
     "dedup_semantic",
+    "s11_content_seen",
     "dedup_decontaminate",
     "dedup_paragraphs",
     "text_repetition",
+    "pii_audit",
     "w4_pagerank",
     "docx_extraction_identity",
     "xlsx_extraction_identity",
