@@ -1720,6 +1720,39 @@ def q_dedup_paragraphs(spark, sf_dir):
     )
 
 
+def q_registrable_domain(spark, sf_dir):
+    """Registrable-domain extraction (functions/psl.py publicsuffix.org
+    algorithm): hosts synthesized from customer keys cover every rule
+    kind — multi-label exact (bbc.co.uk), private registry
+    (*.blogspot.com sites stay separate), wildcard (*.ck), exception
+    (!www.ck), and a suffix-less host (localhost) exercising the site
+    fallback. The oracle re-runs the algorithm as an unrolled CASE over
+    list_slice suffixes with the same literal rule sets."""
+    from sharepointcrawler_spark.functions.psl import (
+        registrable_domain,
+        with_site_column,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    host = (
+        F.when(k % 7 == 0, F.concat(F.lit("news"), (k % 10).cast("string"), F.lit(".bbc.co.uk")))
+        .when(k % 7 == 1, F.concat(F.lit("blog"), (k % 10).cast("string"), F.lit(".blogspot.com")))
+        .when(k % 7 == 2, F.concat(F.lit("deep.sub.host"), (k % 10).cast("string"), F.lit(".org.uk")))
+        .when(k % 7 == 3, F.concat(F.lit("foo"), (k % 10).cast("string"), F.lit(".bar.ck")))
+        .when(k % 7 == 4, F.lit("www.ck"))
+        .when(k % 7 == 5, F.lit("localhost"))
+        .otherwise(F.concat(F.lit("pages"), (k % 10).cast("string"), F.lit(".github.io")))
+    )
+    df = cust.select(k.cast("long").alias("c_custkey"), host.alias("host"))
+    return with_site_column(df).select(
+        "c_custkey",
+        "host",
+        registrable_domain("host").alias("registrable"),
+        "site",
+    )
+
+
 def q_pii_audit(spark, sf_dir):
     """PII detection + redaction (functions/pii.py — the Dolma/ROOTS
     privacy stage): deterministic PII snippets are planted into the
@@ -2309,6 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decontaminate": q_dedup_decontaminate,
         "text_repetition": q_text_repetition,
         "pii_audit": q_pii_audit,
+        "p10_registrable_domain": q_registrable_domain,
         "w4_pagerank": q_w4_pagerank,
         "dedup_paragraphs": q_dedup_paragraphs,
         "ann_topk_sq8": q_ann_topk_sq8,
@@ -3424,6 +3458,71 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
                           150000000000 + (85 * coalesce(c4.c, 0)) // 100 AS s
                    FROM nodes LEFT JOIN c4 ON c4.n = nodes.n)
             SELECT n AS node, CAST(s AS BIGINT) AS score FROM s4
+        """,
+        "p10_registrable_domain": """
+            -- publicsuffix.org algorithm re-run as an unrolled CASE:
+            -- suffix candidates via list_slice, exception beats all,
+            -- then longest exact/wildcard match, else the implicit *
+            WITH h AS (
+              SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+                     CASE c_custkey % 7
+                       WHEN 0 THEN 'news' || (c_custkey % 10) || '.bbc.co.uk'
+                       WHEN 1 THEN 'blog' || (c_custkey % 10) || '.blogspot.com'
+                       WHEN 2 THEN 'deep.sub.host' || (c_custkey % 10) || '.org.uk'
+                       WHEN 3 THEN 'foo' || (c_custkey % 10) || '.bar.ck'
+                       WHEN 4 THEN 'www.ck'
+                       WHEN 5 THEN 'localhost'
+                       ELSE 'pages' || (c_custkey % 10) || '.github.io'
+                     END AS host
+              FROM customer),
+            t AS (
+              SELECT *, string_split(lower(trim(host)), '.') AS l,
+                     len(string_split(lower(trim(host)), '.')) AS n
+              FROM h),
+            s AS (
+              SELECT *,
+                CASE WHEN n >= 1 THEN array_to_string(list_slice(l, n, n), '.') END AS s1,
+                CASE WHEN n >= 2 THEN array_to_string(list_slice(l, n-1, n), '.') END AS s2,
+                CASE WHEN n >= 3 THEN array_to_string(list_slice(l, n-2, n), '.') END AS s3,
+                CASE WHEN n >= 4 THEN array_to_string(list_slice(l, n-3, n), '.') END AS s4,
+                CASE WHEN n >= 5 THEN array_to_string(list_slice(l, n-4, n), '.') END AS s5
+              FROM t),
+            p AS (
+              SELECT *,
+                CASE
+                  WHEN s2 IN ('www.ck') THEN 1
+                  WHEN s5 IN ('com','org','net','edu','gov','io','co','uk',
+                              'co.uk','org.uk','ac.uk','gov.uk','jp','co.jp',
+                              'ne.jp','au','com.au','org.au','de','fr','nl',
+                              'it','us','github.io','blogspot.com') THEN 5
+                  WHEN n >= 5 AND s4 IN ('ck','bd') THEN 5
+                  WHEN s4 IN ('com','org','net','edu','gov','io','co','uk',
+                              'co.uk','org.uk','ac.uk','gov.uk','jp','co.jp',
+                              'ne.jp','au','com.au','org.au','de','fr','nl',
+                              'it','us','github.io','blogspot.com') THEN 4
+                  WHEN n >= 4 AND s3 IN ('ck','bd') THEN 4
+                  WHEN s3 IN ('com','org','net','edu','gov','io','co','uk',
+                              'co.uk','org.uk','ac.uk','gov.uk','jp','co.jp',
+                              'ne.jp','au','com.au','org.au','de','fr','nl',
+                              'it','us','github.io','blogspot.com') THEN 3
+                  WHEN n >= 3 AND s2 IN ('ck','bd') THEN 3
+                  WHEN s2 IN ('com','org','net','edu','gov','io','co','uk',
+                              'co.uk','org.uk','ac.uk','gov.uk','jp','co.jp',
+                              'ne.jp','au','com.au','org.au','de','fr','nl',
+                              'it','us','github.io','blogspot.com') THEN 2
+                  WHEN n >= 2 AND s1 IN ('ck','bd') THEN 2
+                  ELSE 1
+                END AS ps
+              FROM s)
+            SELECT c_custkey, host,
+                   CASE WHEN n <= ps THEN NULL
+                        ELSE array_to_string(list_slice(l, n-ps, n), '.')
+                   END AS registrable,
+                   coalesce(
+                     CASE WHEN n <= ps THEN NULL
+                          ELSE array_to_string(list_slice(l, n-ps, n), '.')
+                     END, host) AS site
+            FROM p
         """,
         "pii_audit": """
             -- independent PII audit: the same planted snippets, counts

@@ -71,6 +71,7 @@ HEADLINE = [
     "dedup_paragraphs",
     "text_repetition",
     "pii_audit",
+    "p10_registrable_domain",
     "w4_pagerank",
     "docx_extraction_identity",
     "xlsx_extraction_identity",

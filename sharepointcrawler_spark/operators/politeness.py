@@ -122,15 +122,22 @@ def assign_fetch_slots(
     default_delay_s: float = DEFAULT_CRAWL_DELAY_S,
     order_cols: list[str] | None = None,
     approx_rows: int | None = None,
+    group_col: str = "host",
 ) -> DataFrame:
     """Attach ``host_rank`` and virtual-clock ``fetch_slot`` (seconds).
 
     ``delays`` is a small (host, crawl_delay_s) table — broadcast-joined
     (robots_cache analog, SURVEY T5). Missing hosts get the default.
+
+    ``group_col="site"`` (a registrable-domain column, functions/psl.py)
+    spaces fetches per SITE instead of per raw host — the web-scale
+    politeness unit where ``www.``/``cdn.``/``m.`` subdomains share one
+    origin server. Delays still join on the row's host (robots.txt is
+    per-host); the rank that multiplies them is per group.
     """
     order_cols = order_cols or ["priority", "path_key"]
     ranked = grouped_sequence(
-        wave, "host", order_cols, out_col="host_rank", approx_rows=approx_rows
+        wave, group_col, order_cols, out_col="host_rank", approx_rows=approx_rows
     )
     if delays is not None:
         ranked = ranked.join(
@@ -144,13 +151,19 @@ def assign_fetch_slots(
     )
 
 
-def top_k_per_host(wave: DataFrame, k: int, order_cols: list[str] | None = None) -> DataFrame:
+def top_k_per_host(
+    wave: DataFrame,
+    k: int,
+    order_cols: list[str] | None = None,
+    group_col: str = "host",
+) -> DataFrame:
     """Per-wave per-host budget: keep the k best URLs by (priority,
     crawl order) — the min-heap of the north_rule materialized as a
     ranked DataFrame (skew-proof). Rows beyond k stay pending for the
-    next wave (caller handles the split)."""
+    next wave (caller handles the split). ``group_col="site"`` budgets
+    per registrable domain instead of per raw host."""
     order_cols = order_cols or ["depth", "priority", "path_key"]
-    ranked = grouped_sequence(wave, "host", order_cols, out_col="host_rank")
+    ranked = grouped_sequence(wave, group_col, order_cols, out_col="host_rank")
     return ranked.filter(F.col("host_rank") <= k)
 
 

@@ -98,6 +98,15 @@ class CrawlConfig:
     # projection per wave, no shuffle. None admits everything (the
     # reference's finite server-enumerated tree needs no gate).
     trap_rules: "TrapRules | None" = None
+    # when True, the per-wave budget and the politeness virtual clock
+    # group by registrable domain (functions/psl.py public-suffix
+    # algorithm) instead of raw host: www./cdn./m. subdomains share one
+    # slot sequence, sibling *.blogspot.com sites keep separate ones.
+    # robots crawl-delays still resolve per host. Optional
+    # ``psl_rules`` supplies the full publicsuffix.org list; the
+    # default is the deterministic PSL_SNAPSHOT subset.
+    politeness_by_site: bool = False
+    psl_rules: list[str] | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -369,6 +378,15 @@ def run_crawl(
         # 1. robots gate (broadcast probe) — denied rows are terminal
         allowed, denied = apply_robots_gate(pending, gate)
 
+        # site-level politeness: group budget + virtual clock by
+        # registrable domain (one extra codegen projection, no shuffle)
+        pol_group = "host"
+        if cfg.politeness_by_site:
+            from sharepointcrawler_spark.functions.psl import with_site_column
+
+            allowed = with_site_column(allowed, rules=cfg.psl_rules)
+            pol_group = "site"
+
         # 2. per-host wave budget (priority min-heap, W5); deferred rows
         # stay pending in the merged view at ZERO delta cost (no row
         # is written for them). With priority_scores the budget is
@@ -387,10 +405,13 @@ def run_crawl(
                     ranked_in,
                     cfg.per_host_wave_budget,
                     order_cols=["_neg_score", "depth", "priority", "path_key"],
+                    group_col=pol_group,
                 )
                 allowed = budgeted.drop("host_rank", "_neg_score", "score")
             else:
-                budgeted = top_k_per_host(allowed, cfg.per_host_wave_budget)
+                budgeted = top_k_per_host(
+                    allowed, cfg.per_host_wave_budget, group_col=pol_group
+                )
                 allowed = budgeted.drop("host_rank")
 
         # 3. politeness virtual-clock slots (skew-proof grouped rank at
@@ -400,7 +421,10 @@ def run_crawl(
             gate.delays_df(),
             cfg.default_crawl_delay_s,
             approx_rows=n_pending,
+            group_col=pol_group,
         ).drop("crawl_delay_s")
+        if cfg.politeness_by_site:
+            scheduled = scheduled.drop("site")
 
         # 4. "fetch": probe success per URL; failures retry (bounded) or
         #    go terminal with an errors row; link expansion from OK rows
