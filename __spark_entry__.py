@@ -1753,6 +1753,187 @@ def q_registrable_domain(spark, sf_dir):
     )
 
 
+def q_text_lm_quality(spark, sf_dir):
+    """Bigram-LM quality scoring (functions/lm.py — the CCNet
+    perplexity stage, Wenzek et al. 2020): an add-one-smoothed bigram
+    model trained on the doc_id%5==0 reference slice scores every
+    document in integer whole-bit surprisal (floor(log2(a/b)) ==
+    length(bin(a div b))-1 — pure integer arithmetic, so the score is
+    hash-exact cross-engine where float log never is), then buckets
+    into CCNet's head/middle/tail. The oracle refits the same model
+    and recomputes every bit."""
+    from sharepointcrawler_spark.functions.lm import (
+        quality_bucket,
+        score_documents,
+        train_bigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 5 == 0))
+    scored = score_documents(docs, lm)
+    return scored.select(
+        F.col("doc_id").cast("long"),
+        "n_bigrams",
+        "sum_bits",
+        "avg_millibits",
+        quality_bucket("avg_millibits", 4400, 4600).alias("bucket"),
+    )
+
+
+def q_surt_key(spark, sf_dir):
+    """SURT canonical keys (functions/surt.py — the web-archive /
+    Common Crawl index key): URLs synthesized from customer keys cover
+    every canonicalizer rule — case folding, userinfo strip, wwwN
+    strip, default-port drop vs explicit port, query-param sort,
+    fragment drop, scheme-relative URLs, bare hosts, and no-authority
+    schemes (mailto -> NULL). The oracle re-runs the transform with the
+    same regexes and list ops."""
+    from sharepointcrawler_spark.functions.surt import surt_key
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = (k % 10).cast("string")
+    url = (
+        F.when(k % 8 == 0, F.concat(
+            F.lit("HTTPS://user@WWW.Shop"), ks, F.lit(".Example.COM:443/Cat/"),
+            (k % 5).cast("string"), F.lit("?b=2&a="), (k % 3).cast("string"),
+            F.lit("#frag")))
+        .when(k % 8 == 1, F.concat(F.lit("http://data"), ks, F.lit(".example.org/x/y")))
+        .when(k % 8 == 2, F.concat(F.lit("http://www"), ks, F.lit(".mirror.net:8080/p")))
+        .when(k % 8 == 3, F.concat(F.lit("//cdn"), ks, F.lit(".static.io/lib.js")))
+        .when(k % 8 == 4, F.concat(F.lit("bare"), ks, F.lit(".host.com/q?z=9&y=8&x=7")))
+        .when(k % 8 == 5, F.concat(F.lit("mailto:u"), ks, F.lit("@x.com")))
+        .when(k % 8 == 6, F.lit("http://single"))
+        .otherwise(F.concat(F.lit("HTTP://EX.COM/UPPER/Path"), ks, F.lit("?Q=V")))
+    )
+    return cust.select(
+        k.cast("long").alias("c_custkey"), url.alias("url")
+    ).select("c_custkey", "url", surt_key("url").alias("surt"))
+
+
+def q_feed_entries(spark, sf_dir):
+    """Feed ingestion (operators/feeds.py — the freshness discovery
+    channel): 30 deterministic feeds, RSS for doc_id%3!=0 (two linked
+    items plus a link-less one that must drop) and Atom for %3==0
+    (rel=alternate beats rel=self; reversed single-quoted attributes;
+    updated falls back for published). The oracle states the expected
+    rows top-down from the same formulas."""
+    from sharepointcrawler_spark.operators.feeds import feed_entries
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    site = (d % 4).cast("string")
+
+    def rss_item(j):
+        parts = [
+            F.lit(f"<item><title>Post "), ds, F.lit(f" {j}</title>"),
+            F.lit("<link>https://feed"), site, F.lit(".example.com/post/"),
+            ds, F.lit(f"/{j}</link>"),
+            F.lit(f"<pubDate>Mon, 0{1 + j} Jan 2024 00:00:00 GMT</pubDate>"),
+        ]
+        if j == 0:
+            parts += [F.lit('<guid isPermaLink="false">tag:'), ds, F.lit(":0</guid>")]
+        return F.concat(*parts, F.lit("</item>"))
+
+    rss = F.concat(
+        F.lit("<rss><channel>"), rss_item(0), rss_item(1),
+        F.lit("<item><title>orphan</title></item></channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'),
+        F.lit("<entry><title>A"), ds, F.lit(" 0</title>"),
+        F.lit('<link rel="self" href="https://feed'), site,
+        F.lit(".example.com/self/"), ds, F.lit('.atom"/>'),
+        F.lit('<link rel="alternate" href="https://feed'), site,
+        F.lit(".example.com/apost/"), ds, F.lit('/0"/>'),
+        F.lit("<id>urn:"), ds, F.lit(":0</id>"),
+        F.lit("<published>2024-01-0"), ((d % 9) + 1).cast("string"),
+        F.lit("T00:00:00Z</published></entry>"),
+        F.lit("<entry><title>A"), ds, F.lit(" 1</title>"),
+        F.lit("<link href='https://feed"), site,
+        F.lit(".example.com/apost/"), ds, F.lit("/1' rel='alternate'/>"),
+        F.lit("<id>urn:"), ds, F.lit(":1</id>"),
+        F.lit("<updated>2024-02-0"), ((d % 9) + 1).cast("string"),
+        F.lit("T00:00:00Z</updated></entry></feed>"),
+    )
+    feeds = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(d < 30)
+        .select(
+            F.concat(F.lit("feed"), ds).alias("feed_id"),
+            F.when(d % 3 == 0, atom).otherwise(rss).alias("xml"),
+        )
+    )
+    return feed_entries(feeds).select(
+        "feed_id", "ord", "loc", "title", "published", "guid", "is_atom"
+    )
+
+
+def q_cdx_latest(spark, sf_dir):
+    """CDXJ index ingestion + cross-crawl dedup (sources/cdx.py): CDXJ
+    lines synthesized from order keys (several captures per SURT key,
+    every 29th line malformed) are parsed JVM-side and reduced to the
+    newest capture per key — the step that lets a recrawl start from
+    the previous crawl's index. The oracle reconstructs the fields
+    top-down and picks the same per-key argmax."""
+    from sharepointcrawler_spark.sources.cdx import cdx_records, latest_captures
+
+    k = F.col("o_orderkey")
+    surt = F.concat(
+        F.lit("com,shop"), (k % 50).cast("string"), F.lit(")/item/"),
+        (k % 400).cast("string"),
+    )
+    url = F.concat(
+        F.lit("http://shop"), (k % 50).cast("string"),
+        F.lit(".example.com/item/"), (k % 400).cast("string"),
+    )
+    status = F.when(k % 7 == 0, F.lit("301")).otherwise(F.lit("200"))
+    digest = F.substring(F.md5(k.cast("string")), 1, 8)
+    line = F.when(
+        k % 29 == 0, F.concat(F.lit("garbage "), k.cast("string"))
+    ).otherwise(
+        F.concat(
+            surt, F.lit(" "), (F.lit(20240000000000) + k).cast("string"),
+            F.lit(' {"url": "'), url, F.lit('", "status": "'), status,
+            F.lit('", "mime": "text/html", "digest": "sha1:'), digest,
+            F.lit('", "length": "'), ((k % 1000) + 1).cast("string"),
+            F.lit('", "offset": "'), (k * 3).cast("string"),
+            F.lit('", "filename": "crawl-'), (k % 5).cast("string"),
+            F.lit('.warc.gz"}'),
+        )
+    )
+    lines = (
+        _t(spark, sf_dir, "orders")
+        .filter(k < 3000)
+        .select(line.alias("line"))
+    )
+    return latest_captures(cdx_records(lines)).select(
+        "surt", "ts", "url", "status", "mime", "digest", "length",
+        "offset", "filename",
+    )
+
+
+def q_corpus_mix(spark, sf_dir):
+    """Deterministic mixture sampling (operators/mixing.py — the
+    domain-reweighting stage of The Pile / LLaMA / DoReMi): src0
+    upsamples 2.3x, src1 keeps half, src2 drops, everything else keeps
+    1:1 by default; copies materialize per-row from the portable md5
+    hash with zero shuffles. The oracle recomputes the hash residue
+    and unrolls the same copy law."""
+    from sharepointcrawler_spark.operators.mixing import mix_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    weights = spark.createDataFrame(
+        [("src0", 2_300_000), ("src1", 500_000), ("src2", 0)],
+        "source string, weight_ppm long",
+    )
+    return mix_corpus(docs, weights).select(
+        F.col("doc_id").cast("long"), "source", "lang",
+        F.col("copy_idx").cast("long"),
+    )
+
+
 def q_pii_audit(spark, sf_dir):
     """PII detection + redaction (functions/pii.py — the Dolma/ROOTS
     privacy stage): deterministic PII snippets are planted into the
@@ -2343,6 +2524,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "pii_audit": q_pii_audit,
         "p10_registrable_domain": q_registrable_domain,
+        "p11_surt_key": q_surt_key,
+        "s11_feed_entries": q_feed_entries,
+        "s12_cdx_latest": q_cdx_latest,
+        "text_lm_quality": q_text_lm_quality,
+        "corpus_mix": q_corpus_mix,
         "w4_pagerank": q_w4_pagerank,
         "dedup_paragraphs": q_dedup_paragraphs,
         "ann_topk_sq8": q_ann_topk_sq8,
@@ -3523,6 +3709,168 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
                           ELSE array_to_string(list_slice(l, n-ps, n), '.')
                      END, host) AS site
             FROM p
+        """,
+        "p11_surt_key": """
+            -- SURT transform re-run step by step: scheme/userinfo off,
+            -- authority split, wwwN strip, label reverse, default-port
+            -- drop, fragment off, query-param sort
+            WITH h AS (
+              SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+                     CASE c_custkey % 8
+                       WHEN 0 THEN 'HTTPS://user@WWW.Shop' || (c_custkey % 10)
+                                   || '.Example.COM:443/Cat/' || (c_custkey % 5)
+                                   || '?b=2&a=' || (c_custkey % 3) || '#frag'
+                       WHEN 1 THEN 'http://data' || (c_custkey % 10) || '.example.org/x/y'
+                       WHEN 2 THEN 'http://www' || (c_custkey % 10) || '.mirror.net:8080/p'
+                       WHEN 3 THEN '//cdn' || (c_custkey % 10) || '.static.io/lib.js'
+                       WHEN 4 THEN 'bare' || (c_custkey % 10) || '.host.com/q?z=9&y=8&x=7'
+                       WHEN 5 THEN 'mailto:u' || (c_custkey % 10) || '@x.com'
+                       WHEN 6 THEN 'http://single'
+                       ELSE 'HTTP://EX.COM/UPPER/Path' || (c_custkey % 10) || '?Q=V'
+                     END AS url
+              FROM customer),
+            s1 AS (SELECT *, lower(trim(url)) AS u FROM h),
+            s2 AS (SELECT *, regexp_replace(regexp_replace(u, '^([a-z][a-z0-9+.-]*:)?//', ''),
+                                            '^[^/?#]*@', '') AS nu FROM s1),
+            s3 AS (SELECT *, regexp_extract(nu, '^([^/?#]*)', 1) AS auth FROM s2),
+            s4 AS (SELECT *, substr(nu, length(auth) + 1) AS rest,
+                          regexp_replace(auth, ':[0-9]*$', '') AS host,
+                          regexp_extract(auth, ':([0-9]+)$', 1) AS port FROM s3),
+            s5 AS (SELECT *,
+                          array_to_string(list_reverse(string_split(
+                            regexp_replace(host, '^www[0-9]*\\.', ''), '.')), ',') AS hk,
+                          CASE WHEN port IN ('', '80', '443') THEN ''
+                               ELSE ':' || port END AS pp,
+                          regexp_replace(rest, '#.*$', '') AS pq FROM s4),
+            s6 AS (SELECT *, regexp_extract(pq, '^([^?]*)', 1) AS path FROM s5),
+            s7 AS (SELECT *, substr(pq, length(path) + 2) AS query FROM s6)
+            SELECT c_custkey, url,
+                   CASE WHEN u IS NULL OR u = '' OR host = ''
+                             OR (regexp_matches(u, '^[a-z][a-z0-9+.-]*:')
+                                 AND NOT regexp_matches(u, '^[a-z][a-z0-9+.-]*://'))
+                        THEN NULL
+                        ELSE hk || pp || ')'
+                             || (CASE WHEN path = '' THEN '/' ELSE path END)
+                             || (CASE WHEN query = '' THEN ''
+                                      ELSE '?' || array_to_string(
+                                             list_sort(string_split(query, '&')), '&')
+                                 END)
+                   END AS surt
+            FROM s7
+        """,
+        "s11_feed_entries": """
+            -- expected feed rows stated top-down from the same
+            -- formulas: RSS feeds emit items 0,1 (the orphan drops),
+            -- Atom feeds emit entries 0 (rel=alternate wins) and 1
+            -- (reversed single-quoted attrs, updated fallback)
+            WITH d AS (SELECT doc_id AS k FROM documents WHERE doc_id < 30),
+            rss AS (
+              SELECT 'feed' || k AS feed_id, CAST(j AS BIGINT) AS ord,
+                     'https://feed' || (k % 4) || '.example.com/post/' || k || '/' || j AS loc,
+                     'Post ' || k || ' ' || j AS title,
+                     'Mon, 0' || (1 + j) || ' Jan 2024 00:00:00 GMT' AS published,
+                     CASE WHEN j = 0 THEN 'tag:' || k || ':0' END AS guid,
+                     false AS is_atom
+              FROM d, (SELECT unnest(ARRAY[0, 1]) AS j)
+              WHERE k % 3 <> 0),
+            atom AS (
+              SELECT 'feed' || k AS feed_id, CAST(j AS BIGINT) AS ord,
+                     'https://feed' || (k % 4) || '.example.com/apost/' || k || '/' || j AS loc,
+                     'A' || k || ' ' || j AS title,
+                     CASE WHEN j = 0 THEN '2024-01-0' || ((k % 9) + 1) || 'T00:00:00Z'
+                          ELSE '2024-02-0' || ((k % 9) + 1) || 'T00:00:00Z' END AS published,
+                     'urn:' || k || ':' || j AS guid,
+                     true AS is_atom
+              FROM d, (SELECT unnest(ARRAY[0, 1]) AS j)
+              WHERE k % 3 = 0)
+            SELECT * FROM rss UNION ALL SELECT * FROM atom
+        """,
+        "s12_cdx_latest": """
+            -- reconstruct the valid capture fields top-down, then the
+            -- same newest-per-key argmax (ts is 20240000000000 + k, so
+            -- max k wins per surt)
+            WITH caps AS (
+              SELECT CAST(o_orderkey AS BIGINT) AS k,
+                     'com,shop' || (o_orderkey % 50) || ')/item/' || (o_orderkey % 400) AS surt,
+                     CAST(20240000000000 + o_orderkey AS VARCHAR) AS ts,
+                     'http://shop' || (o_orderkey % 50) || '.example.com/item/'
+                        || (o_orderkey % 400) AS url,
+                     CASE WHEN o_orderkey % 7 = 0 THEN 301 ELSE 200 END AS status,
+                     'text/html' AS mime,
+                     'sha1:' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS digest,
+                     CAST((o_orderkey % 1000) + 1 AS BIGINT) AS length,
+                     CAST(o_orderkey * 3 AS BIGINT) AS "offset",
+                     'crawl-' || (o_orderkey % 5) || '.warc.gz' AS filename
+              FROM orders
+              WHERE o_orderkey < 3000 AND o_orderkey % 29 <> 0),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY surt
+                       ORDER BY ts DESC, filename DESC, "offset" DESC) AS rn
+              FROM caps)
+            SELECT surt, ts, url, CAST(status AS BIGINT) AS status, mime,
+                   digest, length, "offset", filename
+            FROM ranked WHERE rn = 1
+        """,
+        "text_lm_quality": """
+            -- refit the bigram LM on the doc_id%5==0 slice and
+            -- recompute integer whole-bit surprisal:
+            -- bits = length(bin((c_h + V) // (c_hw + 1))) - 1
+            WITH tok AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text),
+                       '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+              FROM documents),
+            bg AS (
+              SELECT doc_id, w[i] AS head, w[i+1] AS word
+              FROM (SELECT doc_id, w,
+                           unnest(generate_series(1, len(w) - 1)) AS i
+                    FROM tok)
+              WHERE w[i] <> '' AND w[i+1] <> ''),
+            ref AS (SELECT * FROM bg WHERE doc_id % 5 = 0),
+            pc AS (SELECT head, word, CAST(count(*) AS BIGINT) AS c_hw
+                   FROM ref GROUP BY 1, 2),
+            hc AS (SELECT head, CAST(count(*) AS BIGINT) AS c_h
+                   FROM ref GROUP BY 1),
+            vc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM
+                    (SELECT head AS tok FROM ref
+                     UNION ALL SELECT word FROM ref)),
+            sc AS (
+              SELECT bg.doc_id,
+                     length(bin((coalesce(c_h, 0) + v) // (coalesce(c_hw, 0) + 1))) - 1 AS bits
+              FROM bg LEFT JOIN pc USING (head, word)
+                      LEFT JOIN hc USING (head) CROSS JOIN vc),
+            per AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     CAST(sum(bits) AS BIGINT) AS sum_bits
+              FROM sc GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams, sum_bits,
+                   (1000 * sum_bits) // n_bigrams AS avg_millibits,
+                   CASE WHEN sum_bits IS NULL THEN 'short'
+                        WHEN (1000 * sum_bits) // n_bigrams < 4400 THEN 'head'
+                        WHEN (1000 * sum_bits) // n_bigrams < 4600 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
+        "corpus_mix": """
+            -- recompute the portable-hash residue and unroll the copy
+            -- law: n = w//1e6 + (u < w%1e6); one output row per copy
+            WITH w AS (
+              SELECT *,
+                     CASE source WHEN 'src0' THEN 2300000
+                                 WHEN 'src1' THEN 500000
+                                 WHEN 'src2' THEN 0
+                                 ELSE 1000000 END AS wppm,
+                     CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS UBIGINT) % 1000000 AS BIGINT) AS u
+              FROM documents),
+            n AS (SELECT *, wppm // 1000000
+                           + (CASE WHEN u < wppm % 1000000 THEN 1 ELSE 0 END) AS n_copies
+                  FROM w)
+            SELECT doc_id, source, lang,
+                   CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT) AS copy_idx
+            FROM n
+            WHERE n_copies > 0
         """,
         "pii_audit": """
             -- independent PII audit: the same planted snippets, counts

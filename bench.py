@@ -72,6 +72,11 @@ HEADLINE = [
     "text_repetition",
     "pii_audit",
     "p10_registrable_domain",
+    "p11_surt_key",
+    "s11_feed_entries",
+    "s12_cdx_latest",
+    "text_lm_quality",
+    "corpus_mix",
     "w4_pagerank",
     "docx_extraction_identity",
     "xlsx_extraction_identity",
