@@ -1934,6 +1934,32 @@ def q_corpus_mix(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (operators/packing.py — the concat-and-chunk
+    training-batch stage): whitespace token counts concatenate in
+    doc_id order and cut every 256 tokens; output is the
+    (document, sequence) overlap table with document-relative spans.
+    The prefix sum runs as the skew-proof two-pass (range repartition +
+    per-partition window + broadcast offsets), whose values are
+    partitioning-independent, so the oracle's single SQL window
+    recomputes every integer bit-identically."""
+    from sharepointcrawler_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("text").isNull() | (F.trim("text") == ""), F.lit(0)
+        )
+        .otherwise(F.size(F.split(F.trim("text"), " +")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return pack_sequences(docs, 256).select(
+        F.col("doc_id").cast("long"), "n_tokens", "seq_id",
+        "seq_offset", "doc_tok_start", "doc_tok_end",
+    )
+
+
 def q_pii_audit(spark, sf_dir):
     """PII detection + redaction (functions/pii.py — the Dolma/ROOTS
     privacy stage): deterministic PII snippets are planted into the
@@ -2529,6 +2555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s12_cdx_latest": q_cdx_latest,
         "text_lm_quality": q_text_lm_quality,
         "corpus_mix": q_corpus_mix,
+        "corpus_pack_sequences": q_pack_sequences,
         "w4_pagerank": q_w4_pagerank,
         "dedup_paragraphs": q_dedup_paragraphs,
         "ann_topk_sq8": q_ann_topk_sq8,
@@ -3851,6 +3878,35 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
                         WHEN (1000 * sum_bits) // n_bigrams < 4600 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
+        "corpus_pack_sequences": """
+            -- single-window recompute of the skew-proof two-pass prefix
+            -- sum: identical integers under any partitioning, so the
+            -- naive sum() OVER (ORDER BY doc_id) is the exact oracle;
+            -- spans unroll via generate_series (the sequence() Generate)
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), ' +'))
+                     END AS n_tokens
+              FROM documents),
+            cum AS (
+              SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT)
+                       AS cum_end
+              FROM toks WHERE n_tokens > 0),
+            spans AS (
+              SELECT doc_id, n_tokens, cum_end - n_tokens AS d_start,
+                     CAST(unnest(generate_series(
+                       (cum_end - n_tokens) // 256,
+                       (cum_end - 1) // 256)) AS BIGINT) AS seq_id
+              FROM cum)
+            SELECT doc_id, n_tokens, seq_id,
+                   greatest(d_start, seq_id * 256) - seq_id * 256 AS seq_offset,
+                   greatest(d_start, seq_id * 256) - d_start AS doc_tok_start,
+                   least(d_start + n_tokens, (seq_id + 1) * 256) - d_start
+                     AS doc_tok_end
+            FROM spans
         """,
         "corpus_mix": """
             -- recompute the portable-hash residue and unroll the copy

@@ -77,6 +77,7 @@ HEADLINE = [
     "s12_cdx_latest",
     "text_lm_quality",
     "corpus_mix",
+    "corpus_pack_sequences",
     "w4_pagerank",
     "docx_extraction_identity",
     "xlsx_extraction_identity",

@@ -193,6 +193,7 @@ def run_crawl(
     fetch_probe: Callable[[DataFrame], DataFrame] | None = None,
     robots_texts_df: DataFrame | None = None,
     sitemap_fetch: Callable[[DataFrame], DataFrame] | None = None,
+    feeds_df: DataFrame | None = None,
     priority_scores: DataFrame | None = None,
     redirects_df: DataFrame | None = None,
 ) -> CrawlResult:
@@ -219,6 +220,15 @@ def run_crawl(
     link-following crawl would never reach (the sitemaps.org discovery
     channel). On resume the frontier already holds them, so discovery
     is skipped.
+
+    ``feeds_df`` — raw ``(feed_id, xml)`` RSS/Atom bodies (the third
+    discovery channel: freshly-published URLs advertised minutes after
+    they exist). Feed entries share the sitemap pages' shape, so both
+    channels union into ONE discovery table and get one consistent
+    global seed sequence; duplicates across channels (a URL in both a
+    sitemap and a feed) collapse in the same keep-first window, and
+    explicit seeds still win over every discovered row. Like sitemaps,
+    discovery runs on FRESH crawls only.
 
     ``priority_scores`` — optional ``(url_canon, score)`` table (e.g.
     :func:`operators.ranking.pagerank` over a previous crawl's link
@@ -311,17 +321,34 @@ def run_crawl(
         if not seeds:
             raise ValueError("fresh crawl needs seeds")
         frontier0 = fr.seed_frontier(spark, seeds)
+        discovered = None
         if robots_texts_df is not None and sitemap_fetch is not None:
             # sitemap discovery chain: robots 'Sitemap:' directives ->
             # fetch + parse the advertised tree -> frontier seed rows
             # appended after the explicit seeds (which win duplicates)
-            sm_pages = expand_sitemap_tree(
+            discovered = expand_sitemap_tree(
                 robots_sitemaps_df(robots_texts_df).select("sitemap_url"),
                 sitemap_fetch,
                 max_depth=cfg.max_sitemap_depth,
             )
+        if feeds_df is not None:
+            # feed discovery shares the sitemap pages' shape, so both
+            # channels form ONE discovery table with one global
+            # sequence; cross-channel duplicate locs collapse in
+            # sitemap_frontier_rows' keep-first window
+            from sharepointcrawler_spark.operators.feeds import (
+                feed_seed_frontier,
+            )
+
+            fd_pages = feed_seed_frontier(feeds_df)
+            discovered = (
+                fd_pages
+                if discovered is None
+                else discovered.unionByName(fd_pages)
+            )
+        if discovered is not None:
             sm_seeds = sitemap_frontier_rows(
-                sm_pages,
+                discovered,
                 start_idx=len(seeds),
                 priority=cfg.sitemap_seed_priority,
             ).join(

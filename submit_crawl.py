@@ -65,6 +65,11 @@ def main(argv: list[str] | None = None) -> int:
         "discovery resolves advertised URLs against (with --robots-txt)",
     )
     ap.add_argument(
+        "--feeds",
+        help="parquet of (feed_id, xml) RSS/Atom bodies — feed entries "
+        "seed the frontier alongside sitemap discovery (fresh crawls)",
+    )
+    ap.add_argument(
         "--seen-buckets", type=int, default=None,
         help="bucket-partition the seen table by pmod(url_key, N) so the "
         "per-wave exact-confirm join prunes its scan",
@@ -155,6 +160,7 @@ def main(argv: list[str] | None = None) -> int:
         def sitemap_fetch(urls_df, _t=sitemap_table):
             return urls_df.join(_t, "sitemap_url", "inner")
 
+    feeds_df = spark.read.parquet(args.feeds) if args.feeds else None
     expander = pages_expander(pages, respect_nofollow=args.respect_nofollow)
     priority_scores = (
         spark.read.parquet(args.priority_scores) if args.priority_scores else None
@@ -168,6 +174,7 @@ def main(argv: list[str] | None = None) -> int:
         resume=resume,
         robots_texts_df=robots_texts_df,
         sitemap_fetch=sitemap_fetch,
+        feeds_df=feeds_df,
         priority_scores=priority_scores,
     )
     for m in result.metrics:

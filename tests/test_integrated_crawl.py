@@ -317,3 +317,91 @@ def test_cold_start_refresh_from_sitemap_priors(spark, integrated):
     assert per_url[stale] == 2
     assert per_url[fresh] == 1
     assert ghost not in per_url.index
+
+
+C = "https://c.example.com"
+
+
+def test_feed_discovery_composes_with_sitemaps(spark, tmp_path):
+    """Feeds are the third discovery channel: a feed-only orphan
+    subtree (host c, zero link edges, absent from every sitemap) is
+    crawled; a URL advertised by BOTH the sitemap and the feed still
+    yields one frontier row; explicit seeds still crawl first."""
+    edges = _edges(spark).unionByName(
+        spark.createDataFrame(
+            [
+                (f"{C}/blog", f"{C}/blog/post1", "file", 0),
+                (f"{C}/blog", f"{C}/blog/post2", "file", 1),
+            ],
+            "parent_url string, child_url string, kind string, sibling_idx int",
+        )
+    )
+    feeds = spark.createDataFrame(
+        [(
+            f"{C}/rss.xml",
+            "<rss><channel>"
+            f"<item><title>new</title><link>{C}/blog</link>"
+            "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>"
+            # cross-channel duplicate: the sitemap advertises this too
+            f"<item><title>dup</title><link>{B}/orphan</link></item>"
+            "</channel></rss>",
+        )],
+        "feed_id string, xml string",
+    )
+    store = SnapshotStore(spark, str(tmp_path / "snap_feeds"))
+    res = run_crawl(
+        spark,
+        store,
+        graph_expander(edges),
+        seeds=[(f"{A}/lib", 0)],
+        config=CrawlConfig(),
+        resume=False,
+        robots_texts_df=_robots_texts(spark),
+        sitemap_fetch=_sitemap_fetch(spark),
+        feeds_df=feeds,
+    )
+    states = {r["url_canon"]: r["state"] for r in res.frontier.collect()}
+    # feed-only subtree fully crawled
+    for u in (f"{C}/blog", f"{C}/blog/post1", f"{C}/blog/post2"):
+        assert states.get(u) == "fetched", (u, states.get(u))
+    # sitemap-only subtree still crawled alongside
+    assert states.get(f"{B}/orphan/sub/d1.pdf") == "fetched"
+    # the doubly-advertised URL has exactly one frontier row
+    assert res.frontier.filter(F.col("url_canon") == f"{B}/orphan").count() == 1
+    # explicit seed subtree still orders first
+    seq = {
+        r["url_canon"]: r["crawl_seq"]
+        for r in crawl_order(res.frontier).collect()
+    }
+    a_max = max(s for u, s in seq.items() if u.startswith(A))
+    disc_min = min(s for u, s in seq.items() if not u.startswith(A))
+    assert a_max < disc_min
+
+
+def test_feed_only_discovery(spark, tmp_path):
+    """feeds_df without any sitemap chain seeds the frontier on its
+    own (discovery table = feeds alone)."""
+    edges = spark.createDataFrame(
+        [(f"{C}/blog", f"{C}/blog/post1", "file", 0)],
+        "parent_url string, child_url string, kind string, sibling_idx int",
+    )
+    feeds = spark.createDataFrame(
+        [(
+            f"{C}/rss.xml",
+            f"<rss><channel><item><link>{C}/blog</link></item></channel></rss>",
+        )],
+        "feed_id string, xml string",
+    )
+    store = SnapshotStore(spark, str(tmp_path / "snap_feedonly"))
+    res = run_crawl(
+        spark,
+        store,
+        graph_expander(edges),
+        seeds=[(f"{A}/standalone.pdf", 0)],
+        config=CrawlConfig(),
+        resume=False,
+        feeds_df=feeds,
+    )
+    states = {r["url_canon"]: r["state"] for r in res.frontier.collect()}
+    assert states.get(f"{C}/blog") == "fetched"
+    assert states.get(f"{C}/blog/post1") == "fetched"
