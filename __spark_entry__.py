@@ -1960,6 +1960,115 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_text_c4_filters(spark, sf_dir):
+    """C4 page cleaning (functions/c4.py — Raffel et al. 2020 §2.2,
+    the line/page heuristics between extraction and dedup). The flat
+    documents text has no line structure, so a deterministic page is
+    planted per doc (same convention as pii_audit): words chunk into
+    lines of 4..8 words (doc_id % 5 + 4), line (doc_id + i) % 3 picks
+    '.', '', or '?' as the terminal char, and specials land on
+    doc_id % 17 (lorem ipsum), % 19 (a braced code line), % 23 (a
+    javascript notice), % 29 (a blocklist word). The operator then
+    filters lines (terminal punct + >=5 words + no javascript) and
+    flags pages; the oracle rebuilds the identical page with DuckDB
+    list lambdas and recomputes every count, flag, and the md5 of the
+    retained text — pure integer/string work, bit-exact both sides."""
+    from sharepointcrawler_spark.functions.c4 import c4_clean
+
+    staged = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.split(F.trim("text"), " +").alias("_w"),
+            (F.col("doc_id") % 5 + 4).cast("int").alias("_k"),
+        )
+        .withColumn("_n", F.expr("CAST((size(_w) + _k - 1) div _k AS INT)"))
+    )
+    lines = F.expr(
+        """
+        concat(
+          transform(sequence(0, _n - 1), i -> concat(
+            array_join(slice(_w, i * _k + 1, _k), ' '),
+            CASE (doc_id + i) % 3 WHEN 0 THEN '.' WHEN 1 THEN '' ELSE '?' END)),
+          CASE WHEN doc_id % 17 = 0
+               THEN array('lorem ipsum dolor sit amet today we meet.')
+               ELSE cast(array() AS array<string>) END,
+          CASE WHEN doc_id % 19 = 0
+               THEN array('var f = function() { return 0; }')
+               ELSE cast(array() AS array<string>) END,
+          CASE WHEN doc_id % 23 = 0
+               THEN array('please enable javascript to view this site today.')
+               ELSE cast(array() AS array<string>) END,
+          CASE WHEN doc_id % 29 = 0
+               THEN array('this line mentions badword1 and shocks everyone present.')
+               ELSE cast(array() AS array<string>) END)
+        """
+    )
+    pages = staged.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+    return c4_clean(pages).select(
+        "doc_id",
+        "c4_n_lines",
+        "c4_n_kept_lines",
+        "c4_has_lorem_ipsum",
+        "c4_has_brace",
+        "c4_has_naughty",
+        "c4_keep",
+        F.md5("c4_kept_text").alias("kept_md5"),
+    )
+
+
+def q_text_boilerplate(spark, sf_dir):
+    """Main-content extraction (functions/boilerplate.py — the
+    boilerpipe/jusText block-classification stage). A deterministic
+    html page is planted per doc: a link-dense nav, an h1, the doc's
+    words chunked into 12-word <p> blocks (every third paragraph
+    carries a small inline anchor), a short 'see more' block, and a
+    footer. The operator segments at block tags and keeps blocks with
+    >= 10 words and integer link density below 1/3
+    (3 * link_chars < text_chars — no float anywhere); the oracle
+    rebuilds the identical page and reruns the classification with
+    DuckDB list lambdas, comparing block counts, char audits, and the
+    md5 of the extracted main text."""
+    from sharepointcrawler_spark.functions.boilerplate import (
+        extract_main_content,
+    )
+
+    staged = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.trim("text"), " +").alias("_w"))
+        .withColumn("_n", F.expr("CAST((size(_w) + 11) div 12 AS INT)"))
+    )
+    html = F.expr(
+        """
+        concat(
+          '<html><body><nav><a href="/">home</a> <a href="/about">about</a> ',
+          '<a href="/contact">contact</a></nav><h1>document ',
+          CAST(doc_id AS STRING), '</h1>',
+          array_join(transform(sequence(0, _n - 1), i -> concat(
+            '<p>',
+            CASE WHEN i % 3 = 2
+                 THEN concat('read <a href="/more/', CAST(doc_id AS STRING),
+                             '">', array_join(slice(_w, i * 12 + 1, 2), ' '),
+                             '</a> ', array_join(slice(_w, i * 12 + 3, 10), ' '))
+                 ELSE array_join(slice(_w, i * 12 + 1, 12), ' ') END,
+            '</p>')), ''),
+          '<p>see more</p><footer>copyright 2024 ',
+          '<a href="/tos">terms of service</a></footer></body></html>')
+        """
+    )
+    pages = staged.select("doc_id", html.alias("html"))
+    return extract_main_content(pages).select(
+        "doc_id",
+        "bp_n_blocks",
+        "bp_n_content_blocks",
+        "bp_content_chars",
+        "bp_link_chars",
+        F.md5("bp_main_text").alias("main_md5"),
+    )
+
+
 def q_pii_audit(spark, sf_dir):
     """PII detection + redaction (functions/pii.py — the Dolma/ROOTS
     privacy stage): deterministic PII snippets are planted into the
@@ -2556,6 +2665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_quality": q_text_lm_quality,
         "corpus_mix": q_corpus_mix,
         "corpus_pack_sequences": q_pack_sequences,
+        "text_c4_filters": q_text_c4_filters,
+        "text_boilerplate": q_text_boilerplate,
         "w4_pagerank": q_w4_pagerank,
         "dedup_paragraphs": q_dedup_paragraphs,
         "ann_topk_sq8": q_ann_topk_sq8,
@@ -3878,6 +3989,124 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
                         WHEN (1000 * sum_bits) // n_bigrams < 4600 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
+        "text_boilerplate": """
+            -- rebuild the planted page, re-segment at block tags, and
+            -- rerun the integer link-density classify with list
+            -- lambdas; DuckDB regexp_replace needs the 'g' flag and
+            -- list_aggregate('sum') of [] is NULL -> coalesce(0)
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), ' +') AS wds
+              FROM documents),
+            n AS (SELECT *, (len(wds) + 11) // 12 AS nl FROM w),
+            page AS (
+              SELECT doc_id,
+                '<html><body><nav><a href="/">home</a> <a href="/about">about</a> '
+                || '<a href="/contact">contact</a></nav><h1>document '
+                || CAST(doc_id AS VARCHAR) || '</h1>'
+                || array_to_string(list_transform(generate_series(0, nl - 1), i ->
+                     '<p>' ||
+                     -- coalesce: array_to_string([]) is NULL in DuckDB
+                     -- and would NULL the whole || chain (Spark
+                     -- array_join gives '')
+                     CASE WHEN i % 3 = 2
+                          THEN 'read <a href="/more/' || CAST(doc_id AS VARCHAR)
+                               || '">'
+                               || coalesce(array_to_string(list_slice(wds, i*12 + 1, i*12 + 2), ' '), '')
+                               || '</a> '
+                               || coalesce(array_to_string(list_slice(wds, i*12 + 3, i*12 + 12), ' '), '')
+                          ELSE coalesce(array_to_string(list_slice(wds, i*12 + 1, i*12 + 12), ' '), '')
+                     END || '</p>'), '')
+                || '<p>see more</p><footer>copyright 2024 '
+                || '<a href="/tos">terms of service</a></footer></body></html>'
+                AS html
+              FROM n),
+            blk AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(html,
+                      '</?(?:div|p|h[1-6]|li|ul|ol|table|tr|td|th|header|footer|nav|aside|article|section|blockquote|pre)\\b[^>]*>|<br\\s*/?>'),
+                    b -> struct_pack(
+                      txt := trim(regexp_replace(regexp_replace(b,
+                              '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')),
+                      lc := coalesce(list_aggregate(list_transform(
+                              regexp_extract_all(b, '<a\\b[^>]*>(.*?)</a>', 1),
+                              t -> length(trim(regexp_replace(regexp_replace(t,
+                                     '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')))),
+                              'sum'), 0))),
+                  s -> s.txt <> '') AS blocks
+              FROM page),
+            cls AS (
+              SELECT doc_id, blocks,
+                list_filter(blocks, s ->
+                  len(regexp_split_to_array(s.txt, ' +')) >= 10
+                  AND s.lc * 3 < length(s.txt)) AS content
+              FROM blk)
+            SELECT doc_id,
+                   CAST(len(blocks) AS BIGINT) AS bp_n_blocks,
+                   CAST(len(content) AS BIGINT) AS bp_n_content_blocks,
+                   CAST(coalesce(list_aggregate(list_transform(content,
+                        s -> length(s.txt)), 'sum'), 0) AS BIGINT)
+                     AS bp_content_chars,
+                   CAST(coalesce(list_aggregate(list_transform(blocks,
+                        s -> s.lc), 'sum'), 0) AS BIGINT) AS bp_link_chars,
+                   md5(coalesce(array_to_string(list_transform(content,
+                       s -> s.txt), chr(10)), '')) AS main_md5
+            FROM cls
+        """,
+        "text_c4_filters": """
+            -- rebuild the planted page with list lambdas, then rerun
+            -- the C4 line predicate (terminal punct / >=5 words / no
+            -- javascript) and page flags; md5 over the retained bytes
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), ' +') AS wds,
+                     CAST(doc_id % 5 + 4 AS BIGINT) AS k
+              FROM documents),
+            n AS (SELECT *, (len(wds) + k - 1) // k AS nl FROM w),
+            built AS (
+              SELECT doc_id,
+                list_transform(generate_series(0, nl - 1), i ->
+                  array_to_string(list_slice(wds, i * k + 1, i * k + k), ' ') ||
+                  CASE (doc_id + i) % 3 WHEN 0 THEN '.' WHEN 1 THEN '' ELSE '?' END)
+                || CASE WHEN doc_id % 17 = 0
+                        THEN ['lorem ipsum dolor sit amet today we meet.']
+                        ELSE [] END
+                || CASE WHEN doc_id % 19 = 0
+                        THEN ['var f = function() { return 0; }']
+                        ELSE [] END
+                || CASE WHEN doc_id % 23 = 0
+                        THEN ['please enable javascript to view this site today.']
+                        ELSE [] END
+                || CASE WHEN doc_id % 29 = 0
+                        THEN ['this line mentions badword1 and shocks everyone present.']
+                        ELSE [] END AS lines
+              FROM n),
+            page AS (
+              SELECT doc_id, lines,
+                     array_to_string(lines, chr(10)) AS page_text,
+                     list_filter(lines, l ->
+                       regexp_matches(trim(l), '[.!?"”’'']$')
+                       AND len(regexp_split_to_array(trim(l), ' +')) >= 5
+                       AND NOT contains(lower(l), 'javascript')) AS kept
+              FROM built)
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS c4_n_lines,
+                   CAST(len(kept) AS BIGINT) AS c4_n_kept_lines,
+                   contains(lower(page_text), 'lorem ipsum') AS c4_has_lorem_ipsum,
+                   contains(page_text, '{') AS c4_has_brace,
+                   regexp_matches(lower(page_text),
+                     '\\b(badword1|badword2|badword3)\\b') AS c4_has_naughty,
+                   (len(kept) >= 3
+                    AND NOT contains(lower(page_text), 'lorem ipsum')
+                    AND NOT contains(page_text, '{')
+                    AND NOT regexp_matches(lower(page_text),
+                          '\\b(badword1|badword2|badword3)\\b')) AS c4_keep,
+                   md5(coalesce(array_to_string(kept, chr(10)), ''))
+                     AS kept_md5
+            FROM page
         """,
         "corpus_pack_sequences": """
             -- single-window recompute of the skew-proof two-pass prefix

@@ -78,6 +78,8 @@ HEADLINE = [
     "text_lm_quality",
     "corpus_mix",
     "corpus_pack_sequences",
+    "text_c4_filters",
+    "text_boilerplate",
     "w4_pagerank",
     "docx_extraction_identity",
     "xlsx_extraction_identity",
