@@ -2069,6 +2069,28 @@ def q_text_boilerplate(spark, sf_dir):
     )
 
 
+def q_corpus_importance(spark, sf_dir):
+    """DSIR importance weighting (operators/importance.py — hashed
+    n-gram importance resampling, Xie et al. 2023). Target corpus =
+    the doc_id % 7 == 0 subset of documents; every raw doc gets an
+    integer whole-bits log2 importance weight (add-one smoothed,
+    normalizer-corrected, 2^20 pre-scale). All-integer arithmetic —
+    counts, portable-hash buckets, bin-length log2, and an offset
+    floor-division for the length-normalized average — so the oracle
+    recomputes every value bit-identically from the same SQL."""
+    from sharepointcrawler_spark.operators.importance import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dsir_importance(
+        docs, docs.filter(F.col("doc_id") % 7 == 0), n_buckets=4096
+    ).select(
+        F.col("doc_id").cast("long"),
+        "n_feats",
+        "weight_bits",
+        "avg_millibits",
+    )
+
+
 def q_pii_audit(spark, sf_dir):
     """PII detection + redaction (functions/pii.py — the Dolma/ROOTS
     privacy stage): deterministic PII snippets are planted into the
@@ -2667,6 +2689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_sequences": q_pack_sequences,
         "text_c4_filters": q_text_c4_filters,
         "text_boilerplate": q_text_boilerplate,
+        "corpus_importance_dsir": q_corpus_importance,
         "w4_pagerank": q_w4_pagerank,
         "dedup_paragraphs": q_dedup_paragraphs,
         "ann_topk_sq8": q_ann_topk_sq8,
@@ -3988,6 +4011,54 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
                         WHEN (1000 * sum_bits) // n_bigrams < 4400 THEN 'head'
                         WHEN (1000 * sum_bits) // n_bigrams < 4600 THEN 'middle'
                         ELSE 'tail' END AS bucket
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
+        "corpus_importance_dsir": """
+            -- refit the hashed-bucket model (unigram + bigram feature
+            -- occurrences, portable md5 hash % 4096) and recompute the
+            -- whole-bits log2 ratios: length(bin(q)) - 1 == Spark's
+            -- bin-length floor(log2); the avg uses the +64000 offset
+            -- so flooring // matches Spark's truncating div exactly
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(regexp_replace(
+                       lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                       x -> x <> '') AS tk
+              FROM documents),
+            uni AS (SELECT doc_id, unnest(tk) AS feat FROM toks),
+            bii AS (SELECT doc_id, tk,
+                           unnest(generate_series(1, len(tk) - 1)) AS i
+                    FROM toks),
+            bif AS (SELECT doc_id, tk[i] || '_' || tk[i + 1] AS feat FROM bii),
+            feats AS (
+              SELECT doc_id,
+                     CAST(CAST(('0x' || substr(md5(feat), 1, 15)) AS UBIGINT)
+                          % 4096 AS BIGINT) AS bucket
+              FROM (SELECT doc_id, feat FROM uni
+                    UNION ALL SELECT doc_id, feat FROM bif)),
+            cr AS (SELECT bucket, count(*) AS c_r FROM feats GROUP BY bucket),
+            ct AS (SELECT bucket, count(*) AS c_t FROM feats
+                   WHERE doc_id % 7 = 0 GROUP BY bucket),
+            model AS (SELECT cr.bucket, c_r, coalesce(c_t, 0) AS c_t
+                      FROM cr LEFT JOIN ct USING (bucket)),
+            tot AS (SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+                           CAST(sum(c_t) AS BIGINT) AS n_t FROM model),
+            scored AS (
+              SELECT f.doc_id,
+                     (length(bin(greatest((m.c_t + 1) * 1048576 // (m.c_r + 1),
+                                          1))) - 1)
+                   + (length(bin(greatest((t.n_r + 4096) * 1048576
+                                          // (t.n_t + 4096), 1))) - 1)
+                   - 40 AS bits
+              FROM feats f JOIN model m USING (bucket) CROSS JOIN tot t),
+            per AS (SELECT doc_id, count(*) AS n_feats,
+                           sum(bits) AS weight_bits
+                    FROM scored GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(per.n_feats, 0) AS BIGINT) AS n_feats,
+                   CAST(per.weight_bits AS BIGINT) AS weight_bits,
+                   CAST((1000 * per.weight_bits + 64000 * per.n_feats)
+                        // per.n_feats - 64000 AS BIGINT) AS avg_millibits
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         """,
         "text_boilerplate": """

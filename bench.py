@@ -80,6 +80,7 @@ HEADLINE = [
     "corpus_pack_sequences",
     "text_c4_filters",
     "text_boilerplate",
+    "corpus_importance_dsir",
     "w4_pagerank",
     "docx_extraction_identity",
     "xlsx_extraction_identity",
