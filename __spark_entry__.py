@@ -2091,6 +2091,114 @@ def q_corpus_importance(spark, sf_dir):
     )
 
 
+def q_anchor_text(spark, sf_dir):
+    """Anchor-text rollup (operators/anchors.py — the Brin & Page §2.2
+    inbound-link description signal). Each doc plants a page with two
+    outlinks (targets doc_id*2 % 1000 and doc_id*7+3 % 1000 — a
+    many-to-few fan-in) whose anchor phrases come from the doc's own
+    words, one link double-quoted and one single-quoted to exercise
+    both attribute quote styles. The operator re-parses the html
+    (whole-tag extract, per-tag href/text regexes), then aggregates
+    per target: inbound count, distinct sources, distinct phrases, and
+    the deterministic mode phrase. The oracle rebuilds the identical
+    html and re-runs both stages in RE2/SQL."""
+    from sharepointcrawler_spark.operators.anchors import (
+        anchor_links,
+        anchor_text_rollup,
+    )
+
+    staged = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " +").alias("_w")
+    )
+    pages = staged.select(
+        F.expr(
+            "concat('https://site', CAST(doc_id % 5 AS STRING),"
+            "'.example.com/doc/', CAST(doc_id AS STRING))"
+        ).alias("url_canon"),
+        F.expr(
+            """
+            concat('<p>intro</p><a href="https://t.example.com/page/',
+                   CAST(doc_id * 2 % 1000 AS STRING), '">',
+                   array_join(slice(_w, 1, 2), ' '), '</a>',
+                   '<a href=\\'https://t.example.com/page/',
+                   CAST((doc_id * 7 + 3) % 1000 AS STRING), '\\'>',
+                   array_join(slice(_w, 3, 2), ' '), '</a>')
+            """
+        ).alias("html"),
+    )
+    return anchor_text_rollup(anchor_links(pages)).select(
+        "target",
+        "n_inlinks",
+        "n_sources",
+        "n_texts",
+        "top_text",
+        "top_text_n",
+    )
+
+
+def q_page_metadata(spark, sf_dir):
+    """Descriptive page metadata (functions/htmlmeta.py — title,
+    meta description, OpenGraph, declared lang; the typed metadata
+    columns a corpus carries next to the text). The planted head
+    varies structure by doc_id residues: uppercase TITLE tags (% 7),
+    an inner <b> tag inside the title (% 5), a missing title (% 13),
+    attribute-order-flipped description metas (% 4), absent lang
+    (% 4 == 3) and og:title only on % 3 — so every probe's fallback
+    path is exercised. All constant-pattern JVM regexes; the oracle
+    rebuilds the identical head and re-probes with RE2."""
+    from sharepointcrawler_spark.functions.htmlmeta import (
+        html_describe_columns,
+    )
+
+    staged = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " +").alias("_w")
+    )
+    html = F.expr(
+        """
+        concat(
+          CASE WHEN doc_id % 4 = 3 THEN '<html>'
+               ELSE concat('<html lang="',
+                           element_at(array('en','DE','fr'),
+                                      CAST(doc_id % 4 AS INT) + 1), '">')
+          END,
+          '<head>',
+          CASE WHEN doc_id % 13 = 0 THEN ''
+               WHEN doc_id % 7 = 0 THEN concat('<TITLE>',
+                    array_join(slice(_w, 1, 3), ' '), '</TITLE>')
+               WHEN doc_id % 5 = 0 THEN concat('<title>A <b>',
+                    element_at(_w, 1), '</b> doc</title>')
+               ELSE concat('<title>', array_join(slice(_w, 1, 3), ' '),
+                    '</title>')
+          END,
+          CASE WHEN doc_id % 2 = 0 THEN
+                 CASE WHEN doc_id % 4 = 0
+                      THEN concat('<meta name="description" content="',
+                           array_join(slice(_w, 4, 3), ' '), '">')
+                      ELSE concat('<meta content=''',
+                           array_join(slice(_w, 4, 3), ' '),
+                           ''' name=''description''>')
+                 END
+               ELSE '' END,
+          CASE WHEN doc_id % 3 = 0
+               THEN concat('<meta property="og:title" content="og ',
+                    element_at(_w, 2), '">')
+               ELSE '' END,
+          '<meta property="og:type" content="',
+          CASE WHEN doc_id % 2 = 0 THEN 'article' ELSE 'website' END,
+          '"></head><body><p>body</p></body></html>')
+        """
+    )
+    pages = staged.select("doc_id", html.alias("html_text"))
+    return html_describe_columns(pages).select(
+        "doc_id",
+        "page_title",
+        "meta_description",
+        "og_title",
+        "og_type",
+        "declared_lang",
+    )
+
+
 def q_pii_audit(spark, sf_dir):
     """PII detection + redaction (functions/pii.py — the Dolma/ROOTS
     privacy stage): deterministic PII snippets are planted into the
@@ -2690,6 +2798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4_filters": q_text_c4_filters,
         "text_boilerplate": q_text_boilerplate,
         "corpus_importance_dsir": q_corpus_importance,
+        "w6_anchor_text": q_anchor_text,
+        "p13_page_metadata": q_page_metadata,
         "w4_pagerank": q_w4_pagerank,
         "dedup_paragraphs": q_dedup_paragraphs,
         "ann_topk_sq8": q_ann_topk_sq8,
@@ -4012,6 +4122,135 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
                         WHEN (1000 * sum_bits) // n_bigrams < 4600 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
+        "p13_page_metadata": """
+            -- rebuild the planted head and re-probe with RE2: (?i)
+            -- case folding, both attribute orders, inner-tag strip in
+            -- the title, nullif('') for every absent probe
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), ' +') AS wds
+              FROM documents),
+            page AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 4 = 3 THEN '<html>'
+                     ELSE '<html lang="' || ['en','DE','fr'][CAST(doc_id % 4 AS INT) + 1] || '">'
+                END
+                || '<head>'
+                || CASE WHEN doc_id % 13 = 0 THEN ''
+                        WHEN doc_id % 7 = 0 THEN '<TITLE>'
+                             || coalesce(array_to_string(list_slice(wds, 1, 3), ' '), '')
+                             || '</TITLE>'
+                        WHEN doc_id % 5 = 0 THEN '<title>A <b>' || wds[1]
+                             || '</b> doc</title>'
+                        ELSE '<title>'
+                             || coalesce(array_to_string(list_slice(wds, 1, 3), ' '), '')
+                             || '</title>'
+                   END
+                || CASE WHEN doc_id % 2 = 0 THEN
+                        CASE WHEN doc_id % 4 = 0
+                             THEN '<meta name="description" content="'
+                                  || coalesce(array_to_string(list_slice(wds, 4, 6), ' '), '')
+                                  || '">'
+                             ELSE '<meta content=''' ||
+                                  coalesce(array_to_string(list_slice(wds, 4, 6), ' '), '')
+                                  || ''' name=''description''>'
+                        END
+                        ELSE '' END
+                || CASE WHEN doc_id % 3 = 0
+                        THEN '<meta property="og:title" content="og '
+                             || wds[2] || '">'
+                        ELSE '' END
+                || '<meta property="og:type" content="'
+                || CASE WHEN doc_id % 2 = 0 THEN 'article' ELSE 'website' END
+                || '"></head><body><p>body</p></body></html>' AS html
+              FROM w),
+            probe AS (
+              SELECT doc_id,
+                nullif(trim(regexp_replace(regexp_replace(
+                  regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+                  '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')), '') AS page_title,
+                coalesce(
+                  nullif(regexp_extract(html,
+                    '(?i)<meta[^>]*name=["'']description["''][^>]*content=["'']([^"'']*)["'']', 1), ''),
+                  nullif(regexp_extract(html,
+                    '(?i)<meta[^>]*content=["'']([^"'']*)["''][^>]*name=["'']description["'']', 1), '')
+                ) AS meta_description,
+                coalesce(
+                  nullif(regexp_extract(html,
+                    '(?i)<meta[^>]*property=["'']og:title["''][^>]*content=["'']([^"'']*)["'']', 1), ''),
+                  nullif(regexp_extract(html,
+                    '(?i)<meta[^>]*content=["'']([^"'']*)["''][^>]*property=["'']og:title["'']', 1), '')
+                ) AS og_title,
+                coalesce(
+                  nullif(regexp_extract(html,
+                    '(?i)<meta[^>]*property=["'']og:type["''][^>]*content=["'']([^"'']*)["'']', 1), ''),
+                  nullif(regexp_extract(html,
+                    '(?i)<meta[^>]*content=["'']([^"'']*)["''][^>]*property=["'']og:type["'']', 1), '')
+                ) AS og_type,
+                lower(nullif(regexp_extract(html,
+                  '(?i)<html[^>]*\\blang=["'']([^"'']*)["'']', 1), ''))
+                  AS declared_lang
+              FROM page)
+            SELECT * FROM probe
+        """,
+        "w6_anchor_text": """
+            -- rebuild the two-outlink page (one double-quoted, one
+            -- single-quoted href) and re-run both stages: whole-tag
+            -- regexp_extract_all + per-tag href/text extraction, then
+            -- the per-target rollup with the count-desc/text-asc mode
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), ' +') AS wds
+              FROM documents),
+            page AS (
+              SELECT doc_id,
+                'https://site' || CAST(doc_id % 5 AS VARCHAR)
+                  || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS src,
+                '<p>intro</p><a href="https://t.example.com/page/'
+                  || CAST(doc_id * 2 % 1000 AS VARCHAR) || '">'
+                  || coalesce(array_to_string(list_slice(wds, 1, 2), ' '), '')
+                  || '</a><a href=''https://t.example.com/page/'
+                  || CAST((doc_id * 7 + 3) % 1000 AS VARCHAR) || '''>'
+                  || coalesce(array_to_string(list_slice(wds, 3, 4), ' '), '')
+                  || '</a>' AS html
+              FROM w),
+            tags AS (
+              SELECT src,
+                     unnest(regexp_extract_all(html,
+                       '<a\\b[^>]*href\\s*=\\s*["''][^"'']*["''][^>]*>.*?</a>',
+                       0)) AS tag
+              FROM page),
+            links AS (
+              SELECT src,
+                     regexp_extract(tag,
+                       'href\\s*=\\s*["'']([^"'']*)["'']', 1) AS href,
+                     trim(regexp_replace(regexp_replace(
+                       regexp_extract(tag, '^<a\\b[^>]*>(.*)</a>$', 1),
+                       '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS anchor_text
+              FROM tags),
+            lnk AS (SELECT * FROM links WHERE href <> ''),
+            base AS (
+              SELECT href AS target, count(*) AS n_inlinks,
+                     count(DISTINCT src) AS n_sources
+              FROM lnk GROUP BY 1),
+            pc AS (
+              SELECT href AS target, anchor_text, count(*) AS n
+              FROM lnk WHERE anchor_text <> '' GROUP BY 1, 2),
+            top AS (
+              SELECT target, anchor_text, n,
+                     row_number() OVER (PARTITION BY target
+                       ORDER BY n DESC, anchor_text) AS rk,
+                     count(*) OVER (PARTITION BY target) AS n_texts
+              FROM pc)
+            SELECT b.target,
+                   CAST(b.n_inlinks AS BIGINT) AS n_inlinks,
+                   CAST(b.n_sources AS BIGINT) AS n_sources,
+                   CAST(coalesce(t.n_texts, 0) AS BIGINT) AS n_texts,
+                   t.anchor_text AS top_text,
+                   CAST(t.n AS BIGINT) AS top_text_n
+            FROM base b
+            LEFT JOIN (SELECT * FROM top WHERE rk = 1) t USING (target)
         """,
         "corpus_importance_dsir": """
             -- refit the hashed-bucket model (unigram + bigram feature

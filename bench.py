@@ -81,6 +81,8 @@ HEADLINE = [
     "text_c4_filters",
     "text_boilerplate",
     "corpus_importance_dsir",
+    "w6_anchor_text",
+    "p13_page_metadata",
     "w4_pagerank",
     "docx_extraction_identity",
     "xlsx_extraction_identity",

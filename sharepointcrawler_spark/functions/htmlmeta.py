@@ -111,3 +111,85 @@ def nofollow_parent_filter(pages_keyed: DataFrame, html_col: str = "html") -> Da
     return pages_keyed.filter(
         ~F.coalesce(robots_meta(html_str).rlike(_NOFOLLOW_RE), F.lit(False))
     )
+
+
+# ------------------------------------------------------------------
+# Descriptive metadata (beyond directives): title, description, og:*,
+# declared language. Same engineering rules as the directive probes —
+# foldable constant patterns, both attribute orders, both quote
+# styles, NULL when absent — so a corpus can carry typed page
+# metadata columns without an Arrow crossing.
+
+_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
+_DESC_NAME_FIRST = (
+    r"""(?i)<meta[^>]*name=["']description["'][^>]*content=["']([^"']*)["']"""
+)
+_DESC_CONTENT_FIRST = (
+    r"""(?i)<meta[^>]*content=["']([^"']*)["'][^>]*name=["']description["']"""
+)
+_OG_PROP_FIRST = (
+    r"""(?i)<meta[^>]*property=["']og:{p}["'][^>]*content=["']([^"']*)["']"""
+)
+_OG_CONTENT_FIRST = (
+    r"""(?i)<meta[^>]*content=["']([^"']*)["'][^>]*property=["']og:{p}["']"""
+)
+_HTML_LANG_RE = r"""(?i)<html[^>]*\blang=["']([^"']*)["']"""
+
+
+def _first_nonempty(html: Column, *patterns: str) -> Column:
+    probes = [
+        F.nullif(F.regexp_extract(html, p, 1), F.lit("")) for p in patterns
+    ]
+    return probes[0] if len(probes) == 1 else F.coalesce(*probes)
+
+
+def html_title(html: Column) -> Column:
+    """<title> text (inner tags stripped, whitespace collapsed),
+    NULL when absent or empty."""
+    raw = F.regexp_extract(html, _TITLE_RE, 1)
+    return F.nullif(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(raw, r"<[^>]*>", " "), r"\s+", " "
+            )
+        ),
+        F.lit(""),
+    )
+
+
+def meta_description(html: Column) -> Column:
+    """<meta name=description> content, NULL when absent."""
+    return _first_nonempty(html, _DESC_NAME_FIRST, _DESC_CONTENT_FIRST)
+
+
+def og_property(html: Column, prop: str) -> Column:
+    """<meta property="og:{prop}"> content, NULL when absent. ``prop``
+    must be a literal tag name ([a-z_:]+) — it is spliced into a regex."""
+    if not prop or not all(c.isalnum() or c in "_:" for c in prop):
+        raise ValueError(f"bad og property name: {prop!r}")
+    return _first_nonempty(
+        html,
+        _OG_PROP_FIRST.replace("{p}", prop),
+        _OG_CONTENT_FIRST.replace("{p}", prop),
+    )
+
+
+def html_lang(html: Column) -> Column:
+    """Declared <html lang> attribute, lowercased, NULL when absent."""
+    return F.lower(_first_nonempty(html, _HTML_LANG_RE))
+
+
+def html_describe_columns(
+    df: DataFrame, html_col: str = "html_text", prefix: str = ""
+) -> DataFrame:
+    """Add descriptive metadata columns: ``page_title``,
+    ``meta_description``, ``og_title``, ``og_type``, ``declared_lang``.
+    One projection, all whole-stage-codegen regex probes."""
+    html = F.col(html_col)
+    return (
+        df.withColumn(prefix + "page_title", html_title(html))
+        .withColumn(prefix + "meta_description", meta_description(html))
+        .withColumn(prefix + "og_title", og_property(html, "title"))
+        .withColumn(prefix + "og_type", og_property(html, "type"))
+        .withColumn(prefix + "declared_lang", html_lang(html))
+    )
