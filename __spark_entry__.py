@@ -1671,6 +1671,44 @@ def q_w4_pagerank(spark, sf_dir):
     )
 
 
+def q_w7_hits(spark, sf_dir):
+    """Integer-scaled HITS (operators/ranking.py hits — Kleinberg
+    JACM 1999) over the same binary-tree-plus-backlinks graph as
+    w4_pagerank: hubs emerge at internal tree nodes, the root
+    (receiving every backlink) dominates authority. 4 mutual-
+    reinforcement iterations with max-normalization at scale 10^6 —
+    all 64-bit integer multiply/divide/sum, so the oracle replays the
+    unrolled iterations bit-exactly (the same no-float contract as
+    pagerank)."""
+    from sharepointcrawler_spark.operators.ranking import hits
+
+    i = F.col("doc_id")
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select(i.cast("long").alias("i"))
+        .filter(F.col("i") < 127)
+    )
+    ii = F.col("i")
+    edges = (
+        ids.filter(2 * ii + 1 < 127).select(
+            ii.alias("src"), (2 * ii + 1).alias("dst")
+        )
+        .unionByName(
+            ids.filter(2 * ii + 2 < 127).select(
+                ii.alias("src"), (2 * ii + 2).alias("dst")
+            )
+        )
+        .unionByName(
+            ids.filter(ii > 0).select(
+                ii.alias("src"), F.lit(0).cast("long").alias("dst")
+            )
+        )
+    )
+    return hits(edges, n_iters=4).select(
+        F.col("node").cast("long"), "hub", "authority"
+    )
+
+
 def q_ann_topk_sq8(spark, sf_dir):
     """Scalar-quantization ANN (FAISS SQ8 — the simple 4x compression
     lever): per-dim min/max over the normalized corpus are EXACT
@@ -2800,6 +2838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_importance_dsir": q_corpus_importance,
         "w6_anchor_text": q_anchor_text,
         "p13_page_metadata": q_page_metadata,
+        "w7_hits": q_w7_hits,
         "w4_pagerank": q_w4_pagerank,
         "dedup_paragraphs": q_dedup_paragraphs,
         "ann_topk_sq8": q_ann_topk_sq8,
@@ -2962,11 +3001,62 @@ WHERE s.shared / CAST(sa.n_sh + sb.n_sh - s.shared AS DOUBLE) >= 0.6
 """
 
 
+def _hits_oracle(n_iters: int = 4, scale: int = 10**6) -> str:
+    """Unrolled integer HITS oracle (same graph as w4_pagerank): each
+    iteration is a_raw -> max -> normalize, then the hub mirror; all
+    `//` integer division on positive values, bit-exact vs Spark."""
+    parts = [
+        """
+        WITH ids AS (
+          SELECT CAST(doc_id AS BIGINT) AS i FROM documents
+          WHERE doc_id < 127),
+        edges AS MATERIALIZED (
+          SELECT i AS src, 2 * i + 1 AS dst FROM ids WHERE 2 * i + 1 < 127
+          UNION ALL
+          SELECT i, 2 * i + 2 FROM ids WHERE 2 * i + 2 < 127
+          UNION ALL
+          SELECT i, 0 FROM ids WHERE i > 0),
+        nodes AS MATERIALIZED (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
+        h0 AS (SELECT n, CAST({scale} AS BIGINT) AS h FROM nodes)
+        """.replace("{scale}", str(scale))
+    ]
+    for k in range(1, n_iters + 1):
+        parts.append(
+            """
+        , ar{k} AS MATERIALIZED (SELECT e.dst AS n, sum(hp.h) AS r
+                    FROM edges e JOIN h{p} hp ON hp.n = e.src GROUP BY 1)
+        , am{k} AS (SELECT greatest(max(r), 1) AS mx FROM ar{k})
+        , a{k} AS MATERIALIZED (SELECT nodes.n,
+                          coalesce(ar{k}.r, 0) * {scale} // am{k}.mx AS a
+                   FROM nodes LEFT JOIN ar{k} ON ar{k}.n = nodes.n
+                   CROSS JOIN am{k})
+        , hr{k} AS MATERIALIZED (SELECT e.src AS n, sum(ap.a) AS r
+                    FROM edges e JOIN a{k} ap ON ap.n = e.dst GROUP BY 1)
+        , hm{k} AS (SELECT greatest(max(r), 1) AS mx FROM hr{k})
+        , h{k} AS MATERIALIZED (SELECT nodes.n,
+                          coalesce(hr{k}.r, 0) * {scale} // hm{k}.mx AS h
+                   FROM nodes LEFT JOIN hr{k} ON hr{k}.n = nodes.n
+                   CROSS JOIN hm{k})
+            """.replace("{k}", str(k))
+            .replace("{p}", str(k - 1))
+            .replace("{scale}", str(scale))
+        )
+    parts.append(
+        """
+        SELECT h{n}.n AS node, CAST(h{n}.h AS BIGINT) AS hub,
+               CAST(a{n}.a AS BIGINT) AS authority
+        FROM h{n} JOIN a{n} ON a{n}.n = h{n}.n
+        """.replace("{n}", str(n_iters))
+    )
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_base()
     # the two CC algorithms must converge to the SAME transitive-closure
     # fixpoint: identical oracle, independent implementations
     out["dedup_clusters_twophase"] = out["dedup_clusters"]
+    out["w7_hits"] = _hits_oracle()
     return out
 
 

@@ -84,6 +84,7 @@ HEADLINE = [
     "w6_anchor_text",
     "p13_page_metadata",
     "w4_pagerank",
+    "w7_hits",
     "docx_extraction_identity",
     "xlsx_extraction_identity",
     "pptx_extraction_identity",

@@ -112,3 +112,91 @@ def pagerank_priorities(
     return frontier.join(s, id_col, "left").withColumn(
         "score", F.coalesce("score", F.lit(0)).cast("long")
     )
+
+
+HITS_SCALE = 10**6
+
+
+def hits(
+    edges: DataFrame,
+    n_iters: int = 4,
+    scale: int = HITS_SCALE,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Kleinberg HITS (hubs & authorities, JACM 1999) over an
+    (src, dst) edge list — the complementary link signal to PageRank
+    for crawl prioritization: authorities are worth fetching, hubs are
+    worth EXPANDING (their outlinks reach authorities fast).
+
+    INTEGER-SCALED mutual reinforcement with max-normalization (the
+    textbook variant that keeps the iteration in integers):
+
+        a_raw(v) = sum_{u->v} h(u);  a(v) = a_raw * scale // max(a_raw)
+        h_raw(u) = sum_{u->v} a(v);  h(u) = h_raw * scale // max(h_raw)
+
+    Every step is 64-bit integer multiply/divide/sum, so results are
+    bit-exact under any partitioning and the DuckDB oracle replays the
+    unrolled iterations identically. Overflow envelope mirrors
+    pagerank's: raw sums reach n_nodes * scale and the normalization
+    multiplies by ``scale`` once, so the default 10^6 scale is safe to
+    ~9 * 10^6 nodes; lower ``scale`` for bigger graphs.
+
+    The normalization max makes each raw-sum iterate feed TWO
+    consumers (the scalar max and the normalized projection) — the
+    lineage-doubling shape. Instead of per-iteration checkpoints
+    (8 materializations of full node-set tables — measured 20x the
+    useful work at fixture scale), each raw sum PERSISTS and its max
+    collects to the driver as one scalar (a bounded 8-long-total
+    driver transfer): the max action materializes the cache, the
+    normalized projection re-reads it, and because the max becomes a
+    LITERAL the downstream plan references each iterate exactly once —
+    lineage stays linear with zero extra shuffles.
+
+    Returns (node, hub, authority) at the final iteration's scale.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    hubs = nodes.select("node", F.lit(scale).cast("long").alias("h"))
+    auths = None
+    raws: list[DataFrame] = []
+
+    def _normalized(raw: DataFrame, out_name: str) -> DataFrame:
+        raw = raw.persist()
+        raws.append(raw)
+        mx = raw.agg(F.greatest(F.max("_raw"), F.lit(1))).first()[0]
+        return nodes.join(raw, "node", "left").select(
+            "node",
+            F.expr(f"coalesce(_raw, 0L) * {int(scale)}L div {int(mx)}L")
+            .cast("long")
+            .alias(out_name),
+        )
+
+    for _ in range(n_iters):
+        a_raw = (
+            e.join(hubs.select(F.col("node").alias("src"), "h"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").cast("long").alias("_raw"))
+        )
+        auths = _normalized(a_raw, "a")
+        h_raw = (
+            e.join(auths.select(F.col("node").alias("dst"), "a"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").cast("long").alias("_raw"))
+        )
+        hubs = _normalized(h_raw, "h")
+    out = hubs.join(auths, "node").select(
+        "node", F.col("h").alias("hub"), F.col("a").alias("authority")
+    )
+    # every iterate is cached and referenced once downstream; the
+    # caller's action reads the last caches — earlier ones stay
+    # resident only until executor storage wants the space (MEMORY_AND_
+    # DISK eviction), so no explicit unpersist sweep is needed here
+    return out
