@@ -352,6 +352,39 @@ def run_wave_flatness(spark, budget: int = 8, compact_every: int = 4) -> dict:
     }
 
 
+def run_curation(spark, sf_dir: str) -> dict:
+    """End-to-end webtext curation chain (plans/curation.py):
+    C4 -> lang/quality -> PII -> dedup -> pack, one action. The flat
+    synthetic text gets sentence structure planted (every 10 words
+    become a period-terminated line) so the line filters do real
+    work."""
+    from pyspark.sql import functions as F
+
+    from sharepointcrawler_spark.plans.curation import curate_webtext
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.col("text"), r"((\S+\s+){9}\S+)\s+", "$1.\n"
+            ).alias("text"),
+        )
+    )
+    t0 = time.monotonic()
+    res = curate_webtext(docs, min_quality=0.3, seq_len=256)
+    rep = res.report.first()
+    n_seqs = res.packed.count()
+    sec = round(time.monotonic() - t0, 3)
+    return {
+        "total_sec": sec,
+        "n_in": rep["n_in"],
+        "n_kept": rep["n_kept"],
+        "n_pack_rows": n_seqs,
+        "docs_per_sec": round(rep["n_in"] / sec, 1) if sec else None,
+    }
+
+
 def run_suite(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -425,6 +458,8 @@ def main() -> None:
         out["queries"] = run_suite(spark, sf_dir)
         out["queries"]["pages_pipeline"] = pipe["total_sec"]
         out["queries"]["crawl_loop"] = out["crawl_loop"]["total_sec"]
+        out["curation"] = run_curation(spark, sf_dir)
+        out["queries"]["curation_pipeline"] = out["curation"]["total_sec"]
         out["vs_prev"] = _vs_prev(out["queries"])
         if not args.no_sf1:
             out["sf1_scale_check"] = run_sf1_scale_check(spark, sf_dir, out["queries"])
