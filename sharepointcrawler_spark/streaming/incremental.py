@@ -205,3 +205,83 @@ def windowed_metrics_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def curation_stream(
+    spark: SparkSession,
+    watch_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    reject_dir: str | None = None,
+):
+    """Streaming admission control for arriving documents: the batch
+    curation gates (C4 line/page heuristics, language, quality, PII
+    redaction — plans/curation.py stages 2-4) applied to a stream of
+    (doc_id, text) parquet arrivals, with exactly-once per-batch file
+    semantics.
+
+    The per-row stages are stateless projections, so they run INSIDE
+    the micro-batch with no state store; cross-document stages (exact
+    dedup, decontamination) stay in the batch pipeline where they have
+    a persistent seen side — the standard lambda split: admit cheap
+    and stateless at the edge, reconcile stateful in the warehouse.
+    Kept rows append to ``out_dir`` with ``curated_text``; rejects
+    (with their flag columns) append to ``reject_dir`` when given —
+    the flag-don't-drop audit trail, streamed.
+    """
+    from sharepointcrawler_spark.functions.c4 import c4_clean
+    from sharepointcrawler_spark.functions.pii import with_pii_columns
+    from sharepointcrawler_spark.functions.textanalysis import (
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(watch_dir)
+    )
+
+    def _admit(batch_df: DataFrame, epoch_id: int) -> None:
+        cur = c4_clean(batch_df, text_col="text")
+        cur = (
+            cur.withColumn("_ct", F.col("c4_kept_text"))
+            .withColumn("lang_pred", lang_id(F.col("_ct")))
+            .withColumn("quality", quality_score(F.col("_ct")))
+            .withColumn("n_tokens", token_count(F.col("_ct")))
+        )
+        cur = with_pii_columns(cur, text_col="_ct").withColumnRenamed(
+            "text_redacted", "curated_text"
+        )
+        cur = cur.withColumn(
+            "admit",
+            F.col("c4_keep")
+            & (F.col("lang_pred") == "en")
+            & (F.col("quality") >= 0.3)
+            & (F.col("n_tokens") >= 5),
+        ).persist()
+        keep_cols = ["doc_id", "curated_text", "lang_pred", "quality", "n_tokens"]
+        cur.filter("admit").select(*keep_cols).write.mode("append").parquet(
+            out_dir
+        )
+        if reject_dir is not None:
+            cur.filter(~F.col("admit")).select(
+                "doc_id",
+                "curated_text",
+                "lang_pred",
+                "quality",
+                "n_tokens",
+                (~F.col("c4_keep")).alias("flag_c4"),
+                (F.col("lang_pred") != "en").alias("flag_lang"),
+                (F.col("quality") < 0.3).alias("flag_quality"),
+                (F.col("n_tokens") < 5).alias("flag_short"),
+            ).write.mode("append").parquet(reject_dir)
+        cur.unpersist()
+
+    return (
+        src.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
