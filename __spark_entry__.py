@@ -2237,6 +2237,22 @@ def q_page_metadata(spark, sf_dir):
     )
 
 
+def q_text_keywords(spark, sf_dir):
+    """Integer TF-IDF keyword extraction (operators/keywords.py —
+    Sparck Jones 1972): top-3 terms per document with IDF as the
+    whole-bits log2 (bin-length) at 2^10 pre-scale, score =
+    tf * idf_bits, term-ascending tie-break. Every value is integer
+    arithmetic over one token explode + two combine-friendly
+    aggregations; the oracle recomputes tf, df, N, the bit-length
+    idf, and the windowed top-3 identically."""
+    from sharepointcrawler_spark.operators.keywords import tfidf_keywords
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_keywords(docs, k=3).select(
+        F.col("doc_id").cast("long"), "rank", "term", "tf", "score"
+    )
+
+
 def q_pii_audit(spark, sf_dir):
     """PII detection + redaction (functions/pii.py — the Dolma/ROOTS
     privacy stage): deterministic PII snippets are planted into the
@@ -2839,6 +2855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_anchor_text": q_anchor_text,
         "p13_page_metadata": q_page_metadata,
         "w7_hits": q_w7_hits,
+        "text_keywords_tfidf": q_text_keywords,
         "w4_pagerank": q_w4_pagerank,
         "dedup_paragraphs": q_dedup_paragraphs,
         "ann_topk_sq8": q_ann_topk_sq8,
@@ -4212,6 +4229,30 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
                         WHEN (1000 * sum_bits) // n_bigrams < 4600 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
+        "text_keywords_tfidf": """
+            -- recompute tf / df / N and the bin-length integer idf,
+            -- then the same (score desc, term asc) top-3 window
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                       ' '), x -> length(x) >= 2)) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS nn FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+                     CAST(tf.tf * (length(bin(n.nn * 1024 // dfc.df)) - 1)
+                          AS BIGINT) AS score
+              FROM tf JOIN dfc USING (term) CROSS JOIN n),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term) AS rank
+              FROM scored)
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, score
+            FROM ranked WHERE rank <= 3
         """,
         "p13_page_metadata": """
             -- rebuild the planted head and re-probe with RE2: (?i)

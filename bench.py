@@ -85,6 +85,7 @@ HEADLINE = [
     "p13_page_metadata",
     "w4_pagerank",
     "w7_hits",
+    "text_keywords_tfidf",
     "docx_extraction_identity",
     "xlsx_extraction_identity",
     "pptx_extraction_identity",
