@@ -52,9 +52,12 @@ def tfidf_keywords(
         staged.select("_id", F.explode("_w").alias("term"))
         .filter(F.length("term") >= min_token_len)
     )
+    # tf feeds BOTH the df derivation and the scoring join — persist
+    # so the token explode runs once (MEMORY_AND_DISK spills at scale;
+    # recomputing the explode costs more than spilling skinny rows)
     tf = toks.groupBy("_id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
-    )
+    ).persist()
     df_counts = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
