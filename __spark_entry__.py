@@ -2253,6 +2253,43 @@ def q_text_keywords(spark, sf_dir):
     )
 
 
+def q_pack_attribution(spark, sf_dir):
+    """Training-sequence attribution (the overlap table's consumer):
+    per packed sequence, which documents and SOURCES fed it — the join
+    a data-governance audit runs to answer 'what is sequence 17 made
+    of?'. Built on the identical packing as corpus_pack_sequences,
+    then one groupBy(seq_id) with sorted-distinct source rollup and
+    token-fill accounting. The oracle wraps the pack SQL and
+    recomputes the rollup with string_agg over sorted distinct
+    sources."""
+    from sharepointcrawler_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("text").isNull() | (F.trim("text") == ""), F.lit(0)
+        )
+        .otherwise(F.size(F.split(F.trim("text"), " +")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    packed = pack_sequences(docs.select("doc_id", "n_tokens"), 256)
+    return (
+        packed.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("doc_tok_end") - F.col("doc_tok_start"))
+            .cast("long")
+            .alias("n_tokens_filled"),
+            F.array_join(
+                F.array_sort(F.collect_set("source")), ","
+            ).alias("sources"),
+        )
+    )
+
+
 def q_pii_audit(spark, sf_dir):
     """PII detection + redaction (functions/pii.py — the Dolma/ROOTS
     privacy stage): deterministic PII snippets are planted into the
@@ -2856,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p13_page_metadata": q_page_metadata,
         "w7_hits": q_w7_hits,
         "text_keywords_tfidf": q_text_keywords,
+        "corpus_pack_attribution": q_pack_attribution,
         "w4_pagerank": q_w4_pagerank,
         "dedup_paragraphs": q_dedup_paragraphs,
         "ann_topk_sq8": q_ann_topk_sq8,
@@ -3015,6 +3053,37 @@ JOIN sizes sa ON sa.doc_id = s.id_a
 JOIN sizes sb ON sb.doc_id = s.id_b
 {CANDS}
 WHERE s.shared / CAST(sa.n_sh + sb.n_sh - s.shared AS DOUBLE) >= 0.6
+"""
+
+
+_PACK_SQL = """
+    -- single-window recompute of the skew-proof two-pass prefix
+    -- sum: identical integers under any partitioning, so the
+    -- naive sum() OVER (ORDER BY doc_id) is the exact oracle;
+    -- spans unroll via generate_series (the sequence() Generate)
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), ' +'))
+             END AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT)
+               AS cum_end
+      FROM toks WHERE n_tokens > 0),
+    spans AS (
+      SELECT doc_id, n_tokens, cum_end - n_tokens AS d_start,
+             CAST(unnest(generate_series(
+               (cum_end - n_tokens) // 256,
+               (cum_end - 1) // 256)) AS BIGINT) AS seq_id
+      FROM cum)
+    SELECT doc_id, n_tokens, seq_id,
+           greatest(d_start, seq_id * 256) - seq_id * 256 AS seq_offset,
+           greatest(d_start, seq_id * 256) - d_start AS doc_tok_start,
+           least(d_start + n_tokens, (seq_id + 1) * 256) - d_start
+             AS doc_tok_end
+    FROM spans
 """
 
 
@@ -4549,34 +4618,20 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
                      AS kept_md5
             FROM page
         """,
-        "corpus_pack_sequences": """
-            -- single-window recompute of the skew-proof two-pass prefix
-            -- sum: identical integers under any partitioning, so the
-            -- naive sum() OVER (ORDER BY doc_id) is the exact oracle;
-            -- spans unroll via generate_series (the sequence() Generate)
-            WITH toks AS (
-              SELECT doc_id,
-                     CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), ' +'))
-                     END AS n_tokens
-              FROM documents),
-            cum AS (
-              SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-                     CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT)
-                       AS cum_end
-              FROM toks WHERE n_tokens > 0),
-            spans AS (
-              SELECT doc_id, n_tokens, cum_end - n_tokens AS d_start,
-                     CAST(unnest(generate_series(
-                       (cum_end - n_tokens) // 256,
-                       (cum_end - 1) // 256)) AS BIGINT) AS seq_id
-              FROM cum)
-            SELECT doc_id, n_tokens, seq_id,
-                   greatest(d_start, seq_id * 256) - seq_id * 256 AS seq_offset,
-                   greatest(d_start, seq_id * 256) - d_start AS doc_tok_start,
-                   least(d_start + n_tokens, (seq_id + 1) * 256) - d_start
-                     AS doc_tok_end
-            FROM spans
+        "corpus_pack_sequences": _PACK_SQL,
+        "corpus_pack_attribution": """
+            -- wrap the pack oracle, join sources, roll up per sequence
+            WITH packed AS ("""
+        + _PACK_SQL
+        + """)
+            SELECT p.seq_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(p.doc_tok_end - p.doc_tok_start) AS BIGINT)
+                     AS n_tokens_filled,
+                   string_agg(DISTINCT d.source, ',' ORDER BY d.source)
+                     AS sources
+            FROM packed p JOIN documents d ON d.doc_id = p.doc_id
+            GROUP BY p.seq_id
         """,
         "corpus_mix": """
             -- recompute the portable-hash residue and unroll the copy

@@ -86,6 +86,7 @@ HEADLINE = [
     "w4_pagerank",
     "w7_hits",
     "text_keywords_tfidf",
+    "corpus_pack_attribution",
     "docx_extraction_identity",
     "xlsx_extraction_identity",
     "pptx_extraction_identity",
