@@ -2290,6 +2290,62 @@ def q_pack_attribution(spark, sf_dir):
     )
 
 
+def q_charset_decode(spark, sf_dir):
+    """Charset sniff + decode over BINARY pages (extraction/charset.py
+    — the WHATWG prescan core: BOM > meta label > utf-8 trial >
+    latin-1 fallback). Four byte encodings are planted per doc_id % 4:
+    meta-labeled utf-8 and ISO-8859-1 (both carrying non-ascii 'café'
+    that diverges under the wrong codec), BOM'd UTF-16LE, and
+    unlabeled ascii. The oracle never decodes — it reconstructs the
+    STRING each correct decode must produce and compares charset,
+    source, and the md5 of the text (md5 of VARCHAR is md5 of utf-8
+    bytes in both engines), so any mislabel or codec slip hash-fails."""
+    from sharepointcrawler_spark.extraction.charset import decode_pages
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    blob = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.encode(
+                F.concat(
+                    F.lit('<meta charset="utf-8">'),
+                    F.col("text"),
+                    F.lit(" café"),
+                ),
+                "UTF-8",
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.encode(
+                F.concat(
+                    F.lit('<meta charset="iso-8859-1">'),
+                    F.col("text"),
+                    F.lit(" café"),
+                ),
+                "ISO-8859-1",
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit(bytes([0xFF, 0xFE])),
+                F.encode(
+                    F.concat(F.col("text"), F.lit(" café")), "UTF-16LE"
+                ),
+            ),
+        )
+        .otherwise(F.encode(F.col("text"), "UTF-8"))
+    )
+    pages = docs.select("doc_id", blob.alias("html"))
+    return decode_pages(pages).select(
+        "doc_id",
+        "charset",
+        "charset_src",
+        F.md5("html_text").alias("text_md5"),
+    )
+
+
 def q_pii_audit(spark, sf_dir):
     """PII detection + redaction (functions/pii.py — the Dolma/ROOTS
     privacy stage): deterministic PII snippets are planted into the
@@ -2894,6 +2950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_hits": q_w7_hits,
         "text_keywords_tfidf": q_text_keywords,
         "corpus_pack_attribution": q_pack_attribution,
+        "s13_charset_decode": q_charset_decode,
         "w4_pagerank": q_w4_pagerank,
         "dedup_paragraphs": q_dedup_paragraphs,
         "ann_topk_sq8": q_ann_topk_sq8,
@@ -4298,6 +4355,27 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
                         WHEN (1000 * sum_bits) // n_bigrams < 4600 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
+        "s13_charset_decode": """
+            -- reconstruct the exact string each correct decode yields
+            -- (no SQL-side codec work needed: decode(encode(t)) == t)
+            SELECT doc_id,
+                   CASE CAST(doc_id % 4 AS INT)
+                        WHEN 0 THEN 'utf-8'
+                        WHEN 1 THEN 'iso-8859-1'
+                        WHEN 2 THEN 'utf-16-le'
+                        ELSE 'utf-8' END AS charset,
+                   CASE CAST(doc_id % 4 AS INT)
+                        WHEN 0 THEN 'meta'
+                        WHEN 1 THEN 'meta'
+                        WHEN 2 THEN 'bom'
+                        ELSE 'utf8' END AS charset_src,
+                   md5(CASE CAST(doc_id % 4 AS INT)
+                        WHEN 0 THEN '<meta charset="utf-8">' || text || ' café'
+                        WHEN 1 THEN '<meta charset="iso-8859-1">' || text || ' café'
+                        WHEN 2 THEN text || ' café'
+                        ELSE text END) AS text_md5
+            FROM documents
         """,
         "text_keywords_tfidf": """
             -- recompute tf / df / N and the bin-length integer idf,

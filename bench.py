@@ -87,6 +87,7 @@ HEADLINE = [
     "w7_hits",
     "text_keywords_tfidf",
     "corpus_pack_attribution",
+    "s13_charset_decode",
     "docx_extraction_identity",
     "xlsx_extraction_identity",
     "pptx_extraction_identity",
