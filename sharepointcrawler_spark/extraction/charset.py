@@ -103,3 +103,27 @@ def decode_pages(
         .withColumn(p + "charset_src", F.col("_cs.charset_src"))
         .drop("_cs")
     )
+
+
+def to_utf8_bytes(data: bytes | None) -> bytes | None:
+    """Transcode html bytes to utf-8 FOR THE BYTE-REGEX PARSERS —
+    conservative by construction: only a BOM or a meta label that
+    names a non-utf-8 codec (and strictly decodes) triggers a
+    transcode; every other input returns the ORIGINAL bytes object
+    untouched, so utf-8/ascii pages keep exact byte identity through
+    the extraction contract."""
+    if data is None:
+        return None
+    if data.startswith((b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff")):
+        text, _, _ = sniff_and_decode(data)
+        return text.encode("utf-8")
+    m = _META_RE.search(data[:_PRESCAN])
+    if m:
+        label = m.group(1).decode("ascii", "replace").lower()
+        codec = _LABELS.get(label)
+        if codec and codec not in ("utf-8", "ascii"):
+            try:
+                return data.decode(codec).encode("utf-8")
+            except UnicodeDecodeError:
+                pass  # mislabeled: leave bytes for the default path
+    return data

@@ -54,7 +54,13 @@ def word_pages_of(blob: bytes) -> tuple[list, list[float]]:
     RawWord, page heights) contract."""
     if is_pdf(blob):
         return parse_pdf_word_pages(blob, strict=True)
-    return parse_word_pages(blob)
+    # legacy-encoded html (BOM / non-utf-8 meta label) transcodes to
+    # utf-8 for the byte-regex parser; utf-8/ascii input returns the
+    # SAME bytes object (charset.to_utf8_bytes is a conservative
+    # no-op), preserving the byte-identity extraction contract
+    from sharepointcrawler_spark.extraction.charset import to_utf8_bytes
+
+    return parse_word_pages(to_utf8_bytes(blob))
 
 
 def _extract_one_with_err(

@@ -66,3 +66,41 @@ def test_spark_lane(spark):
     assert got[2]["charset_src"] == "bom" and CAFE in got[2]["html_text"]
     assert got[3]["charset_src"] == "meta" and CAFE in got[3]["html_text"]
     assert got[4]["html_text"] is None and got[4]["charset_src"] == "none"
+
+
+def test_to_utf8_bytes_no_op_and_transcode():
+    from sharepointcrawler_spark.extraction.charset import to_utf8_bytes
+
+    plain = b"<div>ascii page</div>"
+    assert to_utf8_bytes(plain) is plain  # exact same object: no-op
+    u8 = "café".encode("utf-8")
+    assert to_utf8_bytes(u8) is u8
+    lat = '<meta charset="iso-8859-1"><p>café</p>'.encode("latin-1")
+    assert to_utf8_bytes(lat) == (
+        '<meta charset="iso-8859-1"><p>café</p>'.encode("utf-8")
+    )
+
+
+def test_extraction_identical_across_encodings(spark):
+    """The same word-box page in utf-8 vs BOM'd utf-16 extracts to
+    IDENTICAL markdown through the full extract UDF."""
+    from sharepointcrawler_spark.extraction.udfs import extract_text_udf
+    from sharepointcrawler_spark.sources.pages import (
+        make_doc_spec,
+        render_html,
+    )
+    import random
+
+    spec = make_doc_spec(7, random.Random(7))
+    u8 = render_html(spec, [])
+    u16 = b"\xff\xfe" + u8.decode("utf-8").encode("utf-16-le")
+    df = spark.createDataFrame(
+        [(1, u8, "d"), (2, u16, "d")], "doc_id long, html binary, name string"
+    )
+    out = {
+        r["doc_id"]: r["md"]
+        for r in df.select(
+            "doc_id", extract_text_udf("html", "name").alias("md")
+        ).collect()
+    }
+    assert out[1] == out[2] and out[1]
