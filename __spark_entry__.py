@@ -2346,6 +2346,44 @@ def q_charset_decode(spark, sf_dir):
     )
 
 
+def q_sitemap_gzip(spark, sf_dir):
+    """Gzip/binary sitemap ingestion (operators/sitemap.py
+    sitemap_entries_from_blobs — sitemaps.org allows gzip members;
+    BOM'd bodies exist in the wild). 30 deterministic sitemaps are
+    built driver-side with urls derived from the id law below; ids
+    % 3 == 0 ship as gzip members (mtime=0), % 3 == 1 as BOM'd
+    UTF-16LE, % 3 == 2 as plain utf-8, and one extra corrupt-gzip row
+    (id 1000) must yield zero entries. The oracle replays the url
+    construction law directly — any inflate/decode/parse slip changes
+    loc or ord and hash-fails."""
+    import gzip as _gzip
+
+    from sharepointcrawler_spark.operators.sitemap import (
+        sitemap_entries_from_blobs,
+    )
+
+    rows = []
+    for i in range(30):
+        urls = "".join(
+            f"<url><loc>https://h{i % 5}.example.com/p/{i}/{j}</loc>"
+            f"<priority>0.{(i + j) % 10}</priority></url>"
+            for j in range(1 + i % 4)
+        )
+        xml = f'<urlset xmlns="x">{urls}</urlset>'
+        if i % 3 == 0:
+            body = _gzip.compress(xml.encode("utf-8"), mtime=0)
+        elif i % 3 == 1:
+            body = b"\xff\xfe" + xml.encode("utf-16-le")
+        else:
+            body = xml.encode("utf-8")
+        rows.append((i, bytearray(body)))
+    rows.append((1000, bytearray(b"\x1f\x8b\x08\x00truncated")))
+    df = spark.createDataFrame(rows, "sitemap_id long, body binary")
+    return sitemap_entries_from_blobs(df).select(
+        "sitemap_id", "ord", "loc", "priority"
+    )
+
+
 def q_pii_audit(spark, sf_dir):
     """PII detection + redaction (functions/pii.py — the Dolma/ROOTS
     privacy stage): deterministic PII snippets are planted into the
@@ -2951,6 +2989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_keywords_tfidf": q_text_keywords,
         "corpus_pack_attribution": q_pack_attribution,
         "s13_charset_decode": q_charset_decode,
+        "s14_sitemap_gzip": q_sitemap_gzip,
         "w4_pagerank": q_w4_pagerank,
         "dedup_paragraphs": q_dedup_paragraphs,
         "ann_topk_sq8": q_ann_topk_sq8,
@@ -4355,6 +4394,24 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
                         WHEN (1000 * sum_bits) // n_bigrams < 4600 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
+        "s14_sitemap_gzip": """
+            -- replay the url construction law: sitemap i yields
+            -- 1 + i%4 entries in document order; the corrupt-gzip row
+            -- (id 1000) contributes nothing
+            WITH ids AS (SELECT unnest(generate_series(0, 29)) AS i),
+            ent AS (
+              SELECT i AS sitemap_id,
+                     unnest(generate_series(0, i % 4)) AS j
+              FROM ids)
+            SELECT CAST(sitemap_id AS BIGINT) AS sitemap_id,
+                   CAST(j AS BIGINT) AS ord,
+                   'https://h' || CAST(sitemap_id % 5 AS VARCHAR)
+                     || '.example.com/p/' || CAST(sitemap_id AS VARCHAR)
+                     || '/' || CAST(j AS VARCHAR) AS loc,
+                   CAST('0.' || CAST((sitemap_id + j) % 10 AS VARCHAR)
+                        AS DOUBLE) AS priority
+            FROM ent
         """,
         "s13_charset_decode": """
             -- reconstruct the exact string each correct decode yields

@@ -88,6 +88,7 @@ HEADLINE = [
     "text_keywords_tfidf",
     "corpus_pack_attribution",
     "s13_charset_decode",
+    "s14_sitemap_gzip",
     "docx_extraction_identity",
     "xlsx_extraction_identity",
     "pptx_extraction_identity",

@@ -279,3 +279,45 @@ def sitemap_frontier_rows(
         .withColumn("attempt", F.lit(0))
         .select([f.name for f in FRONTIER_SCHEMA.fields])
     )
+
+
+def sitemap_blob_to_xml(blob: bytes | None) -> str | None:
+    """Raw fetched sitemap body -> xml string: gzip members
+    (sitemaps.org: 'sitemap files may be compressed using gzip')
+    inflate via the 1f 8b magic, everything else decodes through the
+    charset sniffer (BOM'd UTF-16 sitemaps exist in the wild)."""
+    if blob is None:
+        return None
+    if blob[:2] == b"\x1f\x8b":
+        import gzip
+
+        try:
+            blob = gzip.decompress(blob)
+        except (OSError, EOFError):
+            # BadGzipFile is OSError; a truncated member raises EOFError
+            return None  # corrupt member: no entries, never a crash
+    from sharepointcrawler_spark.extraction.charset import sniff_and_decode
+
+    text, _, _ = sniff_and_decode(blob)
+    return text
+
+
+import pandas as _pd
+from pyspark.sql import types as _T
+
+
+@F.pandas_udf(_T.StringType())
+def _inflate_udf(blobs: _pd.Series) -> _pd.Series:
+    return blobs.map(sitemap_blob_to_xml)
+
+
+def sitemap_entries_from_blobs(
+    sitemaps: DataFrame, blob_col: str = "body", id_col: str = "sitemap_id"
+) -> DataFrame:
+    """BINARY sitemap bodies -> the same entry table as
+    :func:`sitemap_entries`: one Arrow crossing inflates/decodes, the
+    JVM regex path parses. Undecodable members yield zero entries."""
+    staged = sitemaps.select(
+        F.col(id_col), _inflate_udf(F.col(blob_col)).alias("xml")
+    ).filter(F.col("xml").isNotNull())
+    return sitemap_entries(staged, xml_col="xml", id_col=id_col)
