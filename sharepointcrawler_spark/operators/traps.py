@@ -118,14 +118,28 @@ def trap_flags(
         ),
     )
 
+    staged = staged.withColumn("_segs_sorted", F.array_sort("_segs"))
+
     depth = F.size("_segs")
-    # max multiplicity of any one segment: for each segment, count its
-    # occurrences in the same array; max over those counts.
-    seg_counts = F.transform(
-        F.col("_segs"),
-        lambda s: F.size(F.filter(F.col("_segs"), lambda x: x == s)),
+    # max multiplicity of any one segment, via sort + longest run of
+    # equal ADJACENT elements (the per-element count-occurrences
+    # lambda is O(d^2) and measured 50 s at sf0.1 on 2 KB URLs with
+    # ~220 segments; this is O(d log d) and computes the same value).
+    # zip_with pads the 1-shorter shifted side with NULL -> '0'.
+    eq_bits = F.concat_ws(
+        "",
+        F.zip_with(
+            F.col("_segs_sorted"),
+            F.expr("slice(_segs_sorted, 2, size(_segs_sorted))"),
+            lambda x, y: F.when(y.isNull() | (x != y), F.lit("0")).otherwise(
+                F.lit("1")
+            ),
+        ),
     )
-    max_repeat = F.coalesce(F.array_max(seg_counts), F.lit(0))
+    eq_runs = F.transform(F.split(eq_bits, "0"), lambda r: F.length(r))
+    max_repeat = F.when(depth == 0, F.lit(0)).otherwise(
+        F.coalesce(F.array_max(eq_runs), F.lit(0)) + 1
+    )
 
     n_params = F.size("_params")
     param_names = F.transform(F.col("_params"), lambda p: F.split(p, "=")[0])
@@ -156,7 +170,7 @@ def trap_flags(
             "numeric_run": numeric_run.cast("int"),
             "url_length": length.cast("int"),
         }
-    ).drop("_segs", "_params")
+    ).drop("_segs", "_segs_sorted", "_params")
 
     is_trap = (
         (F.col("path_depth") > rules.max_depth)
