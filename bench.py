@@ -504,6 +504,16 @@ def _vs_prev(queries: dict[str, float]) -> dict:
                     if depth == 0:
                         break
                 prev = json.loads(tail[start:j])
+            else:
+                # head-truncation can cut the '"queries": {' marker
+                # itself; salvage by regexing name->seconds pairs out
+                # of the fragment BEFORE "vs_prev" and keeping only
+                # names we actually time (query keys are unambiguous)
+                frag = tail.split('"vs_prev"')[0]
+                pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', frag)
+                known = set(HEADLINE) | {"pages_pipeline", "crawl_loop",
+                                         "curation_pipeline"}
+                prev = {k: float(v) for k, v in pairs if k in known}
     except Exception:
         return {}
     ratios = {
