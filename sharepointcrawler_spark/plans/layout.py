@@ -1,0 +1,65 @@
+"""Bucketed table layout — shuffle-free co-located joins.
+
+At 10^10 frontier rows the recurring cost is not one join but the SAME
+join every wave: frontier-vs-seen, scores-vs-frontier, links-vs-pages,
+all keyed by the url hash. Spark's answer is bucketing: write both
+sides pre-hash-partitioned into the same number of buckets on the join
+key and the SortMergeJoin reads co-located buckets with NO Exchange on
+either side — the per-wave shuffle disappears from the plan entirely
+(the Iceberg storage-partitioned-join equivalent; the engine's seen
+table already emulates the pruning half via ``seen_buckets``).
+
+``write_bucketed`` / ``read_table`` wrap the saveAsTable ceremony
+(bucketing metadata lives in the session catalog, not the parquet
+footer — a plain ``spark.read.parquet`` of the same files would NOT
+know the layout), and ``exchange_count`` is the plan probe the tests
+assert with. The catalog dependency is why the crawl's own state
+tables use explicit hash-partition columns instead; this module is the
+layout lever for the CORPUS side, where tables are written once and
+joined constantly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str | None = None,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write ``df`` as a bucketed catalog table (overwrite). Both sides
+    of a co-located join must use the SAME ``n_buckets`` and key
+    column(s). ``sort_cols`` additionally sorts within buckets so the
+    SortMergeJoin skips its per-bucket sort."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    w = df.write.mode("overwrite").format("parquet")
+    if path is not None:
+        w = w.option("path", path)
+    w = w.bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read — REQUIRED for the bucket metadata to reach the
+    planner (reading the parquet path directly loses the layout)."""
+    return spark.table(table)
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Shuffle operators in the final executed plan (AQE's initial-plan
+    section excluded) — the co-location assertion probe."""
+    plan = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    return plan.count("Exchange")
