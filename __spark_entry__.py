@@ -2384,6 +2384,27 @@ def q_sitemap_gzip(spark, sf_dir):
     )
 
 
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index construction (operators/keywords.py
+    inverted_index — the original MapReduce workload): per term the
+    document frequency, corpus-wide tf, and the SORTED delta-encoded
+    posting list (first id, then gaps). Postings are integers, order
+    is deterministic (sort_array), and the csv join makes the list
+    hash-comparable; the oracle rebuilds the same lists with
+    list_sort + an index-lambda gap transform."""
+    from sharepointcrawler_spark.operators.keywords import inverted_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return inverted_index(docs).select(
+        "term",
+        "df",
+        "total_tf",
+        F.array_join(F.col("postings").cast("array<string>"), ",").alias(
+            "postings_csv"
+        ),
+    )
+
+
 def q_pii_audit(spark, sf_dir):
     """PII detection + redaction (functions/pii.py — the Dolma/ROOTS
     privacy stage): deterministic PII snippets are planted into the
@@ -2990,6 +3011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_attribution": q_pack_attribution,
         "s13_charset_decode": q_charset_decode,
         "s14_sitemap_gzip": q_sitemap_gzip,
+        "text_inverted_index": q_inverted_index,
         "w4_pagerank": q_w4_pagerank,
         "dedup_paragraphs": q_dedup_paragraphs,
         "ann_topk_sq8": q_ann_topk_sq8,
@@ -4433,6 +4455,30 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
                         WHEN 2 THEN text || ' café'
                         ELSE text END) AS text_md5
             FROM documents
+        """,
+        "text_inverted_index": """
+            -- same tf derivation as the keywords oracle, then sorted
+            -- posting lists gap-encoded with an index lambda
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                       ' '), x -> length(x) >= 2)) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            per AS (
+              SELECT term, count(*) AS df, sum(tf) AS total_tf,
+                     list_sort(list(doc_id)) AS ids
+              FROM tf GROUP BY term)
+            SELECT term,
+                   CAST(df AS BIGINT) AS df,
+                   CAST(total_tf AS BIGINT) AS total_tf,
+                   array_to_string(list_transform(
+                     generate_series(1, len(ids)),
+                     i -> CAST(ids[i] - CASE WHEN i = 1 THEN 0
+                                             ELSE ids[i - 1] END
+                               AS VARCHAR)), ',') AS postings_csv
+            FROM per
         """,
         "text_keywords_tfidf": """
             -- recompute tf / df / N and the bin-length integer idf,

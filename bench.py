@@ -89,6 +89,7 @@ HEADLINE = [
     "corpus_pack_attribution",
     "s13_charset_decode",
     "s14_sitemap_gzip",
+    "text_inverted_index",
     "docx_extraction_identity",
     "xlsx_extraction_identity",
     "pptx_extraction_identity",

@@ -92,3 +92,61 @@ def tfidf_keywords(
             "score",
         )
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_token_len: int = 2,
+) -> DataFrame:
+    """Term -> posting-list construction (the original MapReduce
+    example, Dean & Ghemawat 2004 §2.1; every search/dedup-audit stack
+    materializes one). One row per term:
+
+    - ``df``: document frequency
+    - ``total_tf``: corpus-wide occurrences
+    - ``postings``: sorted doc ids, DELTA-ENCODED (first id, then
+      gaps) — the classic compression transform (gaps are small for
+      frequent terms, so varint/bit-packing downstream gets its wins;
+      here the transform itself is the operator)
+
+    Shape: the tf table (one explode, map-side combined) groups by
+    term with ``sort_array(collect_list(...))`` — postings order is
+    by doc id, deterministic under any partitioning. The gap transform
+    is a JVM zip_with over the sorted array; nothing leaves the JVM.
+
+    Scale note: stopword terms make single giant rows (the classic
+    index-build skew). Production layouts split hot posting lists into
+    fixed-size segments keyed (term, segment) — compose this operator
+    after a ``pmod(doc_id, k)`` pre-split when a corpus's head terms
+    overflow a task; the transform is unchanged per segment.
+    """
+    staged = docs.select(
+        F.col(id_col).alias("_id"), tokens_expr(text_col).alias("_w")
+    )
+    toks = staged.select("_id", F.explode("_w").alias("term")).filter(
+        F.length("term") >= min_token_len
+    )
+    tf = toks.groupBy("_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    per_term = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.sort_array(F.collect_list("_id")).alias("_ids"),
+    )
+    # delta encode: ids[0], ids[1]-ids[0], ... via a shifted zip
+    return per_term.select(
+        "term",
+        "df",
+        "total_tf",
+        F.expr(
+            """
+            zip_with(_ids,
+                     concat(array(CAST(0 AS BIGINT)),
+                            slice(_ids, 1, size(_ids) - 1)),
+                     (cur, prev) -> cur - prev)
+            """
+        ).alias("postings"),
+    )

@@ -75,3 +75,20 @@ def test_empty_and_short_docs(spark):
     )
     got = {r["doc_id"] for r in tfidf_keywords(df).collect()}
     assert got == {1}  # doc 2 empty; doc 3 all tokens under min length
+
+
+def test_inverted_index_delta_postings(spark):
+    from sharepointcrawler_spark.operators.keywords import inverted_index
+
+    rows = [(10, "alpha beta"), (13, "alpha gamma"), (99, "alpha")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["term"]: r for r in inverted_index(df).collect()}
+    assert got["alpha"]["postings"] == [10, 3, 86]  # 10, 13, 99 deltas
+    assert got["alpha"]["df"] == 3 and got["alpha"]["total_tf"] == 3
+    assert got["beta"]["postings"] == [10]
+    assert got["gamma"]["postings"] == [13]
+    # reconstruction: cumulative sum restores the sorted ids
+    acc, ids = 0, []
+    for d in got["alpha"]["postings"]:
+        acc += d; ids.append(acc)
+    assert ids == [10, 13, 99]
