@@ -2405,6 +2405,38 @@ def q_inverted_index(spark, sf_dir):
     )
 
 
+def q_site_profile(spark, sf_dir):
+    """Site-level crawl profile (the budgeting report a frontier
+    operator reads before allocating wave budgets): the p10 host
+    fixture grouped by SITE (the politeness unit — registrable domain,
+    with private-registry subdomains kept separate): distinct hosts,
+    row volume, and the lexical min host as the site representative.
+    The oracle wraps the p10 PSL replay and re-aggregates."""
+    from sharepointcrawler_spark.functions.psl import with_site_column
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    host = (
+        F.when(k % 7 == 0, F.concat(F.lit("news"), (k % 10).cast("string"), F.lit(".bbc.co.uk")))
+        .when(k % 7 == 1, F.concat(F.lit("blog"), (k % 10).cast("string"), F.lit(".blogspot.com")))
+        .when(k % 7 == 2, F.concat(F.lit("deep.sub.host"), (k % 10).cast("string"), F.lit(".org.uk")))
+        .when(k % 7 == 3, F.concat(F.lit("foo"), (k % 10).cast("string"), F.lit(".bar.ck")))
+        .when(k % 7 == 4, F.lit("www.ck"))
+        .when(k % 7 == 5, F.lit("localhost"))
+        .otherwise(F.concat(F.lit("pages"), (k % 10).cast("string"), F.lit(".github.io")))
+    )
+    df = cust.select(k.cast("long").alias("c_custkey"), host.alias("host"))
+    return (
+        with_site_column(df)
+        .groupBy("site")
+        .agg(
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("host").alias("first_host"),
+        )
+    )
+
+
 def q_pii_audit(spark, sf_dir):
     """PII detection + redaction (functions/pii.py — the Dolma/ROOTS
     privacy stage): deterministic PII snippets are planted into the
@@ -3012,6 +3044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s13_charset_decode": q_charset_decode,
         "s14_sitemap_gzip": q_sitemap_gzip,
         "text_inverted_index": q_inverted_index,
+        "a4_site_profile": q_site_profile,
         "w4_pagerank": q_w4_pagerank,
         "dedup_paragraphs": q_dedup_paragraphs,
         "ann_topk_sq8": q_ann_topk_sq8,
@@ -3203,6 +3236,73 @@ _PACK_SQL = """
              AS doc_tok_end
     FROM spans
 """
+
+
+_P10_SQL = """
+            -- publicsuffix.org algorithm re-run as an unrolled CASE:
+            -- suffix candidates via list_slice, exception beats all,
+            -- then longest exact/wildcard match, else the implicit *
+            WITH h AS (
+              SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+                     CASE c_custkey % 7
+                       WHEN 0 THEN 'news' || (c_custkey % 10) || '.bbc.co.uk'
+                       WHEN 1 THEN 'blog' || (c_custkey % 10) || '.blogspot.com'
+                       WHEN 2 THEN 'deep.sub.host' || (c_custkey % 10) || '.org.uk'
+                       WHEN 3 THEN 'foo' || (c_custkey % 10) || '.bar.ck'
+                       WHEN 4 THEN 'www.ck'
+                       WHEN 5 THEN 'localhost'
+                       ELSE 'pages' || (c_custkey % 10) || '.github.io'
+                     END AS host
+              FROM customer),
+            t AS (
+              SELECT *, string_split(lower(trim(host)), '.') AS l,
+                     len(string_split(lower(trim(host)), '.')) AS n
+              FROM h),
+            s AS (
+              SELECT *,
+                CASE WHEN n >= 1 THEN array_to_string(list_slice(l, n, n), '.') END AS s1,
+                CASE WHEN n >= 2 THEN array_to_string(list_slice(l, n-1, n), '.') END AS s2,
+                CASE WHEN n >= 3 THEN array_to_string(list_slice(l, n-2, n), '.') END AS s3,
+                CASE WHEN n >= 4 THEN array_to_string(list_slice(l, n-3, n), '.') END AS s4,
+                CASE WHEN n >= 5 THEN array_to_string(list_slice(l, n-4, n), '.') END AS s5
+              FROM t),
+            p AS (
+              SELECT *,
+                CASE
+                  WHEN s2 IN ('www.ck') THEN 1
+                  WHEN s5 IN ('com','org','net','edu','gov','io','co','uk',
+                              'co.uk','org.uk','ac.uk','gov.uk','jp','co.jp',
+                              'ne.jp','au','com.au','org.au','de','fr','nl',
+                              'it','us','github.io','blogspot.com') THEN 5
+                  WHEN n >= 5 AND s4 IN ('ck','bd') THEN 5
+                  WHEN s4 IN ('com','org','net','edu','gov','io','co','uk',
+                              'co.uk','org.uk','ac.uk','gov.uk','jp','co.jp',
+                              'ne.jp','au','com.au','org.au','de','fr','nl',
+                              'it','us','github.io','blogspot.com') THEN 4
+                  WHEN n >= 4 AND s3 IN ('ck','bd') THEN 4
+                  WHEN s3 IN ('com','org','net','edu','gov','io','co','uk',
+                              'co.uk','org.uk','ac.uk','gov.uk','jp','co.jp',
+                              'ne.jp','au','com.au','org.au','de','fr','nl',
+                              'it','us','github.io','blogspot.com') THEN 3
+                  WHEN n >= 3 AND s2 IN ('ck','bd') THEN 3
+                  WHEN s2 IN ('com','org','net','edu','gov','io','co','uk',
+                              'co.uk','org.uk','ac.uk','gov.uk','jp','co.jp',
+                              'ne.jp','au','com.au','org.au','de','fr','nl',
+                              'it','us','github.io','blogspot.com') THEN 2
+                  WHEN n >= 2 AND s1 IN ('ck','bd') THEN 2
+                  ELSE 1
+                END AS ps
+              FROM s)
+            SELECT c_custkey, host,
+                   CASE WHEN n <= ps THEN NULL
+                        ELSE array_to_string(list_slice(l, n-ps, n), '.')
+                   END AS registrable,
+                   coalesce(
+                     CASE WHEN n <= ps THEN NULL
+                          ELSE array_to_string(list_slice(l, n-ps, n), '.')
+                     END, host) AS site
+            FROM p
+        """
 
 
 def _hits_oracle(n_iters: int = 4, scale: int = 10**6) -> str:
@@ -4210,70 +4310,17 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
                    FROM nodes LEFT JOIN c4 ON c4.n = nodes.n)
             SELECT n AS node, CAST(s AS BIGINT) AS score FROM s4
         """,
-        "p10_registrable_domain": """
-            -- publicsuffix.org algorithm re-run as an unrolled CASE:
-            -- suffix candidates via list_slice, exception beats all,
-            -- then longest exact/wildcard match, else the implicit *
-            WITH h AS (
-              SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
-                     CASE c_custkey % 7
-                       WHEN 0 THEN 'news' || (c_custkey % 10) || '.bbc.co.uk'
-                       WHEN 1 THEN 'blog' || (c_custkey % 10) || '.blogspot.com'
-                       WHEN 2 THEN 'deep.sub.host' || (c_custkey % 10) || '.org.uk'
-                       WHEN 3 THEN 'foo' || (c_custkey % 10) || '.bar.ck'
-                       WHEN 4 THEN 'www.ck'
-                       WHEN 5 THEN 'localhost'
-                       ELSE 'pages' || (c_custkey % 10) || '.github.io'
-                     END AS host
-              FROM customer),
-            t AS (
-              SELECT *, string_split(lower(trim(host)), '.') AS l,
-                     len(string_split(lower(trim(host)), '.')) AS n
-              FROM h),
-            s AS (
-              SELECT *,
-                CASE WHEN n >= 1 THEN array_to_string(list_slice(l, n, n), '.') END AS s1,
-                CASE WHEN n >= 2 THEN array_to_string(list_slice(l, n-1, n), '.') END AS s2,
-                CASE WHEN n >= 3 THEN array_to_string(list_slice(l, n-2, n), '.') END AS s3,
-                CASE WHEN n >= 4 THEN array_to_string(list_slice(l, n-3, n), '.') END AS s4,
-                CASE WHEN n >= 5 THEN array_to_string(list_slice(l, n-4, n), '.') END AS s5
-              FROM t),
-            p AS (
-              SELECT *,
-                CASE
-                  WHEN s2 IN ('www.ck') THEN 1
-                  WHEN s5 IN ('com','org','net','edu','gov','io','co','uk',
-                              'co.uk','org.uk','ac.uk','gov.uk','jp','co.jp',
-                              'ne.jp','au','com.au','org.au','de','fr','nl',
-                              'it','us','github.io','blogspot.com') THEN 5
-                  WHEN n >= 5 AND s4 IN ('ck','bd') THEN 5
-                  WHEN s4 IN ('com','org','net','edu','gov','io','co','uk',
-                              'co.uk','org.uk','ac.uk','gov.uk','jp','co.jp',
-                              'ne.jp','au','com.au','org.au','de','fr','nl',
-                              'it','us','github.io','blogspot.com') THEN 4
-                  WHEN n >= 4 AND s3 IN ('ck','bd') THEN 4
-                  WHEN s3 IN ('com','org','net','edu','gov','io','co','uk',
-                              'co.uk','org.uk','ac.uk','gov.uk','jp','co.jp',
-                              'ne.jp','au','com.au','org.au','de','fr','nl',
-                              'it','us','github.io','blogspot.com') THEN 3
-                  WHEN n >= 3 AND s2 IN ('ck','bd') THEN 3
-                  WHEN s2 IN ('com','org','net','edu','gov','io','co','uk',
-                              'co.uk','org.uk','ac.uk','gov.uk','jp','co.jp',
-                              'ne.jp','au','com.au','org.au','de','fr','nl',
-                              'it','us','github.io','blogspot.com') THEN 2
-                  WHEN n >= 2 AND s1 IN ('ck','bd') THEN 2
-                  ELSE 1
-                END AS ps
-              FROM s)
-            SELECT c_custkey, host,
-                   CASE WHEN n <= ps THEN NULL
-                        ELSE array_to_string(list_slice(l, n-ps, n), '.')
-                   END AS registrable,
-                   coalesce(
-                     CASE WHEN n <= ps THEN NULL
-                          ELSE array_to_string(list_slice(l, n-ps, n), '.')
-                     END, host) AS site
-            FROM p
+        "p10_registrable_domain": _P10_SQL,
+        "a4_site_profile": """
+            -- wrap the PSL replay and re-aggregate per site
+            WITH p10 AS ("""
+        + _P10_SQL
+        + """)
+            SELECT site,
+                   CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(host) AS first_host
+            FROM p10 GROUP BY site
         """,
         "p11_surt_key": """
             -- SURT transform re-run step by step: scheme/userinfo off,

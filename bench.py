@@ -90,6 +90,7 @@ HEADLINE = [
     "s13_charset_decode",
     "s14_sitemap_gzip",
     "text_inverted_index",
+    "a4_site_profile",
     "docx_extraction_identity",
     "xlsx_extraction_identity",
     "pptx_extraction_identity",
