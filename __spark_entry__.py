@@ -54,7 +54,13 @@ DEC = "decimal(18,2)"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # the sf fixtures are ONE parquet file with ONE row group each ->
+    # one scan split; spread the base rows so per-row compute above the
+    # first exchange uses every core (no-op when the scan already
+    # yields >= defaultParallelism splits — the production shape)
+    from sharepointcrawler_spark.plans.layout import spread_small_scan
+
+    return spread_small_scan(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 # --------------------------------------------------------------- flagship

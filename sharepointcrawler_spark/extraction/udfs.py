@@ -204,6 +204,11 @@ def pages_expander(pages_df, respect_nofollow: bool = False):
     )
     if respect_nofollow:
         keyed = nofollow_parent_filter(keyed, html_col="html")
+    # the expander is probed once per WAVE: persist the canonicalized
+    # join side so the canonicalize pandas UDF crosses the corpus once
+    # per crawl, not once per wave (MEMORY_AND_DISK — blobs spill; the
+    # production substitute is a bucketed/sorted pages table, layout.py)
+    keyed = keyed.persist()
 
     def expand(wave):
         fetched = wave.select("url_canon").distinct().join(

@@ -244,6 +244,58 @@ def bloom_filtered_unseen(
     return definite.unionByName(confirmed_unseen)
 
 
+def absorb_keys_into_shards(
+    shards: DataFrame,
+    new_keys: DataFrame,
+    n_shards: int,
+    geometry: tuple[int, int],
+) -> DataFrame:
+    """OR the ``new_keys`` (url_key rows) directly into the existing
+    shard bitsets in ONE cogrouped pass — equivalent to
+    ``merge_bloom_shards(shards, build_bloom_shards(new_keys, ...))``
+    but with a single Python-boundary shuffle stage instead of two
+    (build's groupBy-applyInPandas + merge's groupBy-applyInPandas):
+    the per-wave bloom update is pure fixed overhead at small waves and
+    one fewer full stage at any scale. Shards absent on the old side
+    (fresh crawl, or a shard that never saw a key) are created with the
+    given ``geometry``."""
+    m_bits, k = geometry
+    keyed = new_keys.select(
+        "url_key",
+        F.pmod(F.col("url_key"), F.lit(n_shards)).cast("int").alias("shard"),
+    )
+
+    def absorb(key, keys_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        if len(shard_pdf):
+            bits = np.frombuffer(shard_pdf["bits"].iloc[0], dtype=np.uint64).copy()
+            n_old = int(shard_pdf["n_items"].iloc[0])
+            mb = int(shard_pdf["m_bits"].iloc[0])
+            kh = int(shard_pdf["k_hashes"].iloc[0])
+        else:
+            bits = np.zeros(m_bits // 64, dtype=np.uint64)
+            n_old, mb, kh = 0, m_bits, k
+        if len(keys_pdf):
+            keys = keys_pdf["url_key"].to_numpy(dtype=np.int64)
+            _set_bits(bits, _positions(keys, mb, kh))
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_shards": [n_shards],
+                "m_bits": [mb],
+                "k_hashes": [kh],
+                "n_items": [n_old + len(keys_pdf)],
+                "bits": [bits.tobytes()],
+            }
+        )
+
+    return (
+        keyed.groupBy("shard")
+        .cogroup(shards.groupBy("shard"))
+        .applyInPandas(absorb, BLOOM_SHARD_SCHEMA)
+    )
+
+
 def merge_bloom_shards(old: DataFrame, delta: DataFrame) -> DataFrame:
     """OR-merge two shard sets with identical (n_shards, m_bits, k).
 

@@ -145,14 +145,17 @@ def graph_expander(edges: DataFrame) -> Callable[[DataFrame], DataFrame]:
     (fixture form of S1: edges(parent_url, child_url, kind, sibling_idx)).
 
     The edges side is keyed by canonical parent URL; the join is a plain
-    equi-join that AQE will broadcast when the wave is small.
+    equi-join that AQE will broadcast when the wave is small. The keyed
+    side PERSISTS: the expander is probed once per wave, and without the
+    cache every wave re-runs the canonicalize pandas UDF over the whole
+    edge table (measured as a full Arrow-crossing scan per wave).
     """
     keyed = edges.select(
         canonicalize_url("parent_url").alias("parent_canon"),
         "child_url",
         "kind",
         "sibling_idx",
-    )
+    ).persist()
 
     def expand(wave: DataFrame) -> DataFrame:
         return keyed.join(
@@ -172,7 +175,17 @@ def global_sequence(df: DataFrame, order_col: str, out_col: str = "crawl_seq") -
     partitions, count rows per partition (tiny driver-side list), and add
     the partition's cumulative offset to a per-partition cumcount inside
     ``mapInPandas``. Two passes over the data, no single-reducer stage.
+
+    Small inputs (planner estimate under ~32 MB) take the plain global
+    window instead: one task sorting a few MB cannot OOM, and the
+    two-pass machinery is 3 extra jobs of pure overhead there. Output
+    is identical (``order_col`` is a unique key for every caller).
     """
+    from sharepointcrawler_spark.plans.layout import estimated_size_bytes
+
+    if estimated_size_bytes(df) <= (32 << 20):
+        w = Window.orderBy(order_col)
+        return df.withColumn(out_col, F.row_number().over(w).cast("long"))
     spark = df.sparkSession
     n = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     sorted_df = df.repartitionByRange(n, F.col(order_col)).sortWithinPartitions(order_col)

@@ -65,10 +65,19 @@ def grouped_sequence(
     per-partition layout (narrow BroadcastHashJoin).
 
     ``approx_rows`` (when the caller knows the wave size) picks the
-    small-wave window fast path below SMALL_WAVE_THRESHOLD.
+    small-wave window fast path below SMALL_WAVE_THRESHOLD; without it,
+    the planner's size estimate gates the same choice (under ~32 MB the
+    one-shuffle window cannot OOM a task and the two-pass machinery is
+    pure overhead — 3 extra jobs). Output identical either way
+    (pytest-asserted equivalence).
     """
     if approx_rows is not None and approx_rows < SMALL_WAVE_THRESHOLD:
         return grouped_rank_window(df, group_col, order_cols, out_col)
+    if approx_rows is None:
+        from sharepointcrawler_spark.plans.layout import estimated_size_bytes
+
+        if estimated_size_bytes(df) <= (32 << 20):
+            return grouped_rank_window(df, group_col, order_cols, out_col)
     spark = df.sparkSession
     n = max(spark.sparkContext.defaultParallelism, 1)
     cols = [group_col] + order_cols

@@ -81,9 +81,12 @@ def resolve_redirects(
     # each round references the previous state TWICE (as f and as the
     # doubling map) — without severing lineage the plan doubles per
     # round and the executed plan recomputes every prior round 2^k
-    # times (measured: 158 exchanges for 5 rounds). Eager
-    # localCheckpoint = one small job per round, lineage depth 1.
-    f = f.localCheckpoint(eager=True)
+    # times (measured: 158 exchanges for 5 rounds). LAZY localCheckpoint
+    # = lineage depth 1 per round with the whole doubling recurrence
+    # still ONE caller action (the eager variant blocked the driver for
+    # one materialization job per round — pure fixed overhead; blocks
+    # cache on first use inside the final action either way).
+    f = f.localCheckpoint(eager=False)
     m = f
     for _ in range(rounds):
         step = m.select(
@@ -108,7 +111,7 @@ def resolve_redirects(
                 .alias("done"),
             )
         )
-        f = f.localCheckpoint(eager=True)
+        f = f.localCheckpoint(eager=False)
         m = f
 
     exceeded = (~F.col("done")) | (F.col("hops") > max_hops)

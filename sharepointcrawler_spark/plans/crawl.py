@@ -507,14 +507,25 @@ def run_crawl(
             # set eagerly; persist children so that tiny job does not
             # recompute the expansion
             children = children.persist()
+        probed = None
         if cfg.use_bloom:
-            new_rows = dd.bloom_filtered_unseen(
-                children,
-                shards,
-                seen_df,
-                n_shards=cfg.n_bloom_shards,
-                seen_buckets=cfg.seen_buckets,
-            )
+            # inlined bloom_filtered_unseen with the probed rows
+            # PERSISTED: its definite/maybe branches re-enter a union,
+            # and without the cache each branch re-runs the whole
+            # expansion + cogroup probe chain (the wave's expensive
+            # stages, measured twice per wave)
+            probed = dd.bloom_probe(
+                children, shards, n_shards=cfg.n_bloom_shards
+            ).persist()
+            definite = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+            if cfg.seen_buckets:
+                confirmed = dd.bucketed_confirm_unseen(
+                    maybe, seen_df, cfg.seen_buckets
+                )
+            else:
+                confirmed = dd.anti_join_unseen(maybe, seen_df)
+            new_rows = definite.unionByName(confirmed)
         else:
             new_rows = dd.anti_join_unseen(children, seen_df)
         # the expand+dedup pipeline feeds THREE writes (frontier delta,
@@ -550,10 +561,13 @@ def run_crawl(
                 seen_df.select("url_key"), "url_key", "left_anti"
             )
         ).distinct().persist()
-        delta_shards = dd.build_bloom_shards(
-            seen_delta, n_shards=cfg.n_bloom_shards, geometry=geometry
+        # one cogrouped pass ORs the wave's new keys straight into the
+        # existing bitsets — replaces build_bloom_shards +
+        # merge_bloom_shards (two Python-boundary shuffle stages per
+        # wave, pure fixed overhead at small waves)
+        shards = dd.absorb_keys_into_shards(
+            shards, seen_delta.select("url_key"), cfg.n_bloom_shards, geometry
         )
-        shards = dd.merge_bloom_shards(shards, delta_shards)
         fetch_log = scheduled.select(
             "url_canon", "host", F.lit(wave).alias("wave_id"), "fetch_slot"
         )
@@ -590,7 +604,22 @@ def run_crawl(
                 ).alias("message"),
             )
             to_write["errors"] = (errors, "errors", None)
-        with ThreadPoolExecutor(max_workers=len(to_write)) as pool:
+        # ONE stats job for the whole wave: a tagged union of 1-column
+        # projections over the still-persisted wave DataFrames (scheduled,
+        # denied-from-persisted-pending, seen_delta) plus the delta
+        # read-back — which doubles as the evidence of rows physically
+        # written this wave. Replaces the former 4 separate count()
+        # actions per wave (each a full Spark job: the bulk of the
+        # fixed per-wave overhead at toy scale). The delta read-back tag
+        # embeds spark_partition_id, so the SAME job also yields the
+        # per-partition lineage rows (north_rule "per-partition lineage
+        # + metrics") at zero extra actions. The stats job depends only
+        # on the frontier-delta write, so it runs CONCURRENTLY with the
+        # remaining snapshot writes instead of serially after them.
+        def _tag(df: DataFrame, key: str) -> DataFrame:
+            return df.select(F.lit(key).alias("_k"))
+
+        with ThreadPoolExecutor(max_workers=len(to_write) + 1) as pool:
             futures = {
                 key: (
                     pool.submit(store.write, df, name, wave)
@@ -601,39 +630,32 @@ def run_crawl(
                 )
                 for key, (df, name, pcol) in to_write.items()
             }
+
+            def _stats_job() -> dict:
+                dp = futures["frontier_delta"].result()
+                delta_readback = spark.read.parquet(dp).select(
+                    F.concat(
+                        F.lit("delta_pid_"),
+                        F.spark_partition_id().cast("string"),
+                    ).alias("_k")
+                )
+                return {
+                    r["_k"]: r["n"]
+                    for r in _tag(scheduled, "scheduled")
+                    .unionAll(_tag(denied, "denied"))
+                    .unionAll(_tag(seen_delta, "discovered_new"))
+                    .unionAll(delta_readback)
+                    .groupBy("_k")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+
+            stats_future = pool.submit(_stats_job)
             tables = {key: f.result() for key, f in futures.items()}
+            counts = stats_future.result()
         delta_path = tables["frontier_delta"]
         delta_paths = delta_paths + [delta_path]
         seen_delta_paths = seen_delta_paths + [tables["seen"]]
-
-        # ONE stats job for the whole wave: a tagged union of 1-column
-        # projections over the still-persisted wave DataFrames (scheduled,
-        # denied-from-persisted-pending, seen_delta) plus the delta
-        # read-back — which doubles as the evidence of rows physically
-        # written this wave. Replaces the former 4 separate count()
-        # actions per wave (each a full Spark job: the bulk of the
-        # fixed per-wave overhead at toy scale). The delta read-back tag
-        # embeds spark_partition_id, so the SAME job also yields the
-        # per-partition lineage rows (north_rule "per-partition lineage
-        # + metrics") at zero extra actions.
-        def _tag(df: DataFrame, key: str) -> DataFrame:
-            return df.select(F.lit(key).alias("_k"))
-
-        delta_readback = spark.read.parquet(delta_path).select(
-            F.concat(
-                F.lit("delta_pid_"), F.spark_partition_id().cast("string")
-            ).alias("_k")
-        )
-        counts = {
-            r["_k"]: r["n"]
-            for r in _tag(scheduled, "scheduled")
-            .unionAll(_tag(denied, "denied"))
-            .unionAll(_tag(seen_delta, "discovered_new"))
-            .unionAll(delta_readback)
-            .groupBy("_k")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
         lineage_rows = [
             {"wave": wave, "partition_id": int(k[len("delta_pid_"):]), "rows": n}
             for k, n in sorted(counts.items())
@@ -644,6 +666,8 @@ def run_crawl(
         new_rows.unpersist()
         seen_delta.unpersist()
         pending.unpersist()
+        if probed is not None:
+            probed.unpersist()
         if cfg.seen_buckets:
             children.unpersist()
 

@@ -79,7 +79,13 @@ def curate_webtext(
     """Run the curation chain; see module docstring for stage order.
     ``docs`` needs (``id_col``, ``text_col``) and optionally
     ``html_col`` for the boilerplate stage."""
-    cur = docs
+    from sharepointcrawler_spark.plans.layout import spread_small_scan
+
+    # callers often hand a raw single-file parquet read (one scan
+    # split); the whole stage-1..4 chain is scan-side per-row compute,
+    # so spread it across the cores first (no-op at production split
+    # counts — see spread_small_scan)
+    cur = spread_small_scan(docs)
     if html_col is not None:
         cur = extract_main_content(cur, html_col=html_col)
         cur = cur.withColumn("_cur_text", F.col("bp_main_text"))
@@ -173,7 +179,15 @@ def curate_webtext(
         out_cols += ["weight_bits", "avg_millibits"]
     result = flags.select(*out_cols)
 
-    report = result.agg(
+    # the report aggregate and the packing pass both consume the flag/
+    # meta columns (never the text): persist that SKINNY projection once
+    # so the heavy scan-side chain (c4 -> lang/quality -> PII -> dedup
+    # window) runs a single pass for both actions instead of twice; the
+    # full docs table (with curated_text) stays lazy for callers that
+    # actually read it.
+    slim = result.drop("curated_text").persist()
+
+    report = slim.agg(
         F.count(F.lit(1)).cast("long").alias("n_in"),
         *[
             F.sum(F.col(c).cast("long")).cast("long").alias(c)
@@ -194,7 +208,7 @@ def curate_webtext(
         from sharepointcrawler_spark.operators.packing import pack_sequences
 
         packed = pack_sequences(
-            result.filter("keep").select(id_col, "n_tokens"),
+            slim.filter("keep").select(id_col, "n_tokens"),
             seq_len,
             id_col=id_col,
         )

@@ -53,6 +53,50 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def estimated_size_bytes(df: DataFrame) -> int:
+    """Planner size estimate for ``df`` (bytes) — free, driver-side, no
+    job. Column pruning is accounted for (projects scale the estimate
+    by output row width); UDF/filter estimates are rough, so treat the
+    number as an order-of-magnitude gate, not a measurement. Returns a
+    huge sentinel when the estimate is unavailable so callers fall back
+    to their scale-safe path."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001
+        return 1 << 62
+
+
+def spread_small_scan(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Round-robin a narrow-scan DataFrame across the session's
+    parallelism when its source cannot split (guide rule: "one huge
+    unsplittable file -> repartition immediately after the read").
+
+    A single parquet file with one row group yields exactly ONE scan
+    split no matter what ``maxPartitionBytes`` says, so every per-row
+    expression upstream of the first Exchange — URL synthesis, regex
+    probes, shingle/window explodes, Arrow UDF batches — runs on one
+    core. Spreading the base rows once (a few MB of skinny source
+    columns) unlocks the full core count for that compute.
+
+    Scale-adaptive by construction: the check is the *scan's actual
+    split count* against the session's ``defaultParallelism``; a
+    production table written as many files / row groups already scans
+    at >= cluster parallelism and this returns the input unchanged, so
+    nothing here is tuned to local[32].
+    """
+    sc = df.sparkSession.sparkContext
+    par = min_parallelism or max(sc.defaultParallelism, 1)
+    try:
+        n_parts = df.rdd.getNumPartitions()  # driver-side split count
+    except Exception:  # noqa: BLE001 - never let the probe kill a query
+        return df
+    if n_parts >= par:
+        return df
+    return df.repartition(par)
+
+
 def exchange_count(df: DataFrame) -> int:
     """Shuffle operators in the final executed plan (AQE's initial-plan
     section excluded) — the co-location assertion probe."""
