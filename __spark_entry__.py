@@ -57,10 +57,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the sf fixtures are ONE parquet file with ONE row group each ->
     # one scan split; spread the base rows so per-row compute above the
     # first exchange uses every core (no-op when the scan already
-    # yields >= defaultParallelism splits — the production shape)
+    # yields >= defaultParallelism splits — the production shape).
+    # ``embeddings`` is exempt: its consumers are the ANN codecs, whose
+    # driver-side sample collects and per-task model builds make dozens
+    # of near-empty partitions a net loss at fixture scale (measured
+    # 0.9 -> 1.7 s on ann_topk_pq), and whose operators spread/compact
+    # their own stages where it pays.
     from sharepointcrawler_spark.plans.layout import spread_small_scan
 
-    return spread_small_scan(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "embeddings":
+        return df
+    return spread_small_scan(df)
 
 
 # --------------------------------------------------------------- flagship

@@ -654,11 +654,11 @@ def near_dup_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = ids.select(
         F.col(id_col), F.col(id_col).alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     try:
         for _ in range(max_iters):
             nbr_min = (
@@ -679,7 +679,10 @@ def near_dup_components(
                     .cast("int")
                     .alias("_changed"),
                 )
-                .localCheckpoint(eager=True)
+                # LAZY checkpoint: the convergence aggregate below is
+                # the iteration's one action and materializes it — one
+                # job per iteration instead of checkpoint-then-agg two
+                .localCheckpoint(eager=False)
             )
             changed = new_labels.agg(F.sum("_changed")).collect()[0][0]
             # the join was the old labels' last consumer — free its blocks
@@ -917,12 +920,15 @@ def near_dup_components_twophase(
         return _near_dup_components_twophase_durable(
             docs, pairs, id_col, max_iters, checkpoint_dir
         )
-    edges = _symmetrize_pairs(pairs).localCheckpoint(eager=True)
+    # LAZY checkpoints: the checksum collect right after each one is the
+    # round's single action and materializes it — one job per round
+    # instead of checkpoint-then-checksum two
+    edges = _symmetrize_pairs(pairs).localCheckpoint(eager=False)
     prev_sum = _edge_checksum(edges)
     try:
         for _ in range(max_iters):
             new_edges = _star(_star(edges, large=True), large=False).localCheckpoint(
-                eager=True
+                eager=False
             )
             new_sum = _edge_checksum(new_edges)
             _free_local_checkpoint(edges)

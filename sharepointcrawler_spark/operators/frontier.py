@@ -167,7 +167,12 @@ def graph_expander(edges: DataFrame) -> Callable[[DataFrame], DataFrame]:
     return expand
 
 
-def global_sequence(df: DataFrame, order_col: str, out_col: str = "crawl_seq") -> DataFrame:
+def global_sequence(
+    df: DataFrame,
+    order_col: str,
+    out_col: str = "crawl_seq",
+    approx_rows: int | None = None,
+) -> DataFrame:
     """Dense 1-based global sequence by ``order_col`` — scale-safe.
 
     A naive ``row_number() over (ORDER BY order_col)`` collapses to one
@@ -176,14 +181,22 @@ def global_sequence(df: DataFrame, order_col: str, out_col: str = "crawl_seq") -
     the partition's cumulative offset to a per-partition cumcount inside
     ``mapInPandas``. Two passes over the data, no single-reducer stage.
 
-    Small inputs (planner estimate under ~32 MB) take the plain global
-    window instead: one task sorting a few MB cannot OOM, and the
-    two-pass machinery is 3 extra jobs of pure overhead there. Output
-    is identical (``order_col`` is a unique key for every caller).
+    Small inputs take the plain global window instead: one task sorting
+    a few MB cannot OOM, and the two-pass machinery is 3 extra jobs of
+    pure overhead there. "Small" is decided by ``approx_rows`` when the
+    caller knows it (join-heavy plans inflate the planner's product
+    estimates into garbage), else by the planner size estimate
+    (~32 MB). Output is identical (``order_col`` is a unique key for
+    every caller).
     """
     from sharepointcrawler_spark.plans.layout import estimated_size_bytes
 
-    if estimated_size_bytes(df) <= (32 << 20):
+    small = (
+        approx_rows < 200_000
+        if approx_rows is not None
+        else estimated_size_bytes(df) <= (32 << 20)
+    )
+    if small:
         w = Window.orderBy(order_col)
         return df.withColumn(out_col, F.row_number().over(w).cast("long"))
     spark = df.sparkSession

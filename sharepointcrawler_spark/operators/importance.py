@@ -133,11 +133,13 @@ def dsir_importance(
         )
     )
     # the fitted model is <= n_buckets rows but its lineage is two full
-    # corpus explodes; materialize it ONCE so totals + the broadcast
-    # scoring join don't re-run the fit (one fit pass + one score pass
-    # is the DSIR minimum — without this the plan re-scans the corpus
-    # per downstream reference)
-    model = model.localCheckpoint(eager=True)
+    # corpus explodes; checkpoint it so totals + the broadcast scoring
+    # join don't re-run the fit (one fit pass + one score pass is the
+    # DSIR minimum — without this the plan re-scans the corpus per
+    # downstream reference). LAZY: the first consumer's broadcast build
+    # materializes it inside the caller's one action — the eager
+    # variant was an extra blocking driver job
+    model = model.localCheckpoint(eager=False)
     totals = model.agg(
         F.sum("c_r").cast("long").alias("n_r"),
         F.sum("c_t").cast("long").alias("n_t"),

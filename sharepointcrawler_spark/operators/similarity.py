@@ -665,10 +665,26 @@ def _iter_query_chunks(
     ``toLocalIterator`` materializes ONE partition at a time, so driver
     memory is O(max(partition, batch_size)) — never the full query set
     (r5 VERDICT 'What's wrong' #1). Yields (ids list, raw float64
-    matrix) per chunk."""
+    matrix) per chunk.
+
+    Partitioning note: ``toLocalIterator`` runs ONE sequential job per
+    partition, so a query frame spread across many near-empty
+    partitions pays per-job overhead per sliver (measured 3x on a
+    3-query fixture at 32 partitions). Coalesce to ~16 MB per partition
+    from the planner's size estimate — the driver bound is unchanged
+    (a partition stays <= ~16 MB), and a genuinely large query set
+    still streams across many partitions."""
+    from sharepointcrawler_spark.plans.layout import estimated_size_bytes
+
+    q = queries.select(query_id_col, query_vec_col)
+    target_parts = max(1, min(
+        q.rdd.getNumPartitions(), estimated_size_bytes(q) // (16 << 20) + 1
+    ))
+    if target_parts < q.rdd.getNumPartitions():
+        q = q.coalesce(target_parts)
     buf_ids: list = []
     buf_vecs: list = []
-    for r in queries.select(query_id_col, query_vec_col).toLocalIterator():
+    for r in q.toLocalIterator():
         buf_ids.append(r[0])
         buf_vecs.append(r[1])
         if len(buf_ids) >= batch_size:
@@ -709,6 +725,13 @@ def pq_topk(
     spark = codes.sparkSession
     sc = spark.sparkContext
     schema = f"{query_id_col} long, {id_col} long, _score double"
+    from sharepointcrawler_spark.plans.layout import compact_small
+
+    # per-task fixed cost in `score` (python dispatch + broadcast fetch
+    # + LUT build) dwarfs per-row work on a small code table: compact
+    # the byte-code scan so it is not dozens of near-empty tasks
+    # (size-gated — a 10^9-vector code table keeps its partitioning)
+    codes_scan = compact_small(codes.select(id_col, "pq_code"))
     cands: DataFrame | None = None
     for qids, qraw in _iter_query_chunks(
         queries, query_id_col, query_vec_col, query_batch_size
@@ -746,7 +769,7 @@ def pq_topk(
                         )
                 yield pd.DataFrame(rows, columns=[query_id_col, id_col, "_score"])
 
-        chunk = codes.select(id_col, "pq_code").mapInPandas(score, schema)
+        chunk = codes_scan.mapInPandas(score, schema)
         cands = chunk if cands is None else cands.unionByName(chunk)
     if cands is None:
         return spark.createDataFrame(
@@ -899,10 +922,15 @@ def ivfpq_topk(
                         rows, columns=[query_id_col, id_col, "_score"]
                     )
 
+        from sharepointcrawler_spark.plans.layout import compact_small
+
+        # cell-pruned filter stays UPSTREAM of the compaction so a
+        # partitioned index still prunes files; the compaction only
+        # bounds per-task fixed cost on a small surviving scan
         pruned = index.filter(F.col("cell").isin([int(c) for c in all_cells]))
-        chunk = pruned.select(id_col, "cell", "pq_code").mapInPandas(
-            score, schema
-        )
+        chunk = compact_small(
+            pruned.select(id_col, "cell", "pq_code")
+        ).mapInPandas(score, schema)
         cands = chunk if cands is None else cands.unionByName(chunk)
     if cands is None:
         return spark.createDataFrame(
@@ -948,7 +976,13 @@ def semantic_dedup(
     AQE skew-join case, and raising n_centroids shrinks cells
     quadratically faster than it adds assignment cost.
     """
+    from sharepointcrawler_spark.plans.layout import spread_small_scan
+
     assign1 = ivf_assign_udf(centroids, n_probe=1)
+    # the assignment UDF + within-cell pair scan are the heavy per-row
+    # stages here: spread a single-split corpus scan first (no-op at
+    # production split counts)
+    corpus = spread_small_scan(corpus)
     assigned = corpus.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),

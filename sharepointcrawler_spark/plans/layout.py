@@ -97,6 +97,28 @@ def spread_small_scan(df: DataFrame, min_parallelism: int | None = None) -> Data
     return df.repartition(par)
 
 
+def compact_small(df: DataFrame, bytes_per_part: int = 16 << 20) -> DataFrame:
+    """Shuffle a small DataFrame down to ~``bytes_per_part`` partitions.
+
+    The inverse knob to :func:`spread_small_scan`: a stage whose
+    per-task fixed cost (python worker dispatch, broadcast fetch,
+    per-task LUT/model build) dwarfs its per-row work should not run
+    as dozens of near-empty tasks. Gated on the planner's size
+    estimate, so a genuinely large input keeps its partitioning —
+    nothing here is tuned to a core count. Uses ``repartition`` (a
+    shuffle) rather than ``coalesce`` so upstream stages keep their
+    parallelism."""
+    est = estimated_size_bytes(df)
+    target = int(est // bytes_per_part) + 1
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001
+        return df
+    if target >= cur:
+        return df
+    return df.repartition(target)
+
+
 def exchange_count(df: DataFrame) -> int:
     """Shuffle operators in the final executed plan (AQE's initial-plan
     section excluded) — the co-location assertion probe."""
