@@ -58,15 +58,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # one scan split; spread the base rows so per-row compute above the
     # first exchange uses every core (no-op when the scan already
     # yields >= defaultParallelism splits — the production shape).
-    # ``embeddings`` is exempt: its consumers are the ANN codecs, whose
-    # driver-side sample collects and per-task model builds make dozens
-    # of near-empty partitions a net loss at fixture scale (measured
-    # 0.9 -> 1.7 s on ann_topk_pq), and whose operators spread/compact
-    # their own stages where it pays.
+    # two tables are exempt, measured per query this round:
+    # * ``embeddings`` — its consumers are the ANN codecs, whose
+    #   driver-side sample collects and per-task model builds make
+    #   dozens of near-empty partitions a net loss at fixture scale
+    #   (measured 0.9 -> 1.7 s on ann_topk_pq); the similarity
+    #   operators spread/compact their own stages where it pays.
+    # * ``lineitem`` — consumed only by aggregate/join queries (q1/q3/
+    #   q5/f12) whose first exchange redistributes anyway; the extra
+    #   round-robin shuffle of 600k rows was pure cost (q1 1.5 -> 1.9 s).
     from sharepointcrawler_spark.plans.layout import spread_small_scan
 
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "embeddings":
+    if name in ("embeddings", "lineitem"):
         return df
     return spread_small_scan(df)
 

@@ -130,6 +130,30 @@ def curate_corpus(
             lambda x: x != F.lit(""),
         ).alias("_toks"),
     )
+    gate = (
+        (F.col("lang_pred") == lang)
+        & (F.col("quality") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+    )
+    if min_stop_ratio is not None:
+        gate = gate & (F.col("stop_ratio") >= min_stop_ratio)
+    if max_stop_ratio is not None:
+        gate = gate & (F.col("stop_ratio") <= max_stop_ratio)
+    # The gate is applied as ONE nondeterministic, non-splittable
+    # predicate: ``gate != (monotonically_increasing_id() < 0)`` is
+    # value-identical to ``gate`` (the id is never negative) but
+    # PushPredicateThroughNonJoin cannot push a nondeterministic
+    # condition through the projection — and because it is a single
+    # binary predicate there are no deterministic conjuncts to split
+    # off and push either. (``rand() < -1`` does NOT work: Spark 4
+    # constant-folds statically-decidable rand comparisons and the
+    # remaining deterministic gate gets pushed again.) Without this pin
+    # the optimizer substitutes the column definitions into the
+    # predicate and pushes it to the SCAN: the staged ``_toks`` split
+    # re-evaluated ~25x per row (lambda subtrees are invisible to
+    # codegen CSE), single-task below the first exchange — measured as
+    # the dominant cost of the whole pass.
     scored = staged.select(
         F.col(id_col),
         lang_id_from_tokens(F.col("_toks")).alias("lang_pred"),
@@ -137,16 +161,7 @@ def curate_corpus(
         token_count(text_col).cast("long").alias("n_tokens"),
         stopword_ratio_from_tokens(F.col("_toks")).alias("stop_ratio"),
         doc_fingerprint(text_col).alias("_fp"),
-    ).filter(
-        (F.col("lang_pred") == lang)
-        & (F.col("quality") >= min_quality)
-        & (F.col("n_tokens") >= min_tokens)
-        & (F.col("n_tokens") <= max_tokens)
-    )
-    if min_stop_ratio is not None:
-        scored = scored.filter(F.col("stop_ratio") >= min_stop_ratio)
-    if max_stop_ratio is not None:
-        scored = scored.filter(F.col("stop_ratio") <= max_stop_ratio)
+    ).filter(gate != (F.monotonically_increasing_id() < F.lit(0).cast("long")))
     w = Window.partitionBy("_fp").orderBy(id_col)
     return (
         scored.withColumn("_rn", F.row_number().over(w))

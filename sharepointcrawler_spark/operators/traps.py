@@ -194,4 +194,14 @@ def reject_traps(
     links BEFORE the seen probe, so trap spellings never cost bloom
     writes or seen-table rows."""
     flagged = trap_flags(df, rules=rules, url_col=url_col)
-    return flagged.filter(~F.col("is_trap")).select(*df.columns)
+    # ``~is_trap != (monotonically_increasing_id() < 0)`` is value-
+    # identical to ``~is_trap`` (the id is never negative) but pins the
+    # admission filter ABOVE the staged projections: a plain filter on
+    # the computed column is pushed down with the column definitions
+    # SUBSTITUTED into the predicate — every signal's staged ``_segs``
+    # array re-derived per reference (the corpus_curate finding; lambda
+    # subtrees are invisible to codegen CSE).
+    keep = ~F.col("is_trap")
+    return flagged.filter(
+        keep != (F.monotonically_increasing_id() < F.lit(0).cast("long"))
+    ).select(*df.columns)

@@ -132,3 +132,40 @@ def test_cuckoo_filter_roundtrip():
     # serialization round-trip
     cf2 = CuckooFilter.from_bytes(cf.to_bytes())
     assert all(cf2.contains(k) for k in keys[100:])
+
+
+def test_bloom_absorb_equals_build_plus_merge(spark):
+    """absorb_keys_into_shards (the crawl wave's one-pass bloom update)
+    must produce bit-identical shards to merge(build(delta)) — same
+    bitsets, same item counts, including shards with no new keys and
+    shards that never existed before."""
+    from sharepointcrawler_spark.operators.dedup import absorb_keys_into_shards
+
+    a = with_url_columns(
+        spark.createDataFrame([(f"https://m.com/{i}",) for i in range(500)], ["url"])
+    )
+    # delta hits only SOME shards (even keys), so pass-through and
+    # fresh-shard branches are both exercised
+    b = with_url_columns(
+        spark.createDataFrame(
+            [(f"https://n.com/{i}",) for i in range(500, 700)], ["url"]
+        )
+    ).filter(F.col("url_key") % 2 == 0)
+    geom = bloom_params(1000, 0.01)
+    sa = build_bloom_shards(a.select("url_key", "url_canon"), n_shards=8, geometry=geom)
+    want = {
+        r["shard"]: (r["n_items"], r["bits"])
+        for r in merge_bloom_shards(
+            sa,
+            build_bloom_shards(
+                b.select("url_key", "url_canon"), n_shards=8, geometry=geom
+            ),
+        ).collect()
+    }
+    got = {
+        r["shard"]: (r["n_items"], r["bits"])
+        for r in absorb_keys_into_shards(
+            sa, b.select("url_key"), n_shards=8, geometry=geom
+        ).collect()
+    }
+    assert got == want
