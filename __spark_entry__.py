@@ -53,26 +53,26 @@ from sharepointcrawler_spark.operators.similarity import (
 DEC = "decimal(18,2)"
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
     # the sf fixtures are ONE parquet file with ONE row group each ->
-    # one scan split; spread the base rows so per-row compute above the
-    # first exchange uses every core (no-op when the scan already
-    # yields >= defaultParallelism splits — the production shape).
-    # two tables are exempt, measured per query this round:
-    # * ``embeddings`` — its consumers are the ANN codecs, whose
-    #   driver-side sample collects and per-task model builds make
-    #   dozens of near-empty partitions a net loss at fixture scale
-    #   (measured 0.9 -> 1.7 s on ann_topk_pq); the similarity
-    #   operators spread/compact their own stages where it pays.
-    # * ``lineitem`` — consumed only by aggregate/join queries (q1/q3/
-    #   q5/f12) whose first exchange redistributes anyway; the extra
-    #   round-robin shuffle of 600k rows was pure cost (q1 1.5 -> 1.9 s).
+    # one scan split. ``spread=True`` round-robins the base rows so
+    # per-row compute above the first exchange uses every core (no-op
+    # when the scan already yields >= defaultParallelism splits — the
+    # production shape). The flag is OPT-IN per query: an interleaved
+    # in-JVM A/B over the whole suite (OPTIMIZATION_r07.md) showed the
+    # spread pays only where the work above the first exchange is heavy
+    # relative to one exchange of the base rows (trigram explodes,
+    # window explodes, regex batteries: 2-6x wins) and is a uniform
+    # ~1.5-2x LOSS everywhere else (aggregate/join/window queries whose
+    # first exchange redistributes anyway, tiny-subset consumers,
+    # cheap-projection scans) — the extra shuffle plus its mandatory
+    # sort-before-repartition never amortizes there.
     from sharepointcrawler_spark.plans.layout import spread_small_scan
 
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in ("embeddings", "lineitem"):
-        return df
-    return spread_small_scan(df)
+    if spread:
+        return spread_small_scan(df)
+    return df
 
 
 # --------------------------------------------------------------- flagship
@@ -436,7 +436,7 @@ def q_corpus_curate(spark, sf_dir):
     min-id-per-fingerprint dedup independently in SQL."""
     from sharepointcrawler_spark.operators.corpus import curate_corpus
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     kept = curate_corpus(
         docs, lang="en", min_quality=0.6, min_tokens=5,
         min_stop_ratio=0.02, max_stop_ratio=0.7,
@@ -482,7 +482,7 @@ def q_dedup_clusters_twophase(spark, sf_dir):
 
 
 def q_text_lang_id(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return docs.groupBy(lang_id("text").alias("lang_pred")).agg(
         F.count("*").cast("long").alias("n")
     )
@@ -496,7 +496,7 @@ def q_text_lang_id_ngram(spark, sf_dir):
     argmin — so every rank and distance must agree exactly."""
     from sharepointcrawler_spark.functions.textanalysis import lang_id_ngram
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return lang_id_ngram(docs).select(F.col("doc_id").cast("long"), "lang_pred")
 
 
@@ -546,7 +546,7 @@ def q_dedup_spans(spark, sf_dir):
     Oracle recomputes the same window hashes with DuckDB list ops."""
     from sharepointcrawler_spark.operators.corpus import duplicated_window_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return duplicated_window_stats(docs, window_chars=30).select(
         F.col("doc_id").cast("long"), "n_windows", "n_dup_windows"
     )
@@ -563,7 +563,7 @@ def q_dedup_spans_sampled(spark, sf_dir):
     oracle path."""
     from sharepointcrawler_spark.operators.corpus import duplicated_window_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return duplicated_window_stats(docs, window_chars=30, stride=7).select(
         F.col("doc_id").cast("long"), "n_windows", "n_dup_windows"
     )
@@ -575,7 +575,7 @@ def q_text_winnowing(spark, sf_dir):
     list ops."""
     from sharepointcrawler_spark.functions.textanalysis import winnowing_fingerprints
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return winnowing_fingerprints(docs, k=3, w=4).select(
         F.col("doc_id").cast("long"), F.col("fp").cast("long")
     )
@@ -1846,7 +1846,7 @@ def q_surt_key(spark, sf_dir):
     same regexes and list ops."""
     from sharepointcrawler_spark.functions.surt import surt_key
 
-    cust = _t(spark, sf_dir, "customer")
+    cust = _t(spark, sf_dir, "customer", spread=True)
     k = F.col("c_custkey")
     ks = (k % 10).cast("string")
     url = (
@@ -2032,7 +2032,7 @@ def q_text_c4_filters(spark, sf_dir):
     from sharepointcrawler_spark.functions.c4 import c4_clean
 
     staged = (
-        _t(spark, sf_dir, "documents")
+        _t(spark, sf_dir, "documents", spread=True)
         .select(
             "doc_id",
             F.split(F.trim("text"), " +").alias("_w"),
@@ -2092,7 +2092,7 @@ def q_text_boilerplate(spark, sf_dir):
     )
 
     staged = (
-        _t(spark, sf_dir, "documents")
+        _t(spark, sf_dir, "documents", spread=True)
         .select("doc_id", F.split(F.trim("text"), " +").alias("_w"))
         .withColumn("_n", F.expr("CAST((size(_w) + 11) div 12 AS INT)"))
     )
@@ -2467,7 +2467,7 @@ def q_pii_audit(spark, sf_dir):
     redaction is byte-identical across engines."""
     from sharepointcrawler_spark.functions.pii import with_pii_columns
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _t(spark, sf_dir, "documents", spread=True).select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -2829,7 +2829,7 @@ def _trap_urls(spark, sf_dir):
         )
     )
     return (
-        _t(spark, sf_dir, "orders")
+        _t(spark, sf_dir, "orders", spread=True)
         .select(k.alias("o_orderkey"))
         .select("o_orderkey", url.alias("url"))
     )

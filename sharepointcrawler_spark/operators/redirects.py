@@ -81,12 +81,16 @@ def resolve_redirects(
     # each round references the previous state TWICE (as f and as the
     # doubling map) — without severing lineage the plan doubles per
     # round and the executed plan recomputes every prior round 2^k
-    # times (measured: 158 exchanges for 5 rounds). LAZY localCheckpoint
-    # = lineage depth 1 per round with the whole doubling recurrence
-    # still ONE caller action (the eager variant blocked the driver for
-    # one materialization job per round — pure fixed overhead; blocks
-    # cache on first use inside the final action either way).
-    f = f.localCheckpoint(eager=False)
+    # times (measured: 158 exchanges for 5 rounds). EAGER localCheckpoint
+    # = one small job per round, lineage depth 1, and the next round's
+    # two references read the cached blocks. A lazy checkpoint is WRONG
+    # here: with no action between rounds, both join branches of the
+    # final action compute the same un-materialized RDD concurrently
+    # (they race to cache it), re-running prior rounds per reference —
+    # measured 1.65 s -> 4.0 s on t8_redirect_resolution. (HITS/CC can
+    # stay lazy because a broadcast build or per-iteration collect
+    # materializes each iterate before its second consumer runs.)
+    f = f.localCheckpoint(eager=True)
     m = f
     for _ in range(rounds):
         step = m.select(
@@ -111,7 +115,7 @@ def resolve_redirects(
                 .alias("done"),
             )
         )
-        f = f.localCheckpoint(eager=False)
+        f = f.localCheckpoint(eager=True)
         m = f
 
     exceeded = (~F.col("done")) | (F.col("hops") > max_hops)
