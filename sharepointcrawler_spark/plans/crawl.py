@@ -389,16 +389,43 @@ def run_crawl(
             {"seeded": len(seeds)},
         )
 
+    # The first loop iteration reconstructs pending from the snapshot
+    # (fresh crawl or resume: disk is the only truth). Every LATER wave
+    # derives its pending set from the in-memory frames the wave just
+    # computed — deferred ∪ retryable ∪ newly-discovered, exactly the
+    # rows the merged disk view would yield — so the per-wave
+    # read-base-and-deltas + window-merge + count() job disappears (the
+    # count rides the wave's single stats job instead). The disk deltas
+    # are still written identically every wave, so a kill at ANY point
+    # resumes from the same state as before.
+    pending: DataFrame | None = None
+    n_pending = 0
+    retire: list[DataFrame] = []  # prior wave's persisted frames
+
+    def _release(df: DataFrame) -> None:
+        df.unpersist()
+        try:
+            # a localCheckpoint's blocks belong to the plan's RDD, which
+            # DataFrame.unpersist does not touch (corpus.py precedent)
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:  # noqa: BLE001 - best effort
+            pass
+
+    def _retire_now() -> None:
+        for df in retire:
+            _release(df)
+        retire.clear()
+
     while wave < cfg.max_waves:
         t0 = time.monotonic()
-        pending = (
-            _merged_frontier(spark, base_path, delta_paths, pending_only=True)
-            .filter(F.col("state") == fr.PENDING)
-            .persist()
-        )
-        n_pending = pending.count()
+        if pending is None:
+            pending = (
+                _merged_frontier(spark, base_path, delta_paths, pending_only=True)
+                .filter(F.col("state") == fr.PENDING)
+                .persist()
+            )
+            n_pending = pending.count()
         if n_pending == 0:
-            pending.unpersist()
             break
         wave += 1
 
@@ -572,6 +599,28 @@ def run_crawl(
             "url_canon", "host", F.lit(wave).alias("wave_id"), "fetch_slot"
         )
 
+        # next wave's pending set, derived IN MEMORY (loop header note):
+        # new discoveries ∪ retry-pending rows ∪ budget-deferred rows —
+        # exactly the rows the merged disk view's latest-state-pending
+        # filter would yield (scheduled rows went fetched/failed, denied
+        # went terminal; without a budget scheduled ∪ denied == pending,
+        # so the deferred branch only exists when a budget can defer).
+        # Lazy localCheckpoint: the wave's single stats job is its one
+        # consumer this wave, so it materializes there (count + cache in
+        # the same action) and the plan collapses to one LogicalRDD —
+        # per-wave lineage stays O(1), never O(crawl history).
+        nxt = new_rows.select(sel)
+        if failed is not None:
+            nxt = nxt.unionByName(as_upsert(retryable, bump=True))
+        if cfg.per_host_wave_budget is not None:
+            handled = scheduled.select("url_key").unionByName(
+                denied.select("url_key")
+            )
+            nxt = nxt.unionByName(
+                pending.join(handled, "url_key", "left_anti").select(sel)
+            )
+        pending_next = nxt.localCheckpoint(eager=False)
+
         # the 4-5 snapshot tables are independent and their inputs are
         # persisted: write them CONCURRENTLY from driver threads (Spark
         # schedules concurrent jobs fine; each write targets its own
@@ -644,6 +693,7 @@ def run_crawl(
                     for r in _tag(scheduled, "scheduled")
                     .unionAll(_tag(denied, "denied"))
                     .unionAll(_tag(seen_delta, "discovered_new"))
+                    .unionAll(_tag(pending_next, "pending_next"))
                     .unionAll(delta_readback)
                     .groupBy("_k")
                     .agg(F.count("*").alias("n"))
@@ -662,14 +712,18 @@ def run_crawl(
             if k.startswith("delta_pid_")
         ]
         counts["delta_rows"] = sum(r["rows"] for r in lineage_rows)
-        scheduled.unpersist()
-        new_rows.unpersist()
-        seen_delta.unpersist()
-        pending.unpersist()
+        # pending_next is materialized (the stats job counted it through
+        # the checkpoint), so this wave's frames can be released; the
+        # PREVIOUS wave's frames were retired when this wave's stats
+        # landed, keeping at most two waves of blocks resident.
+        _retire_now()
+        retire.extend([scheduled, new_rows, seen_delta, pending])
         if probed is not None:
-            probed.unpersist()
+            retire.append(probed)
         if cfg.seen_buckets:
-            children.unpersist()
+            retire.append(children)
+        pending = pending_next
+        n_pending = counts.get("pending_next", 0)
 
         # 7. periodic compaction: rewrite the merged view as a fresh base
         #    (amortized O(total/compact_every) per wave — Iceberg's
@@ -727,6 +781,9 @@ def run_crawl(
         if stop_after_wave is not None and wave >= stop_after_wave:
             break
 
+    if pending is not None:
+        _release(pending)
+    _retire_now()
     frontier_final = _merged_frontier(spark, base_path, delta_paths)
     seen_final = _read_seen(
         spark, seen_base_path, seen_delta_paths, bool(cfg.seen_buckets)
