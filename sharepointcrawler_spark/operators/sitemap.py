@@ -208,7 +208,10 @@ def expand_sitemap_tree(
 
 
 def sitemap_frontier_rows(
-    pages: DataFrame, start_idx: int = 0, priority: int = 0
+    pages: DataFrame,
+    start_idx: int = 0,
+    priority: int = 0,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Page entries from :func:`expand_sitemap_tree` -> frontier seed
     rows (FRONTIER_SCHEMA) appended AFTER the crawl's explicit seeds:
@@ -253,6 +256,13 @@ def sitemap_frontier_rows(
         ),
         "_ok",
         out_col="_seq",
+        # the checkpointed pages table has no planner stats (LogicalRDD
+        # reports the unknown-size sentinel), which silently forces the
+        # two-pass ranked path — and ITS range-sampling + count pass is
+        # an EAGER job at plan-build time. Callers that know their
+        # discovery scale pass the hint; small ones take the one-window
+        # path with zero build-time actions.
+        approx_rows=approx_rows,
     )
     return (
         ordered.withColumn("url", F.col("loc"))
