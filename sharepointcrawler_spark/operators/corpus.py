@@ -671,9 +671,30 @@ def near_dup_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = ids.select(
-        F.col(id_col), F.col(id_col).alias("cluster_id")
-    ).localCheckpoint(eager=False)
+    # The loop runs over EDGE-TOUCHED nodes only: a node with no pair
+    # can never change its label, so the (usually much larger) singleton
+    # set is unioned back after the fixpoint with cluster_id = own id —
+    # identical output, and every per-round shuffle carries the touched
+    # set instead of the whole corpus (dup-touched docs are a fraction
+    # of the corpus at any dedup rate worth running). The symmetrized
+    # edge list's dst side covers every touched node, and seeding each
+    # with min(self, min neighbor) IS hop 1 of the propagation — one
+    # groupBy instead of the first full round, so a diameter-D graph
+    # converges in D rounds (D-1 hops + the zero-change confirm)
+    # instead of D+1.
+    labels = (
+        edges.groupBy(F.col("dst").alias(id_col))
+        .agg(F.min("src").alias("_nbr0"))
+        .select(
+            F.col(id_col),
+            F.least(F.col(id_col), F.col("_nbr0")).alias("cluster_id"),
+        )
+        # one-time guard, not per-round: a pair endpoint absent from
+        # docs must not surface in the output (the identity-seeded loop
+        # dropped such rows via its left join over ids)
+        .join(ids, id_col, "left_semi")
+        .localCheckpoint(eager=False)
+    )
     try:
         for _ in range(max_iters):
             nbr_min = (
@@ -703,7 +724,7 @@ def near_dup_components(
             # the join was the old labels' last consumer — free its blocks
             _free_local_checkpoint(labels)
             labels = new_labels
-            if changed == 0:
+            if not changed:  # 0, or NULL when the pair graph is empty
                 break
         else:
             raise RuntimeError(
@@ -711,7 +732,10 @@ def near_dup_components(
             )
     finally:
         _free_local_checkpoint(edges)
-    return labels.drop("_changed")
+    singletons = ids.join(labels.select(id_col), id_col, "left_anti").select(
+        F.col(id_col), F.col(id_col).alias("cluster_id")
+    )
+    return labels.drop("_changed").unionByName(singletons)
 
 
 def _cc_state_path(checkpoint_dir: str) -> str:
