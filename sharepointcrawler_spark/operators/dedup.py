@@ -180,17 +180,136 @@ def build_bloom_shards(
     return keyed.groupBy("shard").applyInPandas(build, BLOOM_SHARD_SCHEMA)
 
 
-def bloom_probe(candidates: DataFrame, shards: DataFrame, n_shards: int) -> DataFrame:
+# broadcast-probe gate: total bitset bytes a driver/executor can
+# comfortably hold twice (the broadcast relation + the scan); above it
+# the cogrouped co-partitioned probe is the only scale-safe shape
+BLOOM_BROADCAST_LIMIT_BYTES = 64 << 20
+
+
+def _jvm_bloom_positions(m_bits: int, k: int) -> list:
+    """The k bit positions of ``url_key`` as JVM column expressions —
+    bit-identical to :func:`_positions` (splitmix64 double hashing),
+    pinned by test against the numpy implementation.
+
+    Spark 4 runs with ANSI semantics, so the uint64 WRAPPING add and
+    multiply of splitmix64 cannot be written as long arithmetic (it
+    would raise ARITHMETIC_OVERFLOW). Each wrapping step is instead an
+    exact DECIMAL(38) computation reduced mod 2^64 — a variable-times-
+    constant product is split on the constant's 32-bit halves so no
+    intermediate exceeds ~2^97 (well inside decimal38) — while the xor
+    and logical shifts hop back to the signed-long domain, whose bit
+    patterns equal numpy's uint64 ones."""
+    from decimal import Decimal
+
+    TWO64 = F.lit(Decimal(2**64))
+    TWO63 = F.lit(Decimal(2**63))
+    TWO32 = F.lit(Decimal(2**32))
+
+    # CASE-free domain hops, each referencing its argument exactly ONCE:
+    # a branching to_u/to_s (when/otherwise) triples its subtree per
+    # level and the chained splitmix stages then nest exponentially —
+    # the first draft produced a tree Catalyst chewed on for minutes.
+    def to_u(col):  # signed long bit pattern -> unsigned value as decimal
+        return F.pmod(col.cast("decimal(20,0)"), TWO64)
+
+    def to_s(dcol):  # unsigned decimal in [0, 2^64) -> signed long
+        return (F.pmod(dcol + TWO63, TWO64) - TWO63).cast("long")
+
+    def mulmod(dcol, c: int):  # (unsigned decimal * const) mod 2^64
+        t = dcol * F.lit(Decimal(c & 0xFFFFFFFF))
+        u = F.pmod(dcol * F.lit(Decimal(c >> 32)), TWO32) * TWO32
+        return F.pmod(t + u, TWO64)
+
+    h1u = to_u(F.col("url_key"))
+    z = F.pmod(h1u + F.lit(Decimal(0x9E3779B97F4A7C15)), TWO64)
+    zl = to_s(z)
+    z = mulmod(to_u(zl.bitwiseXOR(F.shiftrightunsigned(zl, 30))), 0xBF58476D1CE4E5B9)
+    zl = to_s(z)
+    z = mulmod(to_u(zl.bitwiseXOR(F.shiftrightunsigned(zl, 27))), 0x94D049BB133111EB)
+    zl = to_s(z)
+    h2u = to_u(zl.bitwiseXOR(F.shiftrightunsigned(zl, 31)).bitwiseOR(F.lit(1)))
+    m = F.lit(Decimal(m_bits))
+    return [
+        F.pmod(F.pmod(h1u + F.lit(Decimal(i)) * h2u, TWO64), m).cast("long")
+        for i in range(k)
+    ]
+
+
+def bloom_probe_broadcast(
+    candidates: DataFrame, shards: DataFrame, n_shards: int, geometry: tuple[int, int]
+) -> DataFrame:
+    """JVM-only bloom probe: broadcast the (tiny) shard bitsets and test
+    the k bit positions with codegen'd expressions — no shuffle of the
+    candidates, no Python boundary, bit-identical to the cogroup probe
+    (equivalence pinned by test). Callers gate on
+    ``n_shards * m_bits / 8 <= BLOOM_BROADCAST_LIMIT_BYTES``; above that
+    the co-partitioned cogroup probe is the scale path.
+
+    Bit layout: the bitset is a little-endian uint64 word array over a
+    contiguous buffer, so bit p lives in byte ``p div 8`` at in-byte
+    bit ``p mod 8`` — plain LE bit order; the byte is pulled with
+    substring (1-based) and decoded via hex/conv."""
+    m_bits, k = geometry
+    cand = candidates.withColumn(
+        "shard", F.pmod(F.col("url_key"), F.lit(n_shards)).cast("int")
+    )
+    joined = cand.join(
+        F.broadcast(shards.select("shard", "bits")), "shard", "left"
+    )
+    test = F.lit(True)
+    for pos in _jvm_bloom_positions(m_bits, k):
+        byte_val = F.conv(
+            F.hex(
+                F.substring(
+                    F.col("bits"), (pos.cast("long") / F.lit(8)).cast("int") + F.lit(1), 1
+                )
+            ),
+            16,
+            10,
+        ).cast("int")
+        # python-API shiftleft only takes a literal count; 2^b with
+        # b <= 7 is exact in double, so pow() builds the mask instead
+        bit_mask = F.pow(F.lit(2), F.pmod(pos.cast("long"), F.lit(8))).cast("int")
+        test = test & (byte_val.bitwiseAND(bit_mask) != 0)
+    return joined.withColumn(
+        "maybe_seen",
+        F.when(F.col("bits").isNull(), F.lit(False)).otherwise(test),
+    ).drop("bits", "shard")
+
+
+def bloom_probe(
+    candidates: DataFrame,
+    shards: DataFrame,
+    n_shards: int,
+    geometry: tuple[int, int] | None = None,
+) -> DataFrame:
     """Annotate candidates with ``maybe_seen`` by probing their shard.
 
-    Candidates co-partition with shards on the shard id; within each
-    group the single shard row rides along (cogroup) and probing is one
-    vectorized numpy pass. Rows whose shard has no bitset yet are
-    definitely unseen.
+    With ``geometry`` (m_bits, k_hashes) known (crawl config) and the
+    total bitset volume under :data:`BLOOM_BROADCAST_LIMIT_BYTES`, the
+    probe broadcasts the shard table and tests bits with pure JVM
+    expressions — no candidate shuffle, no Python boundary (guide §4.1:
+    prefer builtins). Otherwise candidates co-partition with shards on
+    the shard id; within each group the single shard row rides along
+    (cogroup) and probing is one vectorized numpy pass. Rows whose
+    shard has no bitset yet are definitely unseen. Both paths are
+    bit-identical (pinned by test_bloom_probe_jvm_matches_cogroup).
+
+    The crawl wave loop deliberately does NOT pass geometry: its plans
+    reference the probe from several concurrent write jobs and the
+    broadcast variant's large expression tree measured slower per wave
+    there (see plans/crawl.py). The broadcast path is the right shape
+    when the probe output feeds ONE action — or when shuffling the
+    candidate set is the dominant cost.
 
     ``n_shards`` is REQUIRED (it is crawl config, CrawlConfig.n_bloom_shards):
     deriving it from the shards side would launch a Spark job mid-plan.
     """
+    if (
+        geometry is not None
+        and n_shards * geometry[0] // 8 <= BLOOM_BROADCAST_LIMIT_BYTES
+    ):
+        return bloom_probe_broadcast(candidates, shards, n_shards, geometry)
     cand = candidates.withColumn(
         "shard", F.pmod(F.col("url_key"), F.lit(n_shards)).cast("int")
     )

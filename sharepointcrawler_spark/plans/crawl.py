@@ -541,6 +541,13 @@ def run_crawl(
             # and without the cache each branch re-runs the whole
             # expansion + cogroup probe chain (the wave's expensive
             # stages, measured twice per wave)
+            # deliberately the cogroup probe, NOT bloom_probe_broadcast:
+            # the broadcast/JVM variant measured SLOWER per wave here
+            # (warm 4-wave loop 22.0/29.4 s -> 41.8/53.9 s, interleaved
+            # A/B) — its ANSI-safe decimal splitmix expressions bloat
+            # every wave plan that references the probe, and the wave's
+            # concurrent write jobs each re-analyze that tree before
+            # the persist materializes
             probed = dd.bloom_probe(
                 children, shards, n_shards=cfg.n_bloom_shards
             ).persist()
