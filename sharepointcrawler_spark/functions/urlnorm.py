@@ -30,6 +30,24 @@ _DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
 _SAFE_PATH = "/:@!$&'()*+,;=~-._"
 _SAFE_QUERY = "=&:@!$'()*+,;/?~-._"
 
+# Already-canonical fast path: lowercase http(s) scheme, lowercase
+# host with no port/userinfo, a non-empty path whose characters are
+# all kept literal by quote(unquote(.), _SAFE_PATH), no '%' (so the
+# decode/re-encode is the identity), no query/fragment, no '/.'
+# substring (so dot-segment removal is the identity; this also sends
+# '/.hidden' segments to the slow path, which keeps them), and no
+# trailing slash except the bare root (count('/')==3). For a URL
+# passing all of that the full normalization below provably returns
+# the input unchanged, so it is skipped — ~13x less CPU per URL on
+# the dominant clean-absolute-URL shape, and the slow path is the
+# byte-for-byte authority for everything else. Fuzz-pinned equal in
+# tests/test_urlnorm.py::test_canonicalize_fast_path_matches_slow.
+import re as _re
+
+_CANON_FAST_RE = _re.compile(
+    r"^https?://[a-z0-9.-]+(/[A-Za-z0-9_.~:@!$&'()*+,;=-]*)+\Z"
+)
+
 
 def _canon_one(url: str | None) -> str | None:
     """Canonicalize a single URL string (RFC 3986 syntax-based norm)."""
@@ -38,6 +56,12 @@ def _canon_one(url: str | None) -> str | None:
     u = url.strip()
     if not u:
         return None
+    if (
+        _CANON_FAST_RE.match(u)
+        and "/." not in u
+        and (not u.endswith("/") or u.count("/") == 3)
+    ):
+        return u
     try:
         parts = urlsplit(u)
     except ValueError:

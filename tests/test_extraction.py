@@ -240,6 +240,49 @@ def test_extract_links_order_and_resolution():
     ]
 
 
+def test_extract_links_fast_path_matches_urljoin():
+    """The absolute-href fast path in extract_links must be byte-equal
+    to urljoin for every href it claims (and anything outside the
+    predicate must still take the urljoin fallback). Fuzzes the
+    predicate against urllib over adversarial and random hrefs."""
+    import random as _random
+    import string as _string
+    from urllib.parse import urljoin
+
+    from sharepointcrawler_spark.extraction.htmlwords import _ABS_HREF_RE
+
+    bases = [
+        "https://a.example.com/x/y", "http://b.example.com",
+        "https://c.com/p?q=1#f", "ftp://weird", "not a url",
+        "https://[::1]:8080/x", "HTTPS://UP.example/x",
+    ]
+    hrefs = [
+        "https://site1.example.com/docs/doc2977", "http://h/p", "https://h",
+        "https://h/", "https://h/p;params", "https://h/p?", "https://h/p#",
+        "https://h/p?q", "https://h/p#f", "HTTPS://H/p", "https://h/p/../q",
+        "https://h/./p", "https://h//double//slash", "https:///nonetloc",
+        "https://", "https://h/p q", "https://h/p%20q",
+        "https://user:pw@h:8080/p", "https://h/[x]", "https://[::1]/p",
+        "https://h/p;", "https://h/;p", "https://h/€", "https://h/%E2%82%AC",
+    ]
+    rng = _random.Random(42)
+    chars = _string.ascii_letters + _string.digits + "/?#;.%:@&=+$,-_!~*'()[] "
+    for _ in range(20000):
+        h = "https://" + "".join(
+            rng.choice(chars) for _ in range(rng.randint(0, 25))
+        )
+        hrefs.append(h)
+        hrefs.append("http://" + h[8:])
+    for b in bases:
+        for h in hrefs:
+            if _ABS_HREF_RE.match(h):
+                assert urljoin(b, h) == h, (b, h)
+    # the fallback still resolves relatives (predicate must not claim them)
+    assert not _ABS_HREF_RE.match("b.html")
+    assert not _ABS_HREF_RE.match("/abs/path")
+    assert not _ABS_HREF_RE.match("//proto-relative.com/x")
+
+
 def test_html_roundtrip_words():
     rng = random.Random(1)
     spec = make_doc_spec(3, rng)
