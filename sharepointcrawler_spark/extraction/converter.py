@@ -163,23 +163,27 @@ def _round_to(value: float, tol: float) -> float:
 def build_lines(words: list[RawWord], page_number: int, height: float, y_tol: float) -> PageLines:
     """Word -> line grouping (BuildLines, :283-304): group by rounded
     y-mid, bands top-down (descending y), words left-to-right."""
+    # hot loop (once per word per page inside the extraction UDF):
+    # _round_to is inlined with the identical arithmetic sequence
+    # ((top+bottom)/2 -> /tol -> round -> *tol), grouping uses
+    # setdefault, and the left-sort key is an attrgetter — all
+    # byte-identical to the naive form (goldens pin it).
+    from operator import attrgetter
+
     groups: dict[float, list[RawWord]] = {}
-    order: list[float] = []
+    setdefault = groups.setdefault
     for w in words:
-        key = _round_to((w.top + w.bottom) / 2.0, y_tol)
-        if key not in groups:
-            groups[key] = []
-            order.append(key)
-        groups[key].append(w)
+        setdefault(round((w.top + w.bottom) / 2.0 / y_tol) * y_tol, []).append(w)
     pl = PageLines(page_number, height)
+    by_left = attrgetter("left")
     for key in sorted(groups, reverse=True):
         ln = Line(y=key)
-        for w in sorted(groups[key], key=lambda x: x.left):
+        ln_words = ln.words
+        for w in sorted(groups[key], key=by_left):
             t = (w.text or "").strip()
-            if not t:
-                continue
-            ln.words.append(Word(t, w.left, w.right))
-        ln.text = " ".join(x.text for x in ln.words)
+            if t:
+                ln_words.append(Word(t, w.left, w.right))
+        ln.text = " ".join([x.text for x in ln_words])
         if ln.text.strip():
             pl.lines.append(ln)
     return pl

@@ -47,25 +47,29 @@ _ABS_HREF_RE = re.compile(r"^https?://[^/?#;\[\]\t\n\r][^?#;\[\]\t\n\r]*\Z")
 
 
 def parse_word_pages(html: bytes) -> tuple[list[list[RawWord]], list[float]]:
-    """html bytes -> (per-page raw word boxes, page heights)."""
+    """html bytes -> (per-page raw word boxes, page heights).
+
+    Hot loop of the extraction UDF (runs once per document inside Arrow
+    batches): word matches are scanned in-place over the original bytes
+    with pos/endpos bounds (no per-page body copy), coordinates unpack
+    through one ``groups()`` call, and the unescape fallback triggers
+    only when an entity can exist. Output is byte-identical to the
+    naive per-group implementation (goldens pin it)."""
     pages: list[list[RawWord]] = []
     heights: list[float] = []
-    for m in _PAGE_RE.finditer(html or b""):
+    data = html or b""
+    unescape = _html.unescape
+    for m in _PAGE_RE.finditer(data):
         heights.append(float(m.group(1)))
         words: list[RawWord] = []
-        for wm in _WORD_RE.finditer(m.group(2)):
-            raw = wm.group(5)
+        append = words.append
+        for wm in _WORD_RE.finditer(data, m.start(2), m.end(2)):
+            left, right, top, bottom, raw = wm.groups()
             text = raw.decode("utf-8", errors="replace")
             if b"&" in raw:  # unescape only when an entity can exist
-                text = _html.unescape(text)
-            words.append(
-                RawWord(
-                    text=text,
-                    left=float(wm.group(1)),
-                    right=float(wm.group(2)),
-                    top=float(wm.group(3)),
-                    bottom=float(wm.group(4)),
-                )
+                text = unescape(text)
+            append(
+                RawWord(text, float(left), float(right), float(top), float(bottom))
             )
         pages.append(words)
     return pages, heights
