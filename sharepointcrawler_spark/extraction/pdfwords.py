@@ -1088,6 +1088,16 @@ def _interpret(
     in_array: list | None = None
     for m in _TOKEN_RE.finditer(content):
         tok = m.group(0)
+        # dispatch on the first byte: _TOKEN_RE's alternation makes the
+        # branches disjoint by leading byte, so a token starting with
+        # '-', '+', '.' or a digit IS the number alternative — no
+        # re.fullmatch needed (numbers are ~90% of content-stream
+        # tokens, and the per-call module-level re overhead dominated
+        # this loop). Checked first for the same reason.
+        b0 = tok[0]
+        if b0 in b"-+.0123456789":
+            (in_array if in_array is not None else stack).append(float(tok))
+            continue
         if tok == b"[":
             in_array = []
             continue
@@ -1095,17 +1105,14 @@ def _interpret(
             stack.append(in_array)
             in_array = None
             continue
-        if tok.startswith(b"("):
+        if b0 == 40:  # b"("
             (in_array if in_array is not None else stack).append(_unescape(tok))
             continue
-        if tok.startswith(b"<"):
+        if b0 == 60:  # b"<"
             (in_array if in_array is not None else stack).append(_hex_string(tok))
             continue
-        if tok.startswith(b"/"):
+        if b0 == 47:  # b"/"
             stack.append(tok)
-            continue
-        if re.fullmatch(rb"[-+]?[0-9]*\.?[0-9]+", tok):
-            (in_array if in_array is not None else stack).append(float(tok))
             continue
         op = tok
         if op == b"BT":
