@@ -12,6 +12,9 @@ quality scoring, token counting and fingerprinting.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -346,11 +349,72 @@ def lang_id_ngram(
     a k penalty for trigrams absent from the language profile; argmin
     wins (ties -> language order, zero trigrams -> 'und').
 
-    100 TB shape: ONE explode to (id, trigram) skinny rows; one
-    map-side-combined groupBy(id, trigram); one row_number window per
-    doc (same shuffle key); the 4x``k``-row profile table is a literal
-    broadcast; final per-(id, lang) aggregate + argmin window ride the
-    same id-keyed partitioning. No self-joins, no Python."""
+    100 TB shape: the whole method is PER-DOCUMENT-LOCAL, so it runs as
+    one vectorized Arrow UDF over the normalized text — ZERO shuffles
+    (the former explode/groupBy/window formulation pushed ~3x the
+    corpus bytes through four exchanges; kept as
+    :func:`_lang_id_ngram_exchange` to pin equivalence). Normalization
+    stays a JVM expression (identical to the oracle's regex), so the
+    Python side only sees pure ``[a-z ]`` ASCII and does exact integer
+    rank/distance math on numpy-coded trigrams. Contract: ``id_col``
+    identifies one document per row (the exchange formulation merged
+    duplicate ids into one profile; every caller/fixture has unique
+    ids)."""
+    c = F.col(text_col)
+    norm = F.trim(F.regexp_replace(F.lower(c), "[^a-z]+", " "))
+    padded = F.when(norm != "", F.concat(F.lit(" "), norm, F.lit(" ")))
+
+    langs = list(LANG_SEED_TEXTS)
+    n_langs = len(langs)
+    # trigram -> per-language rank vector (0 = absent), langs in
+    # lang_ord order so np.argmin's first-minimum IS the (dist,
+    # lang_ord) tie-break of the published method / the SQL oracle.
+    prof_map: dict[int, "np.ndarray"] = {}
+    for lang, tri, rank in build_lang_profiles(k):
+        code = int.from_bytes(tri.encode("ascii"), "big")
+        vec = prof_map.get(code)
+        if vec is None:
+            vec = np.zeros(n_langs, dtype=np.int64)
+            prof_map[code] = vec
+        vec[langs.index(lang)] = rank
+
+    @F.pandas_udf("string")
+    def _predict(batch: pd.Series) -> pd.Series:
+        zero = np.zeros(n_langs, dtype=np.int64)
+        out = []
+        for p in batch:
+            if not isinstance(p, str):
+                out.append("und")
+                continue
+            a = np.frombuffer(p.encode("ascii"), dtype=np.uint8).astype(np.int64)
+            codes = (a[:-2] << 16) | (a[1:-1] << 8) | a[2:]
+            uniq, cnt = np.unique(codes, return_counts=True)
+            # top-k by (count desc, trigram asc); big-endian byte codes
+            # order exactly like the trigram strings (same-length ASCII)
+            order = np.lexsort((uniq, -cnt))[:k]
+            top = uniq[order]
+            m = len(top)
+            ranks = np.empty((m, n_langs), dtype=np.int64)
+            for i in range(m):
+                ranks[i] = prof_map.get(int(top[i]), zero)
+            doc_rank = np.arange(1, m + 1, dtype=np.int64)[:, None]
+            dist = np.where(ranks > 0, np.abs(doc_rank - ranks), k).sum(axis=0)
+            out.append(langs[int(np.argmin(dist))])
+        return pd.Series(out, dtype=object)
+
+    return docs.select(F.col(id_col), _predict(padded).alias("lang_pred"))
+
+
+def _lang_id_ngram_exchange(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = NGRAM_PROFILE_K,
+):
+    """The former exchange-based formulation of :func:`lang_id_ngram`
+    (explode -> groupBy -> windows -> broadcast-join), retained ONLY as
+    the reference implementation for the equivalence test: it mirrors
+    the DuckDB oracle SQL operator-for-operator. Not a query path."""
     from pyspark.sql import Window
 
     spark = docs.sparkSession

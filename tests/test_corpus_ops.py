@@ -429,6 +429,41 @@ def test_lang_id_ngram_clear_sentences_and_disagreement(spark):
     assert got_labels <= valid
 
 
+def test_lang_id_ngram_udf_matches_exchange_formulation(spark):
+    """The zero-shuffle Arrow-UDF path (round 7) must agree label-for-
+    label with the exchange formulation `_lang_id_ngram_exchange` (the
+    operator-for-operator mirror of the DuckDB oracle SQL) on the
+    fixture corpus AND on adversarial inputs: null/empty text,
+    no-letter text, 1-2-char docs (sub-trigram after padding they still
+    yield trigrams), unicode casing (normalization stays JVM-side),
+    heavy ties (count ties break by trigram asc; distance ties by
+    language order)."""
+    from sharepointcrawler_spark.functions.textanalysis import (
+        _lang_id_ngram_exchange,
+        lang_id_ngram,
+    )
+
+    fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    adversarial = spark.createDataFrame(
+        [
+            (1000, None),
+            (1001, ""),
+            (1002, "123 456 !!!"),
+            (1003, "a"),
+            (1004, "ab"),
+            (1005, "ÜBER Straße ĳsselmeer İstanbul"),
+            (1006, "the the the and and of"),
+            (1007, " x  y\tz\n"),
+            (1008, "aaa aab aac aad " * 40),  # count ties -> tri asc
+        ],
+        "doc_id long, text string",
+    )
+    for docs in (fixture, adversarial):
+        new = {r.doc_id: r.lang_pred for r in lang_id_ngram(docs).collect()}
+        old = {r.doc_id: r.lang_pred for r in _lang_id_ngram_exchange(docs).collect()}
+        assert new == old
+
+
 # ---------------------------- production hash fast path (round 4)
 
 
