@@ -614,13 +614,89 @@ def repetition_signals(docs, text_col: str = "text", id_col: str = "doc_id"):
       bigram length then lexicographically — deterministic in both
       engines).
 
-    Plan shape: the line family is one explode + groupBy(doc, line) +
-    groupBy(doc) (map-side partial aggs on both); the bigram family is
-    one staged word-array projection (lambda-CSE-safe), one explode,
-    one groupBy(doc, bigram) and a struct-max per doc. All divisions
-    are exact-int-over-exact-int IEEE doubles, so the whole surface is
-    hash-oracle-safe. Docs with no lines / fewer than two words score
-    zero (flag-side neutral), never NULL."""
+    100 TB shape: every signal is PER-DOCUMENT-LOCAL, so the whole
+    family runs as one Arrow UDF over the JVM-computed line/word
+    arrays — ZERO shuffles. The former explode formulation pushed the
+    near-unique (doc, bigram) rows — essentially the corpus bytes —
+    through a groupBy exchange that partial aggregation cannot shrink;
+    it is kept as :func:`_repetition_signals_exchange` to pin
+    equivalence. Tokenization stays in the JVM (identical
+    ``trimmed_lines`` / split expressions), Python only counts exact
+    integers; divisions are the same exact-int IEEE doubles, string
+    ties compare identically (UTF-8 byte order == code-point order),
+    so the surface stays hash-oracle-safe. Docs with no lines / fewer
+    than two words score zero (flag-side neutral), never NULL."""
+    text = F.col(text_col)
+    lines_col = trimmed_lines(text)
+    words_col = F.filter(
+        F.split(F.lower(F.trim(text)), r"\W+"), lambda x: x != F.lit("")
+    )
+
+    @F.pandas_udf(
+        "struct<n_lines:long, dup_line_frac:double,"
+        " dup_line_char_frac:double, top_bigram_char_frac:double>"
+    )
+    def _signals(lines: pd.Series, words: pd.Series) -> pd.DataFrame:
+        n_lines_out, dlf_out, dlcf_out, tbf_out = [], [], [], []
+        for ls, ws in zip(lines, words):
+            if ls is None:
+                ls = ()
+            if ws is None:
+                ws = ()
+            n_lines = len(ls)
+            seen: dict = {}
+            dup = line_chars = dup_chars = 0
+            for ln in ls:
+                c = seen.get(ln, 0)
+                seen[ln] = c + 1
+                ll = len(ln)
+                line_chars += ll
+                if c:
+                    dup += 1
+                    dup_chars += ll
+            wc = 0
+            for w in ws:
+                wc += len(w)
+            if len(ws) >= 2 and wc > 0:
+                bc: dict = {}
+                prev = ws[0]
+                for w in ws[1:]:
+                    bg = prev + " " + w
+                    bc[bg] = bc.get(bg, 0) + 1
+                    prev = w
+                cnt, blen, _b = max((c, len(b), b) for b, c in bc.items())
+                tbf = cnt * (blen - 1) / wc
+            else:
+                tbf = 0.0
+            n_lines_out.append(n_lines)
+            dlf_out.append(dup / n_lines if n_lines > 0 else 0.0)
+            dlcf_out.append(dup_chars / line_chars if line_chars > 0 else 0.0)
+            tbf_out.append(tbf)
+        return pd.DataFrame(
+            {
+                "n_lines": pd.Series(n_lines_out, dtype="int64"),
+                "dup_line_frac": pd.Series(dlf_out, dtype="float64"),
+                "dup_line_char_frac": pd.Series(dlcf_out, dtype="float64"),
+                "top_bigram_char_frac": pd.Series(tbf_out, dtype="float64"),
+            }
+        )
+
+    return docs.select(
+        F.col(id_col), _signals(lines_col, words_col).alias("_s")
+    ).select(
+        id_col,
+        F.col("_s.n_lines").alias("n_lines"),
+        F.col("_s.dup_line_frac").alias("dup_line_frac"),
+        F.col("_s.dup_line_char_frac").alias("dup_line_char_frac"),
+        F.col("_s.top_bigram_char_frac").alias("top_bigram_char_frac"),
+    )
+
+
+def _repetition_signals_exchange(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """The former explode/groupBy formulation of
+    :func:`repetition_signals`, retained ONLY as the reference
+    implementation for the equivalence test: it mirrors the DuckDB
+    oracle SQL operator-for-operator. Not a query path."""
     from pyspark.sql import DataFrame  # noqa: F401 (signature clarity)
 
     text = F.col(text_col)

@@ -682,6 +682,44 @@ def test_repetition_signals_planted(spark):
         assert out[d]["top_bigram_char_frac"] == 0.0
 
 
+def test_repetition_signals_udf_matches_exchange_formulation(spark):
+    """The zero-shuffle Arrow-UDF path (round 7) must agree value-for-
+    value — including exact IEEE division results — with the
+    explode/groupBy formulation `_repetition_signals_exchange` (the
+    operator-for-operator mirror of the DuckDB oracle SQL) on the
+    fixture corpus AND adversarial inputs: null/empty text, whitespace
+    lines, unicode words, bigram count/length/lexicographic ties,
+    one-word and no-word docs."""
+    from sharepointcrawler_spark.functions.textanalysis import (
+        _repetition_signals_exchange,
+        repetition_signals,
+    )
+
+    fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    adversarial = spark.createDataFrame(
+        [
+            (1000, None),
+            (1001, ""),
+            (1002, "a\n\n a \na"),
+            (1003, "x y x y x y"),
+            (1004, "solo"),
+            (1005, "ü ö ü ö ü ö"),
+            (1006, "!!!\n!!!"),
+            (1007, "w1 w2 w2 w1 w2 w2"),  # count tie -> longer/greater bigram
+            (1008, "a b\na b\na b"),
+            (1009, "zz zz aa aa zz zz"),  # tie broken lexicographically (max)
+        ],
+        "doc_id long, text string",
+    )
+    for docs in (fixture, adversarial):
+        new = {r["doc_id"]: tuple(r) for r in repetition_signals(docs).collect()}
+        old = {
+            r["doc_id"]: tuple(r)
+            for r in _repetition_signals_exchange(docs).collect()
+        }
+        assert new == old
+
+
 def test_decontaminate_flags_planted_overlap(spark):
     """Planted contamination: a training doc embedding a verbatim
     13-gram from an eval question is flagged with the exact collision
