@@ -276,6 +276,67 @@ def test_self_joins_survive_identical_corpus_with_skew_split(spark):
         docs.unpersist()
 
 
+def test_semantic_dedup_survives_identical_mega_cell_with_skew_split(spark):
+    """SemDeDup's within-cell self-join is quadratic in the largest
+    cell (VERDICT r6 #7): an adversarial corpus whose embeddings all
+    collapse to ONE direction lands every row in one IVF cell and every
+    pair above threshold. The operator must (a) return exactly the
+    keep-smallest answer — one survivor in the mega-cell, every tail
+    row kept — and (b) split the mega-cell's join partition via AQE
+    (skew=true on the SortMergeJoin) instead of serializing one
+    reducer, with thresholds in range at this toy scale (at production
+    bytes the default 256MB threshold plays the same role)."""
+    import numpy as np
+
+    from sharepointcrawler_spark.operators.similarity import semantic_dedup
+
+    n_dup, n_tail = 600, 40
+    dim = 8
+    base = np.zeros(dim)
+    base[0] = 1.0
+    rows = [(i, [float(x) for x in base]) for i in range(n_dup)]
+    # light tail: mutually-orthogonal one-hot directions, far from base
+    for i in range(n_tail):
+        v = np.zeros(dim)
+        v[1 + (i % (dim - 1))] = 1.0 + i  # scaled: same direction class
+        rows.append((100000 + i, [float(x) for x in v]))
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    docs = docs.repartition(8).persist()
+    docs.count()
+    centroids = np.stack(
+        [base] + [np.eye(dim)[1 + (j % (dim - 1))] for j in range(3)]
+    )
+    try:
+        with _Conf(
+            spark,
+            **{
+                "spark__sql__shuffle__partitions": "32",
+                "spark__sql__autoBroadcastJoinThreshold": "-1",
+                "spark__sql__adaptive__autoBroadcastJoinThreshold": "-1",
+                "spark__sql__adaptive__forceOptimizeSkewedJoin": "true",
+                "spark__sql__adaptive__coalescePartitions__enabled": "false",
+                "spark__sql__adaptive__skewJoin__skewedPartitionThresholdInBytes": "1kb",
+                "spark__sql__adaptive__advisoryPartitionSizeInBytes": "1kb",
+                "spark__sql__adaptive__skewJoin__skewedPartitionFactor": "2.0",
+            },
+        ):
+            out = semantic_dedup(docs, centroids, threshold=0.95)
+            agg = out.groupBy("keep").count()
+            counts = {r["keep"]: r["count"] for r in agg.collect()}
+            plan = agg._jdf.queryExecution().executedPlan().toString()
+            kept = {
+                r.vec_id for r in out.filter(F.col("keep")).select("vec_id").collect()
+            }
+            # mega-cell keeps exactly its smallest id; orthogonal tail
+            # rows (cosine 1.0 only within their own direction) keep
+            # their per-direction smallest
+            assert 0 in kept
+            assert counts[False] >= n_dup - 1
+            assert "skew=true" in plan, "mega-cell join partition was not skew-split"
+    finally:
+        docs.unpersist()
+
+
 # --------------------------------------- 5. one stats job per wave
 
 
